@@ -1,0 +1,216 @@
+"""On-device 6-reading-frame codon encoding.
+
+TPU-first redesign of the reference's string preprocessing
+(``seqops/encode.py:65-318``): the host ships raw base IDs (1 byte/base,
+see :mod:`jaeger_tpu.seqops.windows`), and the codon translation — reverse
+complement, trigram extraction, codon-LUT lookup, frame slicing, mask
+computation — runs inside the jitted model as pure gathers and static
+slices. This removes the tf.data string pipeline (the reference's
+documented host bottleneck) and cuts host->device transfer ~4-16x vs
+shipping int32 frame tokens.
+
+Semantics parity (pinned by tests against a literal numpy oracle):
+
+* base IDs A=0 T=1 G=2 C=3 N=4 (reference ``encode.py:326-338``);
+* codon IDs in classical table order, N-containing trigram -> -1;
+* frame f takes trigrams ``f, f+3, ...``; every frame yields exactly
+  ``K = ceil((m - 5 + offset)/3)`` positions, ``offset =
+  [-2,-1,0][crop % 3]`` (reference ``encode.py:157-162``,
+  ``crop.py:44-61``);
+* tokens are ``codon_id + 1`` so 0 doubles as pad/ambiguous = masked.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jaeger_tpu.seqops import crop as crop_contract
+from jaeger_tpu.seqops import maps
+from jaeger_tpu.seqops.windows import MASKED_LUT, UPPER_LUT
+
+#: complement in base-ID space (A<->T, G<->C, N->N)
+_COMPLEMENT = np.array([1, 0, 3, 2, 4], dtype=np.int32)
+
+#: base-ID -> nucleotide-branch ID (A=0, G=1, C=2, T=3, N=-1),
+#: reference ``encode.py:36-41``.
+_NUC_ID = np.array([0, 3, 1, 2, -1], dtype=np.int32)
+
+
+@functools.lru_cache(maxsize=8)
+def codon_table(alphabet: str = "CODON") -> np.ndarray:
+    """Flat (125,) trigram -> codon-class table in base-ID space.
+
+    Index is ``b0*25 + b1*5 + b2``; any trigram containing N maps to -1.
+    """
+    codons, codon_ids = maps.resolve_alphabet(alphabet)
+    bases = "ATGCN"
+    lut = np.full(125, -1, dtype=np.int32)
+    codon_to_id = {c: i for c, i in zip(codons, codon_ids)}
+    for i0 in range(4):
+        for i1 in range(4):
+            for i2 in range(4):
+                tri = bases[i0] + bases[i1] + bases[i2]
+                cid = codon_to_id.get(tri)
+                if cid is not None:
+                    lut[i0 * 25 + i1 * 5 + i2] = cid
+    return lut
+
+
+def frame_positions(crop_size: int) -> int:
+    """Static per-frame token count K for a given nucleotide crop."""
+    return crop_contract.frame_length(crop_size, crop_size)
+
+
+def _trigram_codons(b: jnp.ndarray, lut: jnp.ndarray) -> jnp.ndarray:
+    """(B, L) base IDs -> (B, L-2) codon class IDs (-1 for ambiguous)."""
+    tri = b[:, :-2] * 25 + b[:, 1:-1] * 5 + b[:, 2:]
+    return jnp.take(lut, tri, axis=0)
+
+
+def _frames_from_codons(codons: jnp.ndarray, k: int) -> jnp.ndarray:
+    """(B, L-2) codons -> (B, 3, K) frames via static strided slices."""
+    f = [codons[:, off::3][:, :k] for off in range(3)]
+    # guard: short crops can yield fewer than K positions in a slice
+    f = [
+        jnp.pad(x, ((0, 0), (0, k - x.shape[1]))) if x.shape[1] < k else x
+        for x in f
+    ]
+    return jnp.stack(f, axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("crop_size", "masking", "alphabet")
+)
+def encode_frames(
+    bases: jnp.ndarray,
+    lengths: jnp.ndarray,
+    crop_size: int,
+    masking: bool = False,
+    alphabet: str = "CODON",
+) -> jnp.ndarray:
+    """Encode base IDs to 6-frame codon tokens.
+
+    Args:
+        bases: (B, >=crop_size) uint8 base IDs (9-symbol alphabet with
+            lowercase soft-mask variants).
+        lengths: (B,) int32 — valid bases per window.
+        crop_size: nucleotide crop C (use
+            :func:`jaeger_tpu.seqops.crop.codons_to_nucleotides` to derive
+            from a codon crop).
+        masking: when True, soft-masked (lowercase) bases are treated as
+            ambiguous, matching the reference's ``masking: true`` configs.
+
+    Returns:
+        (B, 6, K) int32 tokens; 0 = pad/ambiguous (masked), 1..depth = codon
+        class + 1. Frame order f1,f2,f3,r1,r2,r3.
+    """
+    C = int(crop_size)
+    k = frame_positions(C)
+    fold = jnp.asarray(MASKED_LUT if masking else UPPER_LUT, dtype=jnp.int32)
+    lut = jnp.asarray(codon_table(alphabet), dtype=jnp.int32)
+    comp = jnp.asarray(_COMPLEMENT)
+
+    b = jnp.take(fold, bases[:, :C].astype(jnp.int32), axis=0)
+    m = jnp.minimum(lengths.astype(jnp.int32), C)  # valid bases in the crop
+
+    # reverse-complement of the *valid* prefix, re-padded with N on the right
+    pos = jnp.arange(C, dtype=jnp.int32)[None, :]
+    ridx = m[:, None] - 1 - pos
+    rb = jnp.take_along_axis(b, jnp.clip(ridx, 0, C - 1), axis=1)
+    rb = jnp.where(ridx >= 0, jnp.take(comp, rb, axis=0), 4)
+
+    fwd = _frames_from_codons(_trigram_codons(b, lut), k)
+    rev = _frames_from_codons(_trigram_codons(rb, lut), k)
+    frames = jnp.concatenate([fwd, rev], axis=1)  # (B, 6, K)
+
+    # per-window valid frame positions: P = ceil((m - 5 + offset) / 3)
+    offset = crop_contract.OFFSET_LUT[C % 3]
+    p_valid = jnp.maximum(0, -((-(m - 5 + offset)) // 3))
+    valid = jnp.arange(k, dtype=jnp.int32)[None, None, :] < p_valid[:, None, None]
+
+    tokens = (frames + 1) * valid.astype(jnp.int32)
+    return tokens
+
+
+@functools.partial(jax.jit, static_argnames=("crop_size", "masking"))
+def encode_nucleotide(
+    bases: jnp.ndarray,
+    lengths: jnp.ndarray,
+    crop_size: int,
+    masking: bool = False,
+) -> jnp.ndarray:
+    """Encode base IDs to the 2-strand one-hot nucleotide input.
+
+    Returns (B, 2, C, 4) float32 one-hot in A,G,C,T channel order
+    (reference ``encode.py:36-41,143-147``); ambiguous bases and padding
+    are all-zero rows (masked by the model's input Masking semantics).
+    """
+    C = int(crop_size)
+    fold = jnp.asarray(MASKED_LUT if masking else UPPER_LUT, dtype=jnp.int32)
+    comp = jnp.asarray(_COMPLEMENT)
+    nuc = jnp.asarray(_NUC_ID)
+
+    b = jnp.take(fold, bases[:, :C].astype(jnp.int32), axis=0)
+    m = jnp.minimum(lengths.astype(jnp.int32), C)
+    pos = jnp.arange(C, dtype=jnp.int32)[None, :]
+    valid = pos < m[:, None]
+    b = jnp.where(valid, b, 4)
+
+    ridx = m[:, None] - 1 - pos
+    rb = jnp.take_along_axis(b, jnp.clip(ridx, 0, C - 1), axis=1)
+    rb = jnp.where(ridx >= 0, jnp.take(comp, rb, axis=0), 4)
+
+    ids = jnp.stack([jnp.take(nuc, b, axis=0), jnp.take(nuc, rb, axis=0)], axis=1)
+    return jax.nn.one_hot(ids, 4, dtype=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Literal numpy oracle of the reference TF string path — tests only.
+# ---------------------------------------------------------------------------
+
+_COMP_CHAR = {"A": "T", "T": "A", "G": "C", "C": "G",
+              "a": "t", "t": "a", "g": "c", "c": "g"}
+
+
+def encode_frames_oracle(
+    seq: str,
+    crop_size: int,
+    masking: bool = False,
+    alphabet: str = "CODON",
+) -> np.ndarray:
+    """Replicates ``process_string_inference`` string ops literally.
+
+    Byte-splits, reverse-complements via the character table (default 'N'),
+    takes character trigrams, slices the 6 frames with the negative-stop
+    arithmetic, looks up codons (default -1), and returns tokens ``+1``.
+    Output shape (6, P) with P the frame length the TF path would produce.
+    """
+    codons, codon_ids = maps.resolve_alphabet(alphabet)
+    table = {c: i for c, i in zip(codons, codon_ids)}
+    offset = crop_contract.OFFSET_LUT[crop_size % 3]
+    fwd = list(seq[:crop_size])
+    rev = [_COMP_CHAR.get(ch, "N") for ch in fwd[::-1]]
+    if not masking:
+        fwd = [ch.upper() for ch in fwd]
+        rev = [ch.upper() for ch in rev]
+
+    def tri(strand: list[str]) -> list[str]:
+        return ["".join(strand[i : i + 3]) for i in range(len(strand) - 2)]
+
+    def look(grams: list[str]) -> np.ndarray:
+        return np.array([table.get(g, -1) for g in grams], dtype=np.int32)
+
+    tf_, tr_ = tri(fwd), tri(rev)
+    stops = [-3 + offset, -2 + offset, -1 + offset]
+    frames = []
+    for src in (tf_, tr_):
+        for f in range(3):
+            stop = stops[f]
+            sl = src[f:stop:3] if stop != 0 else src[f::3]
+            frames.append(look(sl))
+    n = min(len(fr) for fr in frames)
+    return np.stack([fr[:n] for fr in frames], axis=0) + 1

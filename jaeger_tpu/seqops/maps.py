@@ -1,0 +1,143 @@
+"""Codon maps and reduced-alphabet translation tables.
+
+Parity target: ``src/jaeger/seqops/maps.py`` in the reference. The reference
+lists 64 codons in genetic-code-table order (middle base slowest: TCAG for
+the second position, then TCAG for the first, then TCAG for the third) and
+assigns integer IDs by list position; reduced alphabets (amino acid, PC2,
+Murphy-10, PC5) then remap those IDs. Here everything is derived
+programmatically from the standard genetic code rather than hand-listed.
+"""
+
+from __future__ import annotations
+
+from itertools import product
+
+_TCAG = "TCAG"
+
+#: 64 codons in classical codon-table order (second base varies slowest,
+#: third base fastest) — the ID order every model checkpoint depends on.
+#: Matches reference ``seqops/maps.py:3-68`` (CODONS).
+CODONS: list[str] = [b1 + b2 + b3 for b2 in _TCAG for b1 in _TCAG for b3 in _TCAG]
+
+#: Identity codon IDs (0..63). Reference ``seqops/maps.py:542``.
+CODON_ID: list[int] = list(range(len(CODONS)))
+
+_CODON_TABLE = {
+    "TTT": "F", "TTC": "F", "TTA": "L", "TTG": "L",
+    "CTT": "L", "CTC": "L", "CTA": "L", "CTG": "L",
+    "ATT": "I", "ATC": "I", "ATA": "I", "ATG": "M",
+    "GTT": "V", "GTC": "V", "GTA": "V", "GTG": "V",
+    "TCT": "S", "TCC": "S", "TCA": "S", "TCG": "S",
+    "CCT": "P", "CCC": "P", "CCA": "P", "CCG": "P",
+    "ACT": "T", "ACC": "T", "ACA": "T", "ACG": "T",
+    "GCT": "A", "GCC": "A", "GCA": "A", "GCG": "A",
+    "TAT": "Y", "TAC": "Y", "TAA": "*", "TAG": "*",
+    "CAT": "H", "CAC": "H", "CAA": "Q", "CAG": "Q",
+    "AAT": "N", "AAC": "N", "AAA": "K", "AAG": "K",
+    "GAT": "D", "GAC": "D", "GAA": "E", "GAG": "E",
+    "TGT": "C", "TGC": "C", "TGA": "*", "TGG": "W",
+    "CGT": "R", "CGC": "R", "CGA": "R", "CGG": "R",
+    "AGT": "S", "AGC": "S", "AGA": "R", "AGG": "R",
+    "GGT": "G", "GGC": "G", "GGA": "G", "GGG": "G",
+}
+#: Standard genetic code, indexed by codon string ('*' = stop).
+GENETIC_CODE: dict[str, str] = dict(_CODON_TABLE)
+
+#: Amino-acid letters in first-appearance order over CODONS, '*' included.
+_AA_ORDER: list[str] = []
+for _c in CODONS:
+    _a = GENETIC_CODE[_c]
+    if _a not in _AA_ORDER:
+        _AA_ORDER.append(_a)
+
+#: Amino-acid translation of each codon (list parallel to CODONS).
+AA: list[str] = [GENETIC_CODE[c] for c in CODONS]
+
+#: Codon ID -> amino-acid class ID (20 aa + stop collapsed by identity).
+AA_ID: list[int] = [_AA_ORDER.index(a) for a in AA]
+
+# --- Reduced alphabets -------------------------------------------------------
+# Murphy-10: standard 10-letter reduction of the amino-acid alphabet
+# (Murphy, Wallqvist & Levy 2000): LVIMC, ASGTP(-> here A,S,G,T,P grouped per
+# the published table), FYW, EDNQ, KR, H. Stop codons get their own class.
+_MURPHY10_GROUPS = {
+    "L": "L", "V": "L", "I": "L", "M": "L", "C": "C",
+    "A": "A", "G": "G", "S": "S", "T": "S", "P": "P",
+    "F": "F", "Y": "F", "W": "F",
+    "E": "E", "D": "E", "N": "E", "Q": "E",
+    "K": "K", "R": "K", "H": "H", "*": "*",
+}
+_M10_ORDER: list[str] = []
+for _c in CODONS:
+    _g = _MURPHY10_GROUPS[GENETIC_CODE[_c]]
+    if _g not in _M10_ORDER:
+        _M10_ORDER.append(_g)
+#: Codon ID -> Murphy-10 class ID.
+MURPHY10_ID: list[int] = [_M10_ORDER.index(_MURPHY10_GROUPS[a]) for a in AA]
+
+# PC5: five physicochemical classes — aliphatic (AGILPV), aromatic (FWY),
+# polar (CMNQST), positive (HKR), negative (DE); stops separate.
+_PC5_GROUPS = {
+    "A": "ALI", "G": "ALI", "I": "ALI", "L": "ALI", "P": "ALI", "V": "ALI",
+    "F": "ARO", "W": "ARO", "Y": "ARO",
+    "C": "POL", "M": "POL", "N": "POL", "Q": "POL", "S": "POL", "T": "POL",
+    "H": "POS", "K": "POS", "R": "POS",
+    "D": "NEG", "E": "NEG", "*": "STP",
+}
+_PC5_ORDER: list[str] = []
+for _c in CODONS:
+    _g = _PC5_GROUPS[GENETIC_CODE[_c]]
+    if _g not in _PC5_ORDER:
+        _PC5_ORDER.append(_g)
+#: Codon ID -> PC5 class ID.
+PC5_ID: list[int] = [_PC5_ORDER.index(_PC5_GROUPS[a]) for a in AA]
+
+# PC2: hydrophobic (ACFGILMPVW) vs polar/charged (DEHKNQRSTY); stops separate.
+_PC2_GROUPS = {a: ("H" if a in "ACFGILMPVW" else ("*" if a == "*" else "P"))
+               for a in set(GENETIC_CODE.values())}
+_PC2_ORDER: list[str] = []
+for _c in CODONS:
+    _g = _PC2_GROUPS[GENETIC_CODE[_c]]
+    if _g not in _PC2_ORDER:
+        _PC2_ORDER.append(_g)
+#: Codon ID -> PC2 class ID.
+PC2_ID: list[int] = [_PC2_ORDER.index(_PC2_GROUPS[a]) for a in AA]
+
+#: Alias used by configs: "COD" is the identity codon alphabet.
+COD_ID: list[int] = CODON_ID
+
+#: Dicodons (4096) and their IDs. Reference ``seqops/maps.py:544-546``.
+DICODONS: list[str] = ["".join(p) for p in product(CODONS, CODONS)]
+DICODON_ID: list[int] = list(range(len(DICODONS)))
+
+#: Named registry used by YAML configs (``codon:``/``codon_id:`` fields).
+ALPHABETS: dict[str, tuple[list[str], list[int]]] = {
+    "CODON": (CODONS, CODON_ID),
+    "CODON_ID": (CODONS, CODON_ID),
+    "COD": (CODONS, COD_ID),
+    "AA": (CODONS, AA_ID),
+    "AA_ID": (CODONS, AA_ID),
+    "MURPHY10": (CODONS, MURPHY10_ID),
+    "MURPHY10_ID": (CODONS, MURPHY10_ID),
+    "PC5": (CODONS, PC5_ID),
+    "PC5_ID": (CODONS, PC5_ID),
+    "PC2": (CODONS, PC2_ID),
+    "PC2_ID": (CODONS, PC2_ID),
+    "DICODON": (DICODONS, DICODON_ID),
+    "DICODON_ID": (DICODONS, DICODON_ID),
+}
+
+
+def resolve_alphabet(name: str | None) -> tuple[list[str], list[int]]:
+    """Resolve a config alphabet name to ``(codons, codon_ids)``."""
+    if name is None:
+        return CODONS, CODON_ID
+    key = str(name).upper()
+    if key not in ALPHABETS:
+        raise ValueError(f"unknown codon alphabet {name!r}")
+    return ALPHABETS[key]
+
+
+def alphabet_depth(codon_ids: list[int]) -> int:
+    """Number of distinct classes in a codon-ID mapping (one-hot depth)."""
+    return max(codon_ids) + 1

@@ -1,0 +1,257 @@
+"""Contig windowing: FASTA -> fixed-length window batches of base IDs.
+
+Parity target: the reference's ``fragment_generator``
+(``seqops/io.py:74-147``), which yields per-window CSV strings
+``seq,header,index,contig_end,i,seqlen,g,c,a,t,gc_skew``. The TPU-native
+redesign emits the same information as **structured numpy arrays** — base
+identifiers (1 byte/base) plus metadata columns — so the host->device
+boundary moves bytes, not strings, and the codon translation runs on-device
+(:mod:`jaeger_tpu.ops.encode`).
+
+Base-ID alphabet (uint8):
+    0=A 1=T 2=G 3=C 4=N/other/pad 5=a 6=t 7=g 8=c
+Lowercase IDs carry the DUST soft-mask; encoders either fold them onto the
+uppercase IDs (``masking=False``, reference ``encode.py:139-141``) or treat
+them as ambiguous (``masking=True``).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from jaeger_tpu.seqops.dust import dust_mask
+from jaeger_tpu.seqops.fasta import read_fasta
+
+# ASCII -> base-ID lookup (everything unknown -> 4).
+BASE_N = 4
+_ASCII_LUT = np.full(256, BASE_N, dtype=np.uint8)
+for _ch, _id in [("A", 0), ("T", 1), ("G", 2), ("C", 3),
+                 ("a", 5), ("t", 6), ("g", 7), ("c", 8)]:
+    _ASCII_LUT[ord(_ch)] = _id
+
+#: Fold lowercase (soft-masked) IDs onto uppercase.
+UPPER_LUT = np.array([0, 1, 2, 3, 4, 0, 1, 2, 3], dtype=np.uint8)
+#: Treat lowercase (soft-masked) IDs as ambiguous.
+MASKED_LUT = np.array([0, 1, 2, 3, 4, 4, 4, 4, 4], dtype=np.uint8)
+
+
+def encode_ascii(seq: str) -> np.ndarray:
+    """Encode an ASCII DNA string to base IDs (vectorized)."""
+    raw = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
+    return _ASCII_LUT[raw]
+
+
+def window_indices(
+    seqlen: int,
+    fragsize: int,
+    stride: int | None,
+    dynamic_stride: bool = False,
+    dynamic_stride_threshold: float = 10.0,
+) -> list[int]:
+    """Window start positions for one contig.
+
+    Mirrors reference ``seqops/io.py:38-71``: fixed stride normally; when
+    *dynamic_stride* is on and the contig is shorter than
+    ``threshold * fragsize``, windows are spread evenly so the last one
+    reaches the contig end.
+    """
+    if not dynamic_stride or seqlen >= dynamic_stride_threshold * fragsize:
+        step = fragsize if stride is None else stride
+        return list(range(0, seqlen - (fragsize - 1), step))
+    n_windows = max(1, math.ceil(seqlen / fragsize))
+    if n_windows == 1:
+        return [0]
+    raw_stride = (seqlen - fragsize) / (n_windows - 1)
+    indices = [int(round(i * raw_stride)) for i in range(n_windows)]
+    indices[-1] = seqlen - fragsize
+    seen: set[int] = set()
+    unique: list[int] = []
+    for idx in indices:
+        if idx not in seen:
+            seen.add(idx)
+            unique.append(idx)
+    return unique
+
+
+@dataclass
+class WindowBatch:
+    """A batch of fixed-capacity windows plus reference-parity metadata."""
+
+    bases: np.ndarray          # (n, capacity) uint8 base IDs, padded with N
+    length: np.ndarray         # (n,) int32 — valid bases per window
+    contig: np.ndarray         # (n,) int32 — index into `headers`
+    start: np.ndarray          # (n,) int32 — window start in the contig
+    contig_end: np.ndarray     # (n,) int8 — 1 on the contig's last window
+    ordinal: np.ndarray        # (n,) int32 — window number within the contig
+    seqlen: np.ndarray         # (n,) int32 — full contig length
+    g: np.ndarray              # (n,) int32
+    c: np.ndarray              # (n,) int32
+    a: np.ndarray              # (n,) int32
+    t: np.ndarray              # (n,) int32
+    gc_skew: np.ndarray        # (n,) float32, rounded to 3 decimals
+    headers: list[str] = field(default_factory=list)
+
+    def __len__(self) -> int:
+        return int(self.bases.shape[0])
+
+
+def _composition(ids_upper: np.ndarray) -> tuple[int, int, int, int]:
+    counts = np.bincount(ids_upper, minlength=5)
+    # base IDs: 0=A 1=T 2=G 3=C
+    return int(counts[2]), int(counts[3]), int(counts[0]), int(counts[1])
+
+
+def _gc_skew(g: int, c: int) -> float:
+    denom = g + c
+    skew = (g - c) / denom if denom else 0.0
+    # parity with the reference's 3-decimal CSV formatting (io.py:133)
+    return round(skew, 3)
+
+
+def iter_contigs(
+    path: str,
+    dustmask: bool = True,
+    replace_comma: bool = True,
+) -> Iterator[tuple[str, np.ndarray, int]]:
+    """Yield ``(header, base_ids, seqlen)`` per contig.
+
+    Uppercases, optionally DUST-soft-masks (reference ``io.py:104-109``),
+    and rewrites commas in headers to ``___`` like the reference.
+    """
+    for header, seq in read_fasta(path):
+        seqlen = len(seq)
+        sequence = seq.strip().upper()
+        if dustmask:
+            sequence = dust_mask(sequence, window_size=64, score_threshold=20)
+        if replace_comma:
+            header = header.strip().replace(",", "___")
+        yield header, encode_ascii(sequence), seqlen
+
+
+def window_batches(
+    path: str,
+    fragsize: int,
+    stride: int | None = None,
+    batch_capacity: int = 4096,
+    dustmask: bool = True,
+    dynamic_stride: bool = False,
+    dynamic_stride_threshold: float = 10.0,
+    min_len: int | None = None,
+    max_len: int | None = None,
+) -> Iterator[WindowBatch]:
+    """Stream windows from a FASTA file in batches.
+
+    Contigs >= ``fragsize`` produce sliding windows (reference
+    ``io.py:112-133``); contigs in ``[min_len, fragsize)`` produce one
+    whole-contig window (``io.py:134-145``) whose ``length < fragsize`` —
+    the downstream encoder masks the tail.
+    """
+    if min_len is None:
+        min_len = fragsize
+
+    cap = fragsize
+    buf_bases: list[np.ndarray] = []
+    meta: list[tuple[int, int, int, int, int, int, int, int, int, float]] = []
+    headers: list[str] = []
+
+    def flush() -> WindowBatch:
+        n = len(buf_bases)
+        bases = np.full((n, cap), BASE_N, dtype=np.uint8)
+        for i, b in enumerate(buf_bases):
+            bases[i, : b.shape[0]] = b
+        cols = np.array(meta, dtype=np.float64)
+        batch = WindowBatch(
+            bases=bases,
+            length=cols[:, 0].astype(np.int32),
+            contig=cols[:, 1].astype(np.int32),
+            start=cols[:, 2].astype(np.int32),
+            contig_end=cols[:, 3].astype(np.int8),
+            ordinal=cols[:, 4].astype(np.int32),
+            seqlen=cols[:, 5].astype(np.int32),
+            g=cols[:, 6].astype(np.int32),
+            c=cols[:, 7].astype(np.int32),
+            a=cols[:, 8].astype(np.int32),
+            t=cols[:, 9].astype(np.int32),
+            gc_skew=cols[:, 10].astype(np.float32) if cols.shape[1] > 10 else cols[:, -1].astype(np.float32),
+            headers=list(headers),
+        )
+        return batch
+
+    for contig_idx, (header, ids, seqlen) in enumerate(
+        iter_contigs(path, dustmask=dustmask)
+    ):
+        if max_len is not None and seqlen > max_len:
+            continue
+        headers.append(header)
+        hidx = len(headers) - 1
+        upper = UPPER_LUT[ids]
+        if seqlen >= fragsize:
+            starts = window_indices(
+                seqlen, fragsize, stride, dynamic_stride, dynamic_stride_threshold
+            )
+            last = len(starts) - 1
+            for i, index in enumerate(starts):
+                win = ids[index : index + fragsize]
+                g, c, a, t = _composition(upper[index : index + fragsize])
+                buf_bases.append(win)
+                meta.append(
+                    (fragsize, hidx, index, 1 if i == last else 0, i, seqlen,
+                     g, c, a, t, _gc_skew(g, c))
+                )
+                if len(buf_bases) >= batch_capacity:
+                    yield flush()
+                    buf_bases, meta = [], []
+                    # keep headers: contig indices refer into the shared list
+        elif seqlen >= min_len:
+            g, c, a, t = _composition(upper)
+            buf_bases.append(ids)
+            meta.append((seqlen, hidx, 0, 1, 0, seqlen, g, c, a, t, _gc_skew(g, c)))
+            if len(buf_bases) >= batch_capacity:
+                yield flush()
+                buf_bases, meta = [], []
+
+    if buf_bases:
+        yield flush()
+
+
+def windows_from_sequences(
+    sequences: Sequence[str],
+    headers: Sequence[str] | None = None,
+    fragsize: int | None = None,
+) -> WindowBatch:
+    """Build a WindowBatch directly from in-memory sequences (tests, train)."""
+    if headers is None:
+        headers = [f"seq_{i}" for i in range(len(sequences))]
+    cap = fragsize or max(len(s) for s in sequences)
+    n = len(sequences)
+    bases = np.full((n, cap), BASE_N, dtype=np.uint8)
+    length = np.zeros(n, dtype=np.int32)
+    g = np.zeros(n, dtype=np.int32)
+    c = np.zeros(n, dtype=np.int32)
+    a = np.zeros(n, dtype=np.int32)
+    t = np.zeros(n, dtype=np.int32)
+    skew = np.zeros(n, dtype=np.float32)
+    for i, s in enumerate(sequences):
+        ids = encode_ascii(s[:cap])
+        bases[i, : ids.shape[0]] = ids
+        length[i] = ids.shape[0]
+        gg, cc, aa, tt = _composition(UPPER_LUT[ids])
+        g[i], c[i], a[i], t[i] = gg, cc, aa, tt
+        skew[i] = _gc_skew(gg, cc)
+    seqlens = np.array([len(s) for s in sequences], dtype=np.int32)
+    return WindowBatch(
+        bases=bases,
+        length=length,
+        contig=np.arange(n, dtype=np.int32),
+        start=np.zeros(n, dtype=np.int32),
+        contig_end=np.ones(n, dtype=np.int8),
+        ordinal=np.zeros(n, dtype=np.int32),
+        seqlen=seqlens,
+        g=g, c=c, a=a, t=t,
+        gc_skew=skew,
+        headers=list(headers),
+    )

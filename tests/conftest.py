@@ -1,0 +1,31 @@
+"""Test configuration: run JAX on CPU with 8 virtual devices.
+
+Mirrors the reference's CPU-only unit-test strategy (SURVEY §4) and adds
+what it lacked: a virtual multi-chip mesh so sharding paths are exercised
+without TPU hardware.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture
+def random_dna(rng):
+    def make(n: int, alphabet: str = "ATGC") -> str:
+        return "".join(rng.choice(list(alphabet), size=n))
+
+    return make
