@@ -1,0 +1,120 @@
+"""End-to-end prediction.
+
+Parity target: reference ``commands/predict.py:488-861`` (``run_core``):
+validate FASTA -> load model bundle -> window the contigs -> batched
+device inference -> per-contig reduction -> summary TSVs (+ optional
+window-score NPZ). The TPU redesign folds the reference's engine zoo
+(SavedModel/XLA/TFLite/ONNX/TensorRT) into the single XLA:TPU path and its
+two-pass long/short-contig flow into one masked bucketed stream.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from jaeger_tpu.infer.engine import InferenceEngine
+from jaeger_tpu.models.artifacts import class_names_in_order, load_model
+from jaeger_tpu.postprocess import collect
+from jaeger_tpu.postprocess.termini import scan_for_terminal_repeats
+from jaeger_tpu.seqops.fasta import validate_fasta_entries
+from jaeger_tpu.seqops.windows import window_batches
+
+logger = logging.getLogger("jaeger_tpu")
+
+
+def run_core(
+    input_path: str,
+    output_dir: str,
+    model_path: str,
+    fsize: int = 2000,
+    stride: int = 2000,
+    batch: int = 96,
+    min_len: int | None = None,
+    dustmask: bool = True,
+    dynamic_stride: bool = False,
+    precision: str = "bfloat16",
+    mesh=None,
+    crf_switch_cost: float | None = None,
+    crf_prior: str = "biological",
+    reliability_cutoff: float = 0.5,
+    phage_score: float = 1.0,
+    scan_termini: bool = True,
+    save_window_scores: bool = False,
+) -> Path:
+    t0 = time.time()
+    input_path = Path(input_path)
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    min_len = min_len if min_len is not None else fsize
+
+    validate_fasta_entries(str(input_path), min_len=min_len)
+
+    dtype = {
+        "float32": jnp.float32, "bfloat16": jnp.bfloat16,
+        "bf16": jnp.bfloat16, "fp32": jnp.float32,
+    }[precision]
+    model, variables, config, classes = load_model(model_path, dtype=dtype)
+    indices, labels = class_names_in_order(classes)
+
+    term_repeats = None
+    if scan_termini:
+        term_repeats = scan_for_terminal_repeats(str(input_path))
+
+    engine = InferenceEngine(model, variables, batch_size=batch, mesh=mesh)
+
+    batches = window_batches(
+        str(input_path), fragsize=fsize, stride=stride, min_len=min_len,
+        dustmask=dustmask, dynamic_stride=dynamic_stride,
+    )
+    outputs, kept = engine.predict_batches(batches)
+    if not outputs:
+        raise ValueError(f"no windows produced from {input_path}")
+    n_windows = outputs["prediction"].shape[0]
+    meta = collect.PredictionMeta.from_batches(kept)
+
+    data, data_full = collect.reduce_windows(
+        prediction=outputs["prediction"],
+        meta=meta,
+        fsize=fsize,
+        num_classes=len(labels) if labels else outputs["prediction"].shape[-1],
+        reliability=outputs.get("reliability"),
+        class_names=labels,
+        crf_switch_cost=crf_switch_cost,
+        crf_prior=crf_prior,
+        term_repeats=term_repeats,
+    )
+
+    stem = input_path.stem
+    table = output_dir / f"{stem}_default_jaeger.tsv"
+    phage_table = output_dir / f"{stem}_default_phages_jaeger.tsv"
+    n = collect.write_output(
+        data,
+        output_table_path=table,
+        output_phage_table_path=phage_table,
+        labels=labels or [str(i) for i in range(outputs["prediction"].shape[-1])],
+        indices=indices or list(range(outputs["prediction"].shape[-1])),
+        reliability_cutoff=reliability_cutoff,
+        phage_score=phage_score,
+    )
+    if save_window_scores:
+        np.savez_compressed(
+            output_dir / f"{stem}_window_scores.npz",
+            headers=data_full["headers"],
+            lengths=data_full["lengths"],
+            predictions=np.asarray(outputs["prediction"]),
+            **(
+                {"reliability": np.asarray(outputs["reliability"])}
+                if "reliability" in outputs else {}
+            ),
+        )
+    dt = time.time() - t0
+    logger.info(
+        f"predict: {n} contigs, {n_windows} windows in {dt:.2f}s "
+        f"({n_windows / dt:.0f} windows/s)"
+    )
+    return table

@@ -1,0 +1,61 @@
+"""Model artifact save/load.
+
+Parity target: the reference's SavedModel export bundle
+(``nnlib/builder.py:1495-1579``): graph + ``<name>.weights.h5`` +
+``<name>_classes.yaml`` + ``<name>_project.yaml``. The TPU-native bundle is
+a directory with:
+
+* ``params.msgpack``   — flax-serialized variables (params + batch_stats)
+* ``project.yaml``     — the full training config (reloaded at inference to
+  reconstruct the string processor, like reference
+  ``nnlib/inference.py:423-483``)
+* ``classes.yaml``     — label map
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax.numpy as jnp
+import yaml
+from flax import serialization
+
+from jaeger_tpu.models.builder import JaegerModel, ModelBuilder
+from jaeger_tpu.utils.config import load_model_config
+
+
+def save_model(variables, config: dict, path: str | Path,
+               classes: dict | None = None) -> Path:
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    (path / "params.msgpack").write_bytes(serialization.to_bytes(variables))
+    (path / "project.yaml").write_text(yaml.safe_dump(config, sort_keys=False))
+    if classes is None:
+        label_map = config.get("model", {}).get("class_label_map", [])
+        classes = {
+            int(e["label"]): str(e["class"]) for e in label_map
+        } if label_map else {}
+    (path / "classes.yaml").write_text(yaml.safe_dump(classes))
+    return path
+
+
+def load_model(path: str | Path, dtype=jnp.float32):
+    """Load a model bundle -> (model, variables, config, classes)."""
+    path = Path(path)
+    config = load_model_config(path / "project.yaml")
+    builder = ModelBuilder(config, dtype=dtype)
+    model = builder.build()
+    _, template = builder.init(batch=1)
+    variables = serialization.from_bytes(
+        template, (path / "params.msgpack").read_bytes()
+    )
+    classes_file = path / "classes.yaml"
+    classes = (
+        yaml.safe_load(classes_file.read_text()) if classes_file.exists() else {}
+    )
+    return model, variables, config, classes
+
+
+def class_names_in_order(classes: dict) -> tuple[list[int], list[str]]:
+    indices = sorted(int(k) for k in classes)
+    return indices, [str(classes[i]) for i in indices]

@@ -1,0 +1,568 @@
+"""YAML-driven model construction.
+
+Parity target: the reference's ``DynamicModelBuilder``
+(``nnlib/builder.py:209-1761``) — same config schema (``model.embedding``,
+``representation_learner.hidden_layers``, ``classifier``, ``projection``,
+``reliability_model``), same layer registry names — but the product is a
+single Flax module whose forward pass covers the whole reference model
+*dict* (rep learner + heads), including the on-device codon encoding when
+raw bases are supplied. One jitted XLA program replaces the reference's
+five stitched Keras models.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from jaeger_tpu.models import layers as L
+from jaeger_tpu.ops import encode
+from jaeger_tpu.seqops import crop as crop_contract
+from jaeger_tpu.seqops import maps
+from jaeger_tpu.utils.config import load_model_config  # noqa: F401  (re-export)
+
+_CONV_KEYS = (
+    "filters", "kernel_size", "strides", "padding", "dilation_rate",
+    "activation", "use_bias", "use_masking", "mask_mode",
+)
+_RES_KEYS = _CONV_KEYS + ("use_1x1conv", "norm_type", "alpha_init", "return_nmd")
+
+
+def _sub(cfg: dict, keys: Sequence[str]) -> dict:
+    return {k: cfg[k] for k in keys if k in cfg}
+
+
+class LayerStack(nn.Module):
+    """A configured stack of zoo layers with NMD collection and pooling.
+
+    Mirrors ``DynamicModelBuilder._build_block`` (``nnlib/builder.py:982-1193``):
+    walks ``hidden_layers``, collects NMD side outputs, applies the
+    configured pooler, merges NMDs (concat by default, or the
+    ``reliability_model.merge`` config).
+    """
+
+    layer_configs: tuple                 # tuple of (name, cfg) pairs
+    pooling: str | None = None
+    nmd_merge: dict | None = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        nmds: list = []
+        gate = None
+        for i, (name, raw_cfg) in enumerate(self.layer_configs):
+            cfg = dict(raw_cfg)
+            lname = f"{name}_{i}"
+            if name == "masked_conv1d":
+                x, mask = L.MaskedConv1D(
+                    name=lname, dtype=self.dtype, **_sub(cfg, _CONV_KEYS)
+                )(x, mask, train)
+            elif name == "conv1d":
+                cfg.setdefault("use_masking", False)
+                x, mask = L.MaskedConv1D(
+                    name=lname, dtype=self.dtype, **_sub(cfg, _CONV_KEYS)
+                )(x, mask, train)
+            elif name == "multi_scale_conv":
+                x, mask = L.MultiScaleConv1D(
+                    name=lname, dtype=self.dtype,
+                    branches=tuple(cfg.get("branches", [])),
+                    merge=cfg.get("merge", "concat"),
+                    use_bias=cfg.get("use_bias", True),
+                    use_masking=cfg.get("use_masking", True),
+                )(x, mask, train)
+            elif name in ("masked_batchnorm", "batchnorm"):
+                bn = L.MaskedBatchNorm(
+                    name=lname, dtype=self.dtype,
+                    return_nmd=cfg.get("return_nmd", False),
+                    use_masking=cfg.get("use_masking", name == "masked_batchnorm"),
+                    momentum=cfg.get("momentum", 0.9),
+                    epsilon=cfg.get("epsilon", 1e-5),
+                )
+                out = bn(x, mask, train)
+                if cfg.get("return_nmd", False):
+                    x, mask, nmd = out
+                    nmds.append(nmd)
+                else:
+                    x, mask = out
+            elif name in ("masked_layernorm", "layernorm"):
+                norm_cls = (
+                    L.MaskedLayerNorm if name == "masked_layernorm" else L.LayerNorm
+                )
+                x, mask = norm_cls(name=lname, dtype=self.dtype)(x, mask, train)
+            elif name == "masked_dyt":
+                x, mask = L.MaskedDYT(
+                    name=lname, alpha_init=cfg.get("alpha_init", 0.5),
+                    dtype=self.dtype,
+                )(x, mask, train)
+            elif name == "residual_block":
+                block_size = cfg.get("block_size", 1)
+                rb = L.ResidualBlockStack(
+                    name=lname, dtype=self.dtype, block_size=block_size,
+                    **_sub(cfg, _RES_KEYS),
+                )
+                out = rb(x, mask, train)
+                if cfg.get("return_nmd", False):
+                    x, mask, nmd = out
+                    nmds.append(nmd)
+                else:
+                    x, mask = out
+            elif name == "masked_bilstm":
+                x, mask = L.MaskedBiLSTM(
+                    name=lname, units=cfg.get("units", 64),
+                    return_sequences=cfg.get("return_sequences", True),
+                    ignore_mask=cfg.get("ignore_mask", False),
+                    dtype=self.dtype,
+                )(x, mask, train)
+            elif name == "transformer_encoder":
+                x, mask = L.TransformerEncoder(
+                    name=lname, dtype=self.dtype,
+                    embed_dim=cfg["embed_dim"], num_heads=cfg["num_heads"],
+                    feed_forward_dim=cfg["feed_forward_dim"],
+                    dropout_rate=cfg.get("dropout_rate", 0.1),
+                )(x, mask, train)
+            elif name == "cross_frame_attention":
+                x, mask = L.CrossFrameAttention(
+                    name=lname, dtype=self.dtype,
+                    embed_dim=cfg["embed_dim"], num_heads=cfg["num_heads"],
+                    feed_forward_dim=cfg["feed_forward_dim"],
+                    dropout_rate=cfg.get("dropout_rate", 0.1),
+                    use_ffn=cfg.get("use_ffn", True),
+                )(x, mask, train)
+            elif name == "axial_attention":
+                x, mask = L.AxialAttention(
+                    name=lname, dtype=self.dtype,
+                    embed_dim=cfg["embed_dim"], num_heads=cfg["num_heads"],
+                    feed_forward_dim=cfg["feed_forward_dim"],
+                    dropout_rate=cfg.get("dropout_rate", 0.1),
+                    num_blocks=cfg.get("num_blocks", 1),
+                    norm_type=cfg.get("norm_type", "layernorm"),
+                    alpha_init=cfg.get("alpha_init", 0.5),
+                )(x, mask, train)
+            elif name == "local_attention":
+                x, mask = L.LocalAttention(
+                    name=lname, dtype=self.dtype,
+                    embed_dim=cfg["embed_dim"], num_heads=cfg["num_heads"],
+                    feed_forward_dim=cfg["feed_forward_dim"],
+                    window_size=cfg["window_size"],
+                    dropout_rate=cfg.get("dropout_rate", 0.1),
+                    num_blocks=cfg.get("num_blocks", 1),
+                )(x, mask, train)
+            elif name == "hyena_block":
+                x, mask = L.HyenaBlock(
+                    name=lname, dtype=self.dtype, dim=cfg["dim"],
+                    order=cfg.get("order", 2),
+                    filter_hidden=cfg.get("filter_hidden", 32),
+                    filter_layers=cfg.get("filter_layers", 2),
+                    filter_activation=cfg.get("filter_activation", "gelu"),
+                    dropout=cfg.get("dropout", 0.0),
+                    output_projection=cfg.get("output_projection", False),
+                    filter_normalize=cfg.get("filter_normalize", False),
+                )(x, mask, train)
+            elif name == "nmd":
+                nmds.append(
+                    L.NMDLayer(
+                        name=lname, momentum=cfg.get("momentum", 0.9),
+                        dtype=self.dtype,
+                    )(x, mask, train)
+                )
+            elif name == "dense":
+                dt = (
+                    jnp.float32
+                    if str(cfg.get("dtype", "")) == "float32"
+                    else self.dtype
+                )
+                x = nn.Dense(
+                    cfg["units"], use_bias=cfg.get("use_bias", True),
+                    dtype=dt, param_dtype=jnp.float32, name=lname,
+                )(x)
+                x = L.get_activation(cfg.get("activation"))(x)
+            elif name in ("activation", "relu", "gelu", "sigmoid", "softmax",
+                          "tanh"):
+                act = cfg.get("activation", name if name != "activation" else None)
+                x = L.get_activation(act)(x)
+            elif name == "dropout":
+                x = nn.Dropout(
+                    cfg.get("rate", 0.5), deterministic=not train, name=lname
+                )(x)
+            elif name == "crop":
+                (t, b_), (l_, r_) = cfg.get("cropping", ((0, 0), (0, 0)))
+                x = x[:, t: x.shape[1] - b_ or None, l_: x.shape[2] - r_ or None, :]
+                if mask is not None:
+                    mask = mask[:, t: mask.shape[1] - b_ or None,
+                                l_: mask.shape[2] - r_ or None]
+            elif name == "parallel_branches":
+                merge = cfg.get("merge", "concat").lower()
+                outs = []
+                for b_idx, bcfg in enumerate(cfg.get("branches", [])):
+                    sub = LayerStack(
+                        name=f"{lname}_branch_{b_idx}",
+                        layer_configs=_freeze_layers(bcfg.get("hidden_layers", [])),
+                        pooling=bcfg.get("pooling"),
+                        dtype=self.dtype,
+                    )
+                    bx, _, _ = sub(x, mask, train)
+                    outs.append(bx)
+                if merge == "concat":
+                    x = jnp.concatenate(outs, axis=-1)
+                elif merge == "sum":
+                    x = sum(outs)
+                elif merge == "average":
+                    x = sum(outs) / len(outs)
+                elif merge == "max":
+                    x = jnp.max(jnp.stack(outs, 0), axis=0)
+                else:
+                    raise ValueError(f"unknown branch merge {merge!r}")
+                mask = None
+            else:
+                raise ValueError(f"unknown layer type: {name}")
+
+        merged_nmd = None
+        if nmds:
+            if len(nmds) == 1:
+                merged_nmd = nmds[0]
+            elif self.nmd_merge:
+                mm = dict(self.nmd_merge)
+                merged_nmd = L.NMDMerge(
+                    name="nmd_merge", mode=mm.get("mode", "concat"),
+                    target_dim=mm.get("target_dim"), dtype=self.dtype,
+                )(nmds, train)
+            else:
+                merged_nmd = jnp.concatenate(nmds, axis=-1)
+
+        if self.pooling is not None:
+            pooler_cls = L.POOLERS[self.pooling.lower()]
+            if "gated" in self.pooling.lower():
+                x, gate = pooler_cls(
+                    name=f"global_{self.pooling}pool", return_gate=True,
+                    dtype=self.dtype,
+                )(x, mask, train)
+            else:
+                x, _ = pooler_cls(
+                    name=f"global_{self.pooling}pool", dtype=self.dtype
+                )(x, mask, train)
+            mask = None
+        return x, mask, {"nmd": merged_nmd, "gate": gate}
+
+
+def _resolve_crop_nt(sp: dict, input_type: str = "translated") -> int:
+    """Nucleotide crop for a string-processor config.
+
+    Multi-crop configs (``crop_sizes`` lists, reference
+    ``data/loaders.py:505-530``) use their largest crop as the static
+    encode shape; shorter crops arrive as masked prefixes. Nucleotide
+    models consume ``crop_size`` directly in nt (reference
+    ``nnlib/inference.py:470-483``).
+    """
+    if "crop_size" not in sp and "crop_sizes" in sp:
+        sp = dict(sp, crop_size=max(sp["crop_sizes"]))
+    if input_type == "nucleotide":
+        return int(sp["crop_size"])
+    _, nt = crop_contract.resolve_crop(sp)
+    return nt
+
+
+def _freeze_layers(hidden_layers: list) -> tuple:
+    out = []
+    for entry in hidden_layers:
+        out.append((entry.get("name", "").lower(), dict(entry.get("config") or {})))
+    return tuple(out)
+
+
+class JaegerModel(nn.Module):
+    """The full fragment model: encode -> embed -> rep learner -> heads.
+
+    Output dict mirrors the reference's combined ``jaeger_model``
+    (``nnlib/builder.py:442-838``): ``prediction`` (classifier logits),
+    ``embedding`` (pooled representation), ``nmd``, ``gate``,
+    ``reliability`` (when configured), ``projection`` (when configured).
+    """
+
+    config: dict
+    dtype: Any = jnp.float32
+
+    def _string_processor(self) -> dict:
+        return self.config.get("string_processor", {})
+
+    @property
+    def crop_nt(self) -> int:
+        input_type = self.config.get("embedding", {}).get(
+            "input_type", "translated"
+        )
+        return _resolve_crop_nt(self._string_processor(), input_type)
+
+    @nn.compact
+    def __call__(self, inputs: dict, train: bool = False,
+                 with_projection: bool = False):
+        cfg = self.config
+        emb_cfg = cfg.get("embedding", {})
+        sp = self._string_processor()
+        input_type = emb_cfg.get("input_type", "translated")
+
+        # --- 1. inputs: raw bases (device-side encode) or pre-encoded ---
+        feats: dict[str, jnp.ndarray] = {}
+        if "bases" in inputs:
+            bases, lengths = inputs["bases"], inputs["lengths"]
+            masking = bool(sp.get("masking", False))
+            alphabet = str(sp.get("codon", "CODON"))
+            if input_type in ("translated", "both"):
+                crop_nt = _resolve_crop_nt(sp)
+                feats["translated"] = encode.encode_frames(
+                    bases, lengths, crop_size=crop_nt, masking=masking,
+                    alphabet=alphabet,
+                )
+            if input_type in ("nucleotide", "both"):
+                nt_crop = (
+                    _resolve_crop_nt(sp, "nucleotide")
+                    if input_type == "nucleotide"
+                    else int(sp.get("nucleotide_crop", bases.shape[1]))
+                )
+                nt_crop = min(nt_crop, bases.shape[1])
+                feats["nucleotide"] = encode.encode_nucleotide(
+                    bases, lengths, crop_size=nt_crop, masking=masking
+                )
+        else:
+            feats = dict(inputs)
+
+        # --- 2. embedding section (nnlib/builder.py:844-894) ---
+        if input_type in ("translated", "both"):
+            tokens = feats["translated"]
+            mask = tokens != 0
+            emb_size = emb_cfg.get("embedding_size", 4)
+            _, ids = maps.resolve_alphabet(sp.get("codon", "CODON"))
+            depth = maps.alphabet_depth(ids)
+            vocab = emb_cfg.get("vocab_size", depth + 1)
+            if emb_size > 0:
+                if emb_cfg.get("use_embedding_layer", False):
+                    x = nn.Embed(
+                        vocab, emb_size,
+                        embedding_init=nn.initializers.orthogonal(),
+                        param_dtype=jnp.float32, dtype=self.dtype,
+                        name="embedding",
+                    )(tokens)
+                else:
+                    onehot = jax.nn.one_hot(tokens - 1, depth, dtype=self.dtype)
+                    x = nn.Dense(
+                        emb_size, use_bias=False,
+                        kernel_init=nn.initializers.orthogonal(),
+                        dtype=self.dtype, param_dtype=jnp.float32,
+                        name="translated_embedding",
+                    )(onehot)
+            else:
+                x = jax.nn.one_hot(tokens - 1, depth, dtype=self.dtype)
+        elif input_type == "nucleotide":
+            x = feats["nucleotide"].astype(self.dtype)
+            mask = jnp.any(x != 0, axis=-1)
+        else:
+            raise ValueError(f"invalid input_type {input_type!r}")
+
+        if emb_cfg.get("use_positional_embeddings", False):
+            x = x + L.SinusoidalPositionEmbedding(
+                max_wavelength=emb_cfg.get("positional_embedding_length", 10000)
+            )(x)
+
+        outputs: dict[str, jnp.ndarray] = {}
+
+        # --- 3. representation learner ---
+        rep_cfg = cfg.get("representation_learner", {})
+        merge_cfg = cfg.get("reliability_model", {}).get("merge")
+        if "branch" in rep_cfg:
+            # shared-weight per-frame branches (nnlib/builder.py:1195-1266)
+            bcfg = rep_cfg["branch"]
+            shared = LayerStack(
+                name="rep_branch",
+                layer_configs=_freeze_layers(bcfg.get("hidden_layers", [])),
+                pooling=bcfg.get("pooling"), dtype=self.dtype,
+            )
+            branch_outs = []
+            for i in range(x.shape[1]):
+                bx, _, _ = shared(
+                    x[:, i: i + 1], None if mask is None else mask[:, i: i + 1],
+                    train,
+                )
+                branch_outs.append(bx)
+            rep_branches = branch_outs
+            rep = jnp.concatenate(branch_outs, axis=-1)
+            aux = {"nmd": None, "gate": None}
+        else:
+            rep_branches = None
+            rep, _, aux = LayerStack(
+                name="rep",
+                layer_configs=_freeze_layers(rep_cfg.get("hidden_layers", [])),
+                pooling=rep_cfg.get("pooling"),
+                nmd_merge=merge_cfg, dtype=self.dtype,
+            )(x, mask, train)
+
+        outputs["embedding"] = rep
+        if aux.get("nmd") is not None:
+            outputs["nmd"] = aux["nmd"]
+        if aux.get("gate") is not None:
+            outputs["gate"] = aux["gate"]
+
+        # --- 4. classifier head ---
+        class_cfg = cfg.get("classifier")
+        logits = None
+        if class_cfg and "branch" in class_cfg:
+            # shared-weight per-branch head ending in a merge
+            # (nnlib/builder.py:562-588)
+            bcfg = class_cfg["branch"]
+            hidden = list(bcfg.get("hidden_layers", []))
+            if not hidden or hidden[-1].get("name") != "merge":
+                raise ValueError("branched classifier must end with 'merge'")
+            merge_method = (hidden[-1].get("config") or {}).get(
+                "method", "average"
+            ).lower()
+            shared_head = LayerStack(
+                name="classifier_branch",
+                layer_configs=_freeze_layers(hidden[:-1]),
+                dtype=self.dtype,
+            )
+            branches = rep_branches if rep_branches is not None else [rep]
+            outs = [shared_head(b_, None, train)[0] for b_ in branches]
+            if merge_method == "average":
+                logits = sum(outs) / len(outs)
+            elif merge_method == "sum":
+                logits = sum(outs)
+            elif merge_method == "max":
+                logits = jnp.max(jnp.stack(outs, 0), axis=0)
+            elif merge_method == "concat":
+                logits = jnp.concatenate(outs, axis=-1)
+            else:
+                raise ValueError(f"unknown merge method {merge_method!r}")
+            outputs["prediction"] = logits
+        elif class_cfg:
+            logits, _, _ = LayerStack(
+                name="classifier",
+                layer_configs=_freeze_layers(class_cfg.get("hidden_layers", [])),
+                dtype=self.dtype,
+            )(rep, None, train)
+            outputs["prediction"] = logits
+
+        # --- 5. projection head (self-supervised pretraining) ---
+        proj_cfg = cfg.get("projection")
+        if proj_cfg and with_projection:
+            proj, _, _ = LayerStack(
+                name="projection",
+                layer_configs=_freeze_layers(proj_cfg.get("hidden_layers", [])),
+                dtype=self.dtype,
+            )(rep, None, train)
+            outputs["projection"] = proj
+
+        # --- 6. reliability head (nnlib/builder.py:624-838) ---
+        rel_cfg = cfg.get("reliability_model")
+        if rel_cfg and aux.get("nmd") is not None:
+            mode = rel_cfg.get("mode", "nmd")
+            rel_in = aux["nmd"]
+            if mode == "nmd_plus_signals":
+                default_signals = (
+                    "max_prob", "entropy", "energy", "margin", "nmd_norm"
+                )
+                signals = tuple(rel_cfg.get("signals", default_signals))
+                sig = L.OODSignalLayer(signals=signals, name="ood_signals")(
+                    logits, aux["nmd"], train
+                )
+                rel_in = jnp.concatenate(
+                    [aux["nmd"].astype(jnp.float32), sig], axis=-1
+                ).astype(self.dtype)
+            rel, _, _ = LayerStack(
+                name="reliability",
+                layer_configs=_freeze_layers(rel_cfg.get("hidden_layers", [])),
+                dtype=self.dtype,
+            )(rel_in, None, train)
+            outputs["reliability"] = rel
+
+        return outputs
+
+
+class ModelBuilder:
+    """Build a :class:`JaegerModel` + initial variables from a config.
+
+    The reference's checkpoint/resume responsibilities
+    (``nnlib/builder.py:322-441``) live in :mod:`jaeger_tpu.train.checkpoint`.
+    """
+
+    def __init__(self, config: dict, dtype: Any = jnp.float32):
+        self.full_config = config
+        self.model_cfg = config.get("model", config)
+        self.train_cfg = config.get("training", {})
+        self.dtype = dtype
+
+    @property
+    def string_processor(self) -> dict:
+        return self.model_cfg.get("string_processor", {})
+
+    @property
+    def crop(self) -> tuple[int, int]:
+        input_type = self.model_cfg.get("embedding", {}).get(
+            "input_type", "translated"
+        )
+        nt = _resolve_crop_nt(self.string_processor, input_type)
+        return crop_contract.nucleotides_to_codons(nt), nt
+
+    def build(self) -> JaegerModel:
+        return JaegerModel(config=self.model_cfg, dtype=self.dtype)
+
+    def example_inputs(self, batch: int = 2) -> dict:
+        codons, nt = self.crop
+        emb_cfg = self.model_cfg.get("embedding", {})
+        fragsize = int(self.model_cfg.get("fragsize", nt))
+        bases = jnp.zeros((batch, max(nt, fragsize)), jnp.uint8)
+        lengths = jnp.full((batch,), nt, jnp.int32)
+        return {"bases": bases, "lengths": lengths}
+
+    def init(self, rng=None, batch: int = 2):
+        model = self.build()
+        rng = rng if rng is not None else jax.random.PRNGKey(
+            int(self.model_cfg.get("seed", 42))
+        )
+        variables = model.init(
+            {"params": rng, "dropout": rng},
+            self.example_inputs(batch), train=False,
+            with_projection="projection" in self.model_cfg,
+        )
+        return model, variables
+
+    # -- regularizer collection (applied by the training loss) -------------
+
+    def regularizer_specs(self) -> list[tuple[str, str, float]]:
+        """(param-path regex, kind, weight) triples from the config.
+
+        Mirrors which weights the reference regularizes: conv/dense kernels
+        with ``kernel_regularizer`` and the embedding table
+        (``nnlib/builder.py:309-321,858-876``).
+        """
+        specs: list[tuple[str, str, float]] = []
+        emb = self.model_cfg.get("embedding", {})
+        if emb.get("embedding_regularizer"):
+            specs.append(
+                (r"embedding", str(emb["embedding_regularizer"]),
+                 float(emb.get("embedding_regularizer_w", 0.0)))
+            )
+
+        def walk(section: str, cfg: dict):
+            for i, entry in enumerate(cfg.get("hidden_layers", [])):
+                c = entry.get("config") or {}
+                if c.get("kernel_regularizer"):
+                    name = entry.get("name", "").lower()
+                    specs.append(
+                        (rf"{section}/.*{re.escape(name)}_{i}.*/kernel",
+                         str(c["kernel_regularizer"]),
+                         float(c.get("kernel_regularizer_w", 0.0)))
+                    )
+
+        for section in ("representation_learner", "classifier", "projection",
+                        "reliability_model"):
+            sec_cfg = self.model_cfg.get(section) or {}
+            name = {
+                "representation_learner": "rep",
+                "classifier": "classifier",
+                "projection": "projection",
+                "reliability_model": "reliability",
+            }[section]
+            walk(name, sec_cfg)
+            if "branch" in sec_cfg:
+                walk(f"{name}_branch", sec_cfg["branch"])
+        return specs

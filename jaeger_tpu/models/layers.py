@@ -1,0 +1,1222 @@
+"""The masked layer zoo, redesigned for JAX/Flax on TPU.
+
+Parity targets are the reference's Keras layers in
+``src/jaeger/nnlib/v2/layers.py`` (cited per class). Key design shifts for
+TPU/XLA:
+
+* masks are **explicit** ``(B, F, L)`` boolean tensors threaded through
+  every layer (`Keras auto-masking` is implicit caching of
+  ``_output_mask``); every layer returns ``(y, mask)``;
+* all shapes are static — variable-length windows arrive padded to a
+  bucket with the mask carrying validity;
+* batch statistics computed with ``jnp`` reductions are *global* under
+  pjit-SPMD sharding (XLA inserts the cross-chip all-reduce), unlike the
+  reference's per-replica MirroredStrategy stats — strictly more correct,
+  and documented as an intentional divergence;
+* norm statistics, FFT, softmax run in float32 islands while matmuls/convs
+  run in the configured compute dtype (bf16 on TPU).
+
+Data layout is ``(batch, frames, length, channels)`` throughout, matching
+the reference's 4-D fragment tensors.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+# ---------------------------------------------------------------------------
+# Activations
+# ---------------------------------------------------------------------------
+
+
+def get_activation(name: str | None) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Resolve an activation by Keras name (exact GELU, like tf.keras)."""
+    if name is None or name == "linear":
+        return lambda x: x
+    table = {
+        "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+        "relu": jax.nn.relu,
+        "sigmoid": jax.nn.sigmoid,
+        "softmax": jax.nn.softmax,
+        "tanh": jnp.tanh,
+        "sin": jnp.sin,
+        "swish": jax.nn.swish,
+        "silu": jax.nn.silu,
+        "elu": jax.nn.elu,
+    }
+    if name not in table:
+        raise ValueError(f"unknown activation {name!r}")
+    return table[name]
+
+
+def _mask3(mask: jnp.ndarray | None) -> jnp.ndarray | None:
+    return mask
+
+
+def apply_mask(x: jnp.ndarray, mask: jnp.ndarray | None) -> jnp.ndarray:
+    """Zero masked positions (mask is (B, F, L), x is (B, F, L, C))."""
+    if mask is None:
+        return x
+    return x * mask[..., None].astype(x.dtype)
+
+
+def conv_output_length(length: int, kernel: int, stride: int, padding: str,
+                       dilation: int = 1) -> int:
+    if padding.upper() == "SAME":
+        return -(-length // stride)
+    return (length - dilation * (kernel - 1) - 1) // stride + 1
+
+
+# ---------------------------------------------------------------------------
+# Convolution
+# ---------------------------------------------------------------------------
+
+
+class MaskedConv1D(nn.Module):
+    """Masked 1-D convolution over the length axis of (B, F, L, C).
+
+    Parity: reference ``nnlib/v2/layers.py:1128-1332``. The output mask is
+    the ones-kernel convolution of the input mask thresholded by
+    ``mask_mode`` (any / majority / strict).
+    """
+
+    filters: int
+    kernel_size: int
+    strides: int = 1
+    padding: str = "valid"
+    dilation_rate: int = 1
+    activation: str | None = None
+    use_bias: bool = True
+    use_masking: bool = True
+    mask_mode: str = "any"
+    kernel_init: Callable = nn.initializers.glorot_uniform()
+    bias_init: Callable = nn.initializers.zeros_init()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        if self.mask_mode not in ("any", "majority", "strict"):
+            raise ValueError(f"invalid mask_mode {self.mask_mode!r}")
+        b, f, length, c = x.shape
+        pad = self.padding.upper()
+
+        kernel = self.param(
+            "kernel", self.kernel_init, (self.kernel_size, c, self.filters),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", self.bias_init, (self.filters,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+
+        out_mask = None
+        if self.use_masking and mask is not None:
+            x = apply_mask(x, mask)
+            m = mask.reshape(b * f, length, 1).astype(jnp.float32)
+            ones = jnp.ones((self.kernel_size, 1, 1), jnp.float32)
+            mc = jax.lax.conv_general_dilated(
+                m, ones, (self.strides,), pad,
+                rhs_dilation=(self.dilation_rate,),
+                dimension_numbers=("NWC", "WIO", "NWC"),
+            )
+            if self.mask_mode == "any":
+                om = mc > 0
+            elif self.mask_mode == "majority":
+                om = mc >= (self.kernel_size + 1) // 2
+            else:
+                om = mc == float(self.kernel_size)
+            out_len = om.shape[1]
+            out_mask = om[..., 0].reshape(b, f, out_len)
+
+        y = jax.lax.conv_general_dilated(
+            x.reshape(b * f, length, c).astype(self.dtype),
+            kernel.astype(self.dtype),
+            (self.strides,), pad,
+            rhs_dilation=(self.dilation_rate,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        y = get_activation(self.activation)(y)
+        out_len = y.shape[1]
+        y = y.reshape(b, f, out_len, self.filters)
+        # use_masking=False drops the mask entirely, like a plain Conv1D
+        # (supports_masking=False) does under Keras auto-masking.
+        return y, out_mask
+
+
+class MultiScaleConv1D(nn.Module):
+    """Parallel masked convs at multiple kernel sizes, concat/add merged.
+
+    Parity: reference ``nnlib/v2/layers.py:1433-1595`` — branches forced to
+    ``padding='same'``, ``strides=1``; output mask is the AND of branch
+    masks.
+    """
+
+    branches: tuple  # tuple of dicts (hashable via builder)
+    merge: str = "concat"
+    use_bias: bool = True
+    use_masking: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        if self.merge not in ("concat", "add"):
+            raise ValueError(f"merge must be concat/add, got {self.merge!r}")
+        outs, masks = [], []
+        for i, cfg in enumerate(self.branches):
+            cfg = dict(cfg)
+            cfg.setdefault("padding", "same")
+            cfg.setdefault("strides", 1)
+            cfg.setdefault("use_bias", self.use_bias)
+            if cfg["padding"].lower() != "same" or cfg["strides"] != 1:
+                raise ValueError("multi-scale branches require same/stride-1")
+            conv = MaskedConv1D(
+                name=f"branch_{i}", dtype=self.dtype,
+                use_masking=self.use_masking,
+                **{k: v for k, v in cfg.items() if k in (
+                    "filters", "kernel_size", "strides", "padding",
+                    "dilation_rate", "activation", "use_bias", "mask_mode")},
+            )
+            y, m = conv(x, mask, train)
+            outs.append(y)
+            masks.append(m)
+        x = jnp.concatenate(outs, axis=-1) if self.merge == "concat" else sum(outs)
+        out_mask = None
+        if masks and masks[0] is not None:
+            out_mask = masks[0]
+            for m in masks[1:]:
+                out_mask = jnp.logical_and(out_mask, m)
+        return x, out_mask
+
+
+# ---------------------------------------------------------------------------
+# Normalization
+# ---------------------------------------------------------------------------
+
+
+class MaskedBatchNorm(nn.Module):
+    """Mask-aware batch normalization with float32 statistics.
+
+    Parity: reference ``nnlib/v2/layers.py:796-973``. Masked positions are
+    excluded from batch statistics; moving mean/variance live in the
+    ``batch_stats`` collection. With ``return_nmd=True`` also returns the
+    per-example channel-mean minus the reference mean (the NMD vector).
+
+    Under pjit SPMD the batch reductions are global across chips (XLA
+    all-reduce) — an intentional improvement over the reference's
+    per-replica stats.
+    """
+
+    epsilon: float = 1e-5
+    momentum: float = 0.9
+    return_nmd: bool = False
+    use_masking: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        c = x.shape[-1]
+        gamma = self.param("gamma", nn.initializers.ones_init(), (c,), jnp.float32)
+        beta = self.param("beta", nn.initializers.zeros_init(), (c,), jnp.float32)
+        moving_mean = self.variable(
+            "batch_stats", "moving_mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        moving_var = self.variable(
+            "batch_stats", "moving_variance", lambda: jnp.ones((c,), jnp.float32)
+        )
+
+        xf = x.astype(jnp.float32)
+        reduce_axes = tuple(range(xf.ndim - 1))
+        example_axes = tuple(range(1, xf.ndim - 1))
+
+        use_mask = self.use_masking and mask is not None
+        if use_mask:
+            mf = mask.astype(jnp.float32)[..., None]
+            masked = xf * mf
+            valid = jnp.sum(mf, axis=reduce_axes) + self.epsilon
+            mean_b = jnp.sum(masked, axis=reduce_axes) / valid
+            var_b = (
+                jnp.sum(mf * jnp.square(xf - mean_b), axis=reduce_axes) / valid
+            )
+        else:
+            mean_b = jnp.mean(xf, axis=reduce_axes)
+            var_b = jnp.var(xf, axis=reduce_axes)
+
+        if train:
+            mean_use, var_use = mean_b, var_b
+            if not self.is_initializing():
+                moving_mean.value = (
+                    self.momentum * moving_mean.value + (1 - self.momentum) * mean_b
+                )
+                moving_var.value = (
+                    self.momentum * moving_var.value + (1 - self.momentum) * var_b
+                )
+        else:
+            mean_use, var_use = moving_mean.value, moving_var.value
+
+        inv = jax.lax.rsqrt(var_use + self.epsilon)
+        y = (xf - mean_use) * inv * gamma + beta
+        y = y.astype(x.dtype)
+
+        if not self.return_nmd:
+            return y, mask
+        if use_mask:
+            per_ex = jnp.sum(masked, axis=example_axes)
+            cnt = jnp.sum(mf, axis=example_axes) + self.epsilon
+            mean_ch = per_ex / cnt
+        else:
+            mean_ch = jnp.mean(xf, axis=example_axes)
+        nmd = (mean_ch - mean_use).astype(x.dtype)
+        return y, mask, nmd
+
+
+class MaskedLayerNorm(nn.Module):
+    """Masked layer normalization over channels (float32 stats).
+
+    Parity: reference ``nnlib/v2/layers.py:293-385`` — masked positions are
+    zeroed before and after; per-position channel moments.
+    """
+
+    epsilon: float = 1e-3
+    center: bool = True
+    scale: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        c = x.shape[-1]
+        xf = x.astype(jnp.float32)
+        if mask is not None:
+            mf = jax.lax.stop_gradient(mask.astype(jnp.float32))[..., None]
+            xf = xf * mf
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        y = (xf - mean) / jnp.sqrt(var + self.epsilon)
+        if self.scale:
+            y = y * self.param("gamma", nn.initializers.ones_init(), (c,), jnp.float32)
+        if self.center:
+            y = y + self.param("beta", nn.initializers.zeros_init(), (c,), jnp.float32)
+        if mask is not None:
+            y = y * mf
+        return y.astype(x.dtype), mask
+
+
+class LayerNorm(nn.Module):
+    """Plain (unmasked) layer norm, Keras-compatible epsilon placement."""
+
+    epsilon: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        c = x.shape[-1]
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * self.param("gamma", nn.initializers.ones_init(), (c,), jnp.float32)
+        y = y + self.param("beta", nn.initializers.zeros_init(), (c,), jnp.float32)
+        return y.astype(x.dtype), mask
+
+
+class MaskedDYT(nn.Module):
+    """Dynamic-Tanh norm-free layer: ``tanh(alpha*x)*gamma + beta``.
+
+    Parity: reference ``nnlib/v2/layers.py:385-455``; masked positions are
+    re-zeroed after the affine.
+    """
+
+    alpha_init: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        c = x.shape[-1]
+        alpha = self.param(
+            "alpha", nn.initializers.constant(self.alpha_init), (1,), jnp.float32
+        )
+        gamma = self.param("gamma", nn.initializers.ones_init(), (c,), jnp.float32)
+        beta = self.param("beta", nn.initializers.zeros_init(), (c,), jnp.float32)
+        y = jnp.tanh(alpha * x.astype(jnp.float32)) * gamma + beta
+        y = y.astype(x.dtype)
+        if mask is not None:
+            y = apply_mask(y, mask)
+        return y, mask
+
+
+# ---------------------------------------------------------------------------
+# Pooling
+# ---------------------------------------------------------------------------
+
+
+class MaskedMaxPooling1D(nn.Module):
+    """Max pooling along length with mask downsampling (OR-pooled mask).
+
+    Parity: reference ``nnlib/v2/layers.py:203-293``.
+    """
+
+    pool_size: int = 2
+    strides: int | None = None
+    padding: str = "valid"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        b, f, length, c = x.shape
+        stride = self.strides or self.pool_size
+        if mask is not None:
+            x = apply_mask(x, mask)
+        y = jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max,
+            (1, 1, self.pool_size, 1), (1, 1, stride, 1),
+            self.padding.upper(),
+        )
+        out_mask = mask
+        if mask is not None:
+            out_mask = jax.lax.reduce_window(
+                mask, False, jax.lax.bitwise_or,
+                (1, 1, self.pool_size), (1, 1, stride), self.padding.upper(),
+            )
+        return y, out_mask
+
+
+class MaskedGlobalAvgPooling(nn.Module):
+    """Masked mean over (frames, length) -> (B, C).
+
+    Parity: reference ``nnlib/v2/layers.py:455-496``.
+    """
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        if mask is None:
+            return jnp.mean(x, axis=(1, 2)), None
+        mf = mask[..., None].astype(x.dtype)
+        num = jnp.sum(x * mf, axis=(1, 2))
+        den = jnp.maximum(jnp.sum(mf, axis=(1, 2)), 1e-7)
+        return num / den, None
+
+
+class MaskedGlobalMaxPooling(nn.Module):
+    """Masked max over (frames, length) with -1e9 sentinel and all-masked
+    guard. Parity: reference ``nnlib/v2/layers.py:496-541``.
+    """
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        if mask is None:
+            return jnp.max(x, axis=(1, 2)), None
+        mf = mask[..., None]
+        pooled = jnp.max(jnp.where(mf, x, jnp.asarray(-1e9, x.dtype)), axis=(1, 2))
+        has_valid = jnp.any(mf, axis=(1, 2))
+        return jnp.where(has_valid, pooled, jnp.zeros_like(pooled)), None
+
+
+class MaskedLastPooling(nn.Module):
+    """Last *valid* position per frame, averaged over valid frames.
+
+    Parity: reference ``nnlib/v2/layers.py:541-581`` (causal/hyena pooler).
+    """
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        if mask is None:
+            return jnp.mean(x[:, :, -1, :], axis=1), None
+        m = mask.astype(jnp.int32)
+        idx = jnp.sum(m, axis=-1) - 1                    # (B, F)
+        idx_safe = jnp.maximum(idx, 0)
+        gathered = jnp.take_along_axis(
+            x, idx_safe[:, :, None, None], axis=2
+        )[:, :, 0, :]                                    # (B, F, C)
+        frame_valid = (idx >= 0).astype(x.dtype)
+        gathered = gathered * frame_valid[..., None]
+        count = jnp.maximum(jnp.sum(frame_valid, axis=1, keepdims=True), 1.0)
+        return jnp.sum(gathered, axis=1) / count, None
+
+
+class GatedFrameGlobalMaxPooling(nn.Module):
+    """Learned per-frame gate over frame-wise max features.
+
+    Parity: reference ``nnlib/v2/layers.py:581-660`` — the length max is
+    unmasked there too; gates are sigmoid-normalized over frames.
+    """
+
+    return_gate: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        per_frame = jnp.max(x, axis=2)                   # (B, F, C)
+        logits = nn.Dense(
+            1, dtype=self.dtype, param_dtype=jnp.float32,
+            kernel_init=nn.initializers.orthogonal(), name="gate",
+        )(per_frame)                                     # (B, F, 1)
+        gates = jax.nn.sigmoid(logits)
+        gates = gates / (jnp.sum(gates, axis=1, keepdims=True) + 1e-7)
+        pooled = jnp.sum(per_frame * gates, axis=1)
+        if self.return_gate:
+            return pooled, gates[..., 0]
+        return pooled, None
+
+
+POOLERS = {
+    "max": MaskedGlobalMaxPooling,
+    "average": MaskedGlobalAvgPooling,
+    # 1d variants appear inside branched blocks where the frame axis is
+    # singleton; pooling over (frames, length) is then equivalent to the
+    # reference's GlobalMax/AveragePooling1D over length (mask-aware here).
+    "max1d": MaskedGlobalMaxPooling,
+    "average1d": MaskedGlobalAvgPooling,
+    "masked_max": MaskedGlobalMaxPooling,
+    "masked_average": MaskedGlobalAvgPooling,
+    "last": MaskedLastPooling,
+    "masked_last": MaskedLastPooling,
+    "gatedframe": GatedFrameGlobalMaxPooling,
+}
+
+
+# ---------------------------------------------------------------------------
+# Residual blocks
+# ---------------------------------------------------------------------------
+
+
+def _make_norm(norm_type: str, name: str, return_nmd: bool = False,
+               use_masking: bool = True, alpha_init: float = 0.5,
+               dtype=jnp.float32):
+    norm_type = norm_type.lower()
+    if norm_type == "masked_batchnorm":
+        return MaskedBatchNorm(
+            name=name, return_nmd=return_nmd, use_masking=use_masking, dtype=dtype
+        )
+    if norm_type == "masked_layernorm":
+        return MaskedLayerNorm(name=name, dtype=dtype)
+    if norm_type == "masked_dyt":
+        return MaskedDYT(name=name, alpha_init=alpha_init, dtype=dtype)
+    if norm_type in ("layernorm", "layer_normalization"):
+        return LayerNorm(name=name, dtype=dtype)
+    raise ValueError(f"unsupported norm_type {norm_type!r}")
+
+
+class ResidualBlock(nn.Module):
+    """conv-norm-act x2 with optional 1x1 bypass.
+
+    Parity: reference ``nnlib/v2/layers.py:1774-1973``. The second conv
+    consumes the first conv's (possibly downsampled) output mask, matching
+    Keras auto-masking.
+    """
+
+    filters: int
+    kernel_size: int = 3
+    strides: int = 1
+    padding: str = "same"
+    dilation_rate: int = 1
+    use_bias: bool = True
+    use_1x1conv: bool = False
+    activation: str = "gelu"
+    norm_type: str = "masked_batchnorm"
+    alpha_init: float = 0.5
+    return_nmd: bool = False
+    use_masking: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        if self.return_nmd and self.norm_type != "masked_batchnorm":
+            raise ValueError("return_nmd requires norm_type='masked_batchnorm'")
+        conv_kw = dict(
+            filters=self.filters, kernel_size=self.kernel_size,
+            padding=self.padding, dilation_rate=self.dilation_rate,
+            use_bias=self.use_bias, use_masking=self.use_masking,
+            dtype=self.dtype,
+        )
+        act = get_activation(self.activation)
+
+        h, m1 = MaskedConv1D(strides=self.strides, name="conv1", **conv_kw)(
+            x, mask, train
+        )
+        h, m1 = _norm2(
+            _make_norm(self.norm_type, "norm1", use_masking=self.use_masking,
+                       alpha_init=self.alpha_init, dtype=self.dtype),
+            h, m1, train,
+        )
+        h = act(h)
+
+        h, m2 = MaskedConv1D(strides=1, name="conv2", **conv_kw)(h, m1, train)
+        norm2 = _make_norm(
+            self.norm_type, "norm2", return_nmd=self.return_nmd,
+            use_masking=self.use_masking, alpha_init=self.alpha_init,
+            dtype=self.dtype,
+        )
+        nmd = None
+        if self.return_nmd:
+            h, m2, nmd = norm2(h, m2, train)
+        else:
+            h, m2 = _norm2(norm2, h, m2, train)
+
+        if self.use_1x1conv or self.strides > 1:
+            sc_kw = dict(conv_kw)
+            sc_kw["kernel_size"] = 1
+            shortcut, _ = MaskedConv1D(strides=self.strides, name="conv_bypass",
+                                       **sc_kw)(x, mask, train)
+            shortcut, _ = _norm2(
+                _make_norm(self.norm_type, "norm_bypass",
+                           use_masking=self.use_masking,
+                           alpha_init=self.alpha_init, dtype=self.dtype),
+                shortcut, m2, train,
+            )
+        else:
+            shortcut = x
+
+        h = act(h + shortcut)
+        if self.return_nmd:
+            return h, m2, nmd
+        return h, m2
+
+
+def _norm2(norm, x, mask, train):
+    out = norm(x, mask, train)
+    return out[0], out[1]
+
+
+class ResidualBlockStack(nn.Module):
+    """Sequential ResidualBlocks; only the last may emit NMD.
+
+    Parity: reference ``nnlib/v2/layers.py:2648-2721``.
+    """
+
+    block_size: int
+    filters: int
+    kernel_size: int = 3
+    strides: int = 1
+    padding: str = "same"
+    dilation_rate: int = 1
+    use_bias: bool = True
+    use_1x1conv: bool = False
+    activation: str = "gelu"
+    norm_type: str = "masked_batchnorm"
+    alpha_init: float = 0.5
+    return_nmd: bool = False
+    use_masking: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        nmd = None
+        for i in range(self.block_size):
+            last = i == self.block_size - 1
+            block = ResidualBlock(
+                filters=self.filters, kernel_size=self.kernel_size,
+                strides=self.strides, padding=self.padding,
+                dilation_rate=self.dilation_rate, use_bias=self.use_bias,
+                use_1x1conv=self.use_1x1conv if i == 0 else False,
+                activation=self.activation, norm_type=self.norm_type,
+                alpha_init=self.alpha_init,
+                return_nmd=self.return_nmd and last,
+                use_masking=self.use_masking, dtype=self.dtype,
+                name=f"block_{i}",
+            )
+            out = block(x, mask, train)
+            if self.return_nmd and last:
+                x, mask, nmd = out
+            else:
+                x, mask = out
+        if self.return_nmd:
+            return x, mask, nmd
+        return x, mask
+
+
+# ---------------------------------------------------------------------------
+# NMD
+# ---------------------------------------------------------------------------
+
+
+class NMDLayer(nn.Module):
+    """Standalone neural-mean-discrepancy vector (moving-mean reference).
+
+    Parity: reference ``nnlib/v2/nmd.py:8-93``. Side output only — the main
+    feature map passes through unchanged.
+    """
+
+    epsilon: float = 1e-5
+    momentum: float = 0.9
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        c = x.shape[-1]
+        moving_mean = self.variable(
+            "batch_stats", "moving_mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        xf = x.astype(jnp.float32)
+        reduce_axes = tuple(range(xf.ndim - 1))
+        example_axes = tuple(range(1, xf.ndim - 1))
+        if mask is not None:
+            mf = mask.astype(jnp.float32)[..., None]
+            masked = xf * mf
+            valid = jnp.sum(mf, axis=reduce_axes) + self.epsilon
+            mean_b = jnp.sum(masked, axis=reduce_axes) / valid
+            mean_ch = jnp.sum(masked, axis=example_axes) / (
+                jnp.sum(mf, axis=example_axes) + self.epsilon
+            )
+        else:
+            mean_b = jnp.mean(xf, axis=reduce_axes)
+            mean_ch = jnp.mean(xf, axis=example_axes)
+        if train:
+            if not self.is_initializing():
+                moving_mean.value = (
+                    self.momentum * moving_mean.value + (1 - self.momentum) * mean_b
+                )
+            mean_use = mean_b
+        else:
+            mean_use = moving_mean.value
+        return (mean_ch - mean_use).astype(x.dtype)
+
+
+class NMDMerge(nn.Module):
+    """Merge NMD vectors: concat / sum / mean / max / learned-softmax.
+
+    Parity: reference ``nnlib/v2/nmd.py:93-192``; non-concat modes project
+    each input to ``target_dim`` first.
+    """
+
+    mode: str = "concat"
+    target_dim: int | None = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs: Sequence[jnp.ndarray], train: bool = False):
+        if self.mode not in ("concat", "sum", "mean", "max", "weighted"):
+            raise ValueError(f"unsupported NMD merge mode {self.mode!r}")
+        inputs = list(inputs)
+        if self.mode == "concat":
+            return jnp.concatenate(inputs, axis=-1)
+        dims = {int(v.shape[-1]) for v in inputs}
+        target = self.target_dim
+        if target is None:
+            if len(dims) != 1:
+                raise ValueError("target_dim required when NMD dims differ")
+            target = dims.pop()
+        projected = [
+            nn.Dense(target, use_bias=False, dtype=self.dtype,
+                     param_dtype=jnp.float32, name=f"proj_{i}")(v)
+            for i, v in enumerate(inputs)
+        ]
+        if self.mode == "sum":
+            return sum(projected)
+        if self.mode == "mean":
+            return sum(projected) / len(projected)
+        if self.mode == "max":
+            return jnp.max(jnp.stack(projected, axis=0), axis=0)
+        w = self.param(
+            "layer_weights", nn.initializers.ones_init(),
+            (len(projected),), jnp.float32,
+        )
+        weights = jax.nn.softmax(w)[:, None, None]
+        return jnp.sum(jnp.stack(projected, axis=0) * weights, axis=0)
+
+
+class OODSignalLayer(nn.Module):
+    """Scalar OOD signals from logits (+ optional NMD vector).
+
+    Parity: reference ``nnlib/v2/layers.py:1598-1683``.
+    """
+
+    signals: tuple = ("max_prob",)
+    epsilon: float = 1e-10
+
+    @nn.compact
+    def __call__(self, logits, nmd=None, train: bool = False):
+        logits = logits.astype(jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1)
+        cols = []
+        for s in self.signals:
+            if s == "max_prob":
+                cols.append(jnp.max(probs, axis=-1, keepdims=True))
+            elif s == "entropy":
+                sp = jnp.maximum(probs, self.epsilon)
+                cols.append(-jnp.sum(sp * jnp.log(sp), axis=-1, keepdims=True))
+            elif s == "energy":
+                cols.append(
+                    jax.scipy.special.logsumexp(logits, axis=-1, keepdims=True)
+                )
+            elif s == "margin":
+                top2 = jax.lax.top_k(probs, 2)[0]
+                cols.append(top2[..., 0:1] - top2[..., 1:2])
+            elif s == "nmd_norm":
+                if nmd is None:
+                    raise ValueError("'nmd_norm' requires an NMD vector")
+                cols.append(
+                    jnp.linalg.norm(nmd.astype(jnp.float32), axis=-1, keepdims=True)
+                )
+            else:
+                raise ValueError(f"unsupported signal {s!r}")
+        return jnp.concatenate(cols, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Attention family
+# ---------------------------------------------------------------------------
+
+
+class _MHA(nn.Module):
+    """Multi-head self-attention with output projection (Keras MHA shape)."""
+
+    embed_dim: int
+    num_heads: int
+    dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_mask=None, train: bool = False):
+        return nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads,
+            qkv_features=self.embed_dim,
+            out_features=self.embed_dim,
+            dropout_rate=self.dropout_rate,
+            deterministic=not train,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x, x, mask=attn_mask)
+
+
+class TransformerEncoder(nn.Module):
+    """Pre-norm MHA over the length axis of (B, F, L, C) + FFN.
+
+    Parity: reference ``nnlib/v2/layers.py:2206-2283`` (note: the reference
+    does not feed the validity mask to this attention; we keep that).
+    """
+
+    embed_dim: int
+    num_heads: int
+    feed_forward_dim: int
+    dropout_rate: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        b, f, length, c = x.shape
+        h = x.reshape(b * f, length, c)
+        hn, _ = LayerNorm(name="attn_norm", dtype=self.dtype)(h)
+        attn = _MHA(self.embed_dim, self.num_heads, self.dropout_rate,
+                    dtype=self.dtype, name="mha")(hn, train=train)
+        attn = nn.Dropout(self.dropout_rate, deterministic=not train)(attn)
+        h = h + attn
+        hn, _ = LayerNorm(name="ffn_norm", dtype=self.dtype)(h)
+        ffn = nn.Dense(self.feed_forward_dim, dtype=self.dtype,
+                       param_dtype=jnp.float32, name="ffn_dense1")(hn)
+        ffn = get_activation("gelu")(ffn)
+        ffn = nn.Dropout(self.dropout_rate, deterministic=not train)(ffn)
+        ffn = nn.Dense(self.embed_dim, dtype=self.dtype,
+                       param_dtype=jnp.float32, name="ffn_dense2")(ffn)
+        ffn = nn.Dropout(self.dropout_rate, deterministic=not train)(ffn)
+        h = h + ffn
+        return h.reshape(b, f, length, c), mask
+
+
+class CrossFrameAttention(nn.Module):
+    """Self-attention across the 6 reading frames at each position.
+
+    Parity: reference ``nnlib/v2/layers.py:2283-2400`` — reshape to
+    (B*L, F, C), attend over frames, optional FFN.
+    """
+
+    embed_dim: int
+    num_heads: int
+    feed_forward_dim: int
+    dropout_rate: float = 0.1
+    use_ffn: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        b, f, length, c = x.shape
+        h = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * length, f, c)
+        hn, _ = LayerNorm(name="attn_norm", dtype=self.dtype)(h)
+        attn = _MHA(self.embed_dim, self.num_heads, self.dropout_rate,
+                    dtype=self.dtype, name="mha")(hn, train=train)
+        attn = nn.Dropout(self.dropout_rate, deterministic=not train)(attn)
+        h = h + attn
+        if self.use_ffn:
+            hn, _ = LayerNorm(name="ffn_norm", dtype=self.dtype)(h)
+            ffn = nn.Dense(self.feed_forward_dim, dtype=self.dtype,
+                           param_dtype=jnp.float32, name="ffn_dense1")(hn)
+            ffn = get_activation("gelu")(ffn)
+            ffn = nn.Dropout(self.dropout_rate, deterministic=not train)(ffn)
+            ffn = nn.Dense(self.embed_dim, dtype=self.dtype,
+                           param_dtype=jnp.float32, name="ffn_dense2")(ffn)
+            ffn = nn.Dropout(self.dropout_rate, deterministic=not train)(ffn)
+            h = h + ffn
+        h = h.reshape(b, length, f, c)
+        return jnp.transpose(h, (0, 2, 1, 3)), mask
+
+
+class AxialAttention(nn.Module):
+    """Alternating length-attention and frame-attention blocks.
+
+    Parity: reference ``nnlib/v2/layers.py:2400-2520`` — each block is
+    (length attn -> frame attn -> norm) + residual around the whole block.
+    """
+
+    embed_dim: int
+    num_heads: int
+    feed_forward_dim: int
+    dropout_rate: float = 0.1
+    num_blocks: int = 1
+    epsilon: float = 1e-6
+    norm_type: str = "layernorm"
+    alpha_init: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        for i in range(self.num_blocks):
+            residual = x
+            x, _ = TransformerEncoder(
+                self.embed_dim, self.num_heads, self.feed_forward_dim,
+                self.dropout_rate, dtype=self.dtype, name=f"length_attn_{i}",
+            )(x, mask, train)
+            x, _ = CrossFrameAttention(
+                self.embed_dim, self.num_heads, self.feed_forward_dim,
+                self.dropout_rate, dtype=self.dtype, name=f"frame_attn_{i}",
+            )(x, mask, train)
+            norm = _make_norm(self.norm_type, f"post_norm_{i}",
+                              alpha_init=self.alpha_init, dtype=self.dtype)
+            x, _ = _norm2(norm, x, mask, train)
+            x = x + residual
+        return x, mask
+
+
+class LocalAttention(nn.Module):
+    """Windowed (banded) self-attention along the length axis.
+
+    Parity: reference ``nnlib/v2/layers.py:2520-2648`` — band of
+    ``window_size // 2`` each side AND'ed with key validity.
+    """
+
+    embed_dim: int
+    num_heads: int
+    feed_forward_dim: int
+    window_size: int
+    dropout_rate: float = 0.1
+    num_blocks: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        b, f, length, c = x.shape
+        h = x.reshape(b * f, length, c)
+        half = self.window_size // 2
+        row = jnp.arange(length)[:, None]
+        col = jnp.arange(length)[None, :]
+        band = (jnp.abs(row - col) <= half)[None, None, :, :]  # (1,1,L,L)
+        attn_mask = band
+        if mask is not None:
+            key_mask = mask.reshape(b * f, length)[:, None, None, :]
+            attn_mask = jnp.logical_and(band, key_mask)
+        for i in range(self.num_blocks):
+            hn, _ = LayerNorm(name=f"ln1_{i}", dtype=self.dtype)(h)
+            attn = _MHA(self.embed_dim, self.num_heads, self.dropout_rate,
+                        dtype=self.dtype, name=f"mha_{i}")(
+                hn, attn_mask=attn_mask, train=train
+            )
+            h = h + attn
+            hn, _ = LayerNorm(name=f"ln2_{i}", dtype=self.dtype)(h)
+            ffn = nn.Dense(self.feed_forward_dim, dtype=self.dtype,
+                           param_dtype=jnp.float32, name=f"ffn1_{i}")(hn)
+            ffn = get_activation("gelu")(ffn)
+            ffn = nn.Dense(self.embed_dim, dtype=self.dtype,
+                           param_dtype=jnp.float32, name=f"ffn2_{i}")(ffn)
+            h = h + ffn
+        return h.reshape(b, f, length, c), mask
+
+
+# ---------------------------------------------------------------------------
+# Recurrent
+# ---------------------------------------------------------------------------
+
+
+class MaskedBiLSTM(nn.Module):
+    """Bidirectional LSTM over length for (B, F, L, C) inputs.
+
+    Parity: reference ``nnlib/v2/layers.py:1335-1433``. Masked timesteps
+    are skipped Keras-style: state and previous output are carried through.
+    """
+
+    units: int
+    return_sequences: bool = True
+    ignore_mask: bool = False
+    dtype: Dtype = jnp.float32
+
+    def _direction(self, name: str, seq, seq_mask):
+        """One LSTM direction. The input projection is hoisted out of the
+        scan into a single large matmul (MXU-friendly); only the U x 4U
+        recurrent matmul stays sequential."""
+        u = self.units
+        c = seq.shape[-1]
+
+        def bias_init(key, shape, dtype=jnp.float32):
+            # Keras unit_forget_bias: forget-gate bias starts at 1.
+            b0 = jnp.zeros(shape, dtype)
+            return b0.at[u : 2 * u].set(1.0)
+
+        kernel = self.param(f"{name}_kernel", nn.initializers.glorot_uniform(),
+                            (c, 4 * u), jnp.float32)
+        recurrent = self.param(f"{name}_recurrent", nn.initializers.orthogonal(),
+                               (u, 4 * u), jnp.float32)
+        bias = self.param(f"{name}_bias", bias_init, (4 * u,))
+
+        xz = seq.astype(self.dtype) @ kernel.astype(self.dtype) + bias.astype(
+            self.dtype
+        )  # (B*, L, 4U)
+        rec = recurrent.astype(self.dtype)
+
+        def step(carry, inp):
+            h_prev, c_prev = carry
+            xt, mt = inp
+            z = xt + h_prev @ rec
+            i = jax.nn.sigmoid(z[:, :u])
+            f = jax.nn.sigmoid(z[:, u : 2 * u])
+            g = jnp.tanh(z[:, 2 * u : 3 * u])
+            o = jax.nn.sigmoid(z[:, 3 * u :])
+            c_new = f * c_prev + i * g
+            h_new = o * jnp.tanh(c_new)
+            keep = mt[:, None]
+            h_new = jnp.where(keep, h_new, h_prev)
+            c_new = jnp.where(keep, c_new, c_prev)
+            return (h_new, c_new), h_new
+
+        n = seq.shape[0]
+        h0 = jnp.zeros((n, u), self.dtype)
+        carry0 = (h0, h0)
+        xz_t = jnp.swapaxes(xz, 0, 1)  # (L, B*, 4U)
+        mt = seq_mask if seq_mask is not None else jnp.ones(
+            (n, seq.shape[1]), bool
+        )
+        mt_t = jnp.swapaxes(mt, 0, 1)
+        _, outs = jax.lax.scan(step, carry0, (xz_t, mt_t))
+        return jnp.swapaxes(outs, 0, 1)  # (B*, L, U)
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        b, f, length, c = x.shape
+        h = x.reshape(b * f, length, c)
+        m = None
+        if mask is not None and not self.ignore_mask:
+            m = mask.reshape(b * f, length)
+
+        fwd = self._direction("fwd", h, m)
+        h_rev = jnp.flip(h, axis=1)
+        m_rev = jnp.flip(m, axis=1) if m is not None else None
+        bwd = jnp.flip(self._direction("bwd", h_rev, m_rev), axis=1)
+        out = jnp.concatenate([fwd, bwd], axis=-1)
+        out_mask = None if self.ignore_mask else mask
+        if self.return_sequences:
+            return out.reshape(b, f, length, 2 * self.units), out_mask
+        return out[:, -1, :].reshape(b, f, 2 * self.units), out_mask
+
+
+# ---------------------------------------------------------------------------
+# Hyena long-convolution stack
+# ---------------------------------------------------------------------------
+
+
+def causal_fft_convolve(u: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise causal convolution via rFFT with 2L-1 padding.
+
+    Parity: reference ``nnlib/v2/layers.py:2724-2764``. u: (B, D, L),
+    h: (D, L); float32 FFT island, output cast back.
+    """
+    orig = u.dtype
+    u32 = u.astype(jnp.float32)
+    h32 = h.astype(jnp.float32)
+    L = u.shape[-1]
+    n = 2 * L - 1
+    H = jnp.fft.rfft(h32, n=n, axis=-1)
+    U = jnp.fft.rfft(u32, n=n, axis=-1)
+    y = jnp.fft.irfft(U * H[None], n=n, axis=-1)[..., :L]
+    return y.astype(orig)
+
+
+def _sin_pe(length: int, dim: int) -> jnp.ndarray:
+    pos = jnp.arange(length, dtype=jnp.float32)[:, None]
+    div = jnp.exp(
+        jnp.arange(0, dim, 2, dtype=jnp.float32) * -(jnp.log(10000.0) / dim)
+    )
+    pe = jnp.stack([jnp.sin(pos * div), jnp.cos(pos * div)], axis=-1)
+    return pe.reshape(length, -1)[:, :dim]
+
+
+class HyenaFilter(nn.Module):
+    """Implicit filters h_t = window(t) * FFN(PE(t)).
+
+    Parity: reference ``nnlib/v2/layers.py:2765-2930`` — log-uniform decay
+    init over [1e-3, 1], |alpha| guard, optional unit-L2 normalization,
+    SIREN 'sin' option. Returns (order, dim, L) float32 filters.
+    """
+
+    dim: int
+    seq_len: int
+    order: int = 2
+    pe_dim: int = 16
+    hidden_dim: int = 32
+    num_layers: int = 2
+    activation: str = "gelu"
+    normalize: bool = False
+
+    @nn.compact
+    def __call__(self, length: int | None = None):
+        L = int(length or self.seq_len)
+        pe = _sin_pe(L, self.pe_dim)
+
+        def alpha_init(key, shape, dtype=jnp.float32):
+            return 10.0 ** jax.random.uniform(
+                key, shape, dtype, minval=-3.0, maxval=0.0
+            )
+
+        alphas = jnp.abs(
+            self.param("alphas", alpha_init, (self.order, self.dim))
+        )
+        biases = self.param(
+            "biases", nn.initializers.zeros_init(), (self.order, self.dim),
+            jnp.float32,
+        )
+        t = jnp.arange(L, dtype=jnp.float32)
+        act = get_activation(self.activation)
+        filters = []
+        for i in range(self.order):
+            h = pe
+            for j in range(self.num_layers):
+                is_last = j == self.num_layers - 1
+                units = self.dim if is_last else self.hidden_dim
+                h = nn.Dense(units, param_dtype=jnp.float32,
+                             name=f"ffn_{i}_dense_{j}")(h)
+                if not is_last:
+                    h = act(h)
+            window = jnp.exp(-alphas[i][None, :] * t[:, None]) + biases[i][None, :]
+            filt = window * h  # (L, dim)
+            if self.normalize:
+                norm = jnp.linalg.norm(filt, axis=0, keepdims=True)
+                filt = jnp.where(norm > 0, filt / jnp.maximum(norm, 1e-12), 0.0)
+            filters.append(filt)
+        return jnp.transpose(jnp.stack(filters, axis=0), (0, 2, 1))
+
+
+class HyenaOperator(nn.Module):
+    """Order-N gated long-convolution recurrence z <- gate * (h * z).
+
+    Parity: reference ``nnlib/v2/layers.py:2930-3030``.
+    """
+
+    dim: int
+    seq_len: int
+    order: int = 2
+    filter_hidden: int = 32
+    filter_layers: int = 2
+    filter_activation: str = "gelu"
+    filter_normalize: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # x: (B, L, dim)
+        proj = [
+            nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                     param_dtype=jnp.float32, name=f"proj_{i}")(x)
+            for i in range(self.order + 1)
+        ]
+        z = jnp.swapaxes(proj[0], 1, 2)  # (B, dim, L)
+        filters = HyenaFilter(
+            dim=self.dim, seq_len=x.shape[1], order=self.order,
+            hidden_dim=self.filter_hidden, num_layers=self.filter_layers,
+            activation=self.filter_activation, normalize=self.filter_normalize,
+            name="filter",
+        )(x.shape[1])
+        for i in range(self.order):
+            gate = jnp.swapaxes(proj[i + 1], 1, 2)
+            z = causal_fft_convolve(z, filters[i]) * gate
+        return jnp.swapaxes(z, 1, 2)
+
+
+class HyenaBlock(nn.Module):
+    """LayerNorm -> Hyena operator -> dropout -> residual, mask re-zeroed.
+
+    Parity: reference ``nnlib/v2/layers.py:3030-3153``. Causality +
+    re-zeroing makes valid outputs padding-invariant.
+    """
+
+    dim: int
+    order: int = 2
+    filter_hidden: int = 32
+    filter_layers: int = 2
+    filter_activation: str = "gelu"
+    dropout: float = 0.0
+    output_projection: bool = False
+    filter_normalize: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        b, f, length, d = x.shape
+        if mask is not None:
+            x = apply_mask(x, mask)
+        residual = x
+        h, _ = LayerNorm(name="norm", dtype=self.dtype)(x)
+        if mask is not None:
+            h = apply_mask(h, mask)
+        h = h.reshape(b * f, length, d)
+        h = HyenaOperator(
+            dim=self.dim, seq_len=length, order=self.order,
+            filter_hidden=self.filter_hidden, filter_layers=self.filter_layers,
+            filter_activation=self.filter_activation,
+            filter_normalize=self.filter_normalize, dtype=self.dtype,
+            name="hyena",
+        )(h, train)
+        if self.output_projection:
+            h = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
+                         name="out_proj")(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = h.reshape(b, f, length, d)
+        out = h + residual
+        if mask is not None:
+            out = apply_mask(out, mask)
+        return out, mask
+
+
+# ---------------------------------------------------------------------------
+# Misc
+# ---------------------------------------------------------------------------
+
+
+class SinusoidalPositionEmbedding(nn.Module):
+    """Sin/cos positional encoding over the length axis.
+
+    Parity: reference ``nnlib/v2/layers.py:2149-2206`` (interleaved
+    sin/cos by even/odd channel).
+    """
+
+    max_wavelength: float = 10000.0
+
+    @nn.compact
+    def __call__(self, x):
+        length, hidden = x.shape[-2], x.shape[-1]
+        positions = jnp.arange(length, dtype=jnp.float32)
+        dims = jnp.arange(hidden, dtype=jnp.float32)
+        even = jnp.floor(dims / 2) * 2
+        timescales = (1.0 / self.max_wavelength) ** (even / hidden)
+        angles = positions[:, None] * timescales[None, :]
+        sin_mask = (dims % 2 == 0).astype(jnp.float32)
+        pe = jnp.sin(angles) * sin_mask + jnp.cos(angles) * (1 - sin_mask)
+        return jnp.broadcast_to(pe, x.shape).astype(x.dtype)

@@ -1,0 +1,134 @@
+"""Host-side training data pipeline.
+
+Parity targets: the reference's CSV live-preprocessing pipeline
+(``commands/train.py:380-450`` TextLineDataset + ``process_string_train``)
+and the NPZ loaders (``data/loaders.py:908-1142``). TPU-first redesign:
+the host only parses labels and ASCII->int8 base IDs (cheap, vectorizable);
+codon translation runs on device inside the jitted train step, so the
+host pipeline's job is just shuffling and batching small uint8 arrays.
+"""
+
+from __future__ import annotations
+
+import itertools
+import random
+from pathlib import Path
+from typing import Iterator
+
+import numpy as np
+
+from jaeger_tpu.seqops.windows import BASE_N, encode_ascii
+
+
+def iter_csv_examples(paths: list[str | Path]) -> Iterator[tuple[int, str]]:
+    """Yield (label, sequence) from ``label,sequence`` CSV lines.
+
+    Reference format: ``process_string_train`` splits each line on ','
+    with x[0]=label, x[1]=sequence (``seqops/encode.py:108-110``).
+    """
+    for path in paths:
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                parts = line.split(",")
+                if len(parts) < 2:
+                    continue
+                try:
+                    label = int(parts[0])
+                except ValueError:
+                    continue
+                yield label, parts[1]
+
+
+def batches_from_csv(
+    paths: list[str | Path],
+    batch_size: int,
+    crop_nt: int,
+    num_classes: int,
+    shuffle_buffer: int = 50000,
+    seed: int = 42,
+    repeat: bool = True,
+    label_map: dict[int, int] | None = None,
+    drop_remainder: bool = True,
+) -> Iterator[dict[str, np.ndarray]]:
+    """Stream shuffled batches of {bases, lengths, labels(one-hot)}."""
+    rng = random.Random(seed)
+
+    def epoch_stream():
+        while True:
+            yield from iter_csv_examples(paths)
+            if not repeat:
+                return
+
+    stream = epoch_stream()
+    buffer: list[tuple[int, str]] = list(itertools.islice(stream, shuffle_buffer))
+    rng.shuffle(buffer)
+
+    def next_example():
+        try:
+            incoming = next(stream)
+        except StopIteration:
+            incoming = None
+        if buffer:
+            idx = rng.randrange(len(buffer))
+            out = buffer[idx]
+            if incoming is not None:
+                buffer[idx] = incoming
+            else:
+                buffer[idx] = buffer[-1]
+                buffer.pop()
+            return out
+        return incoming
+
+    while True:
+        rows = []
+        for _ in range(batch_size):
+            ex = next_example()
+            if ex is None:
+                break
+            rows.append(ex)
+        if not rows or (drop_remainder and len(rows) < batch_size):
+            return
+        bases = np.full((len(rows), crop_nt), BASE_N, dtype=np.uint8)
+        lengths = np.zeros(len(rows), dtype=np.int32)
+        labels = np.zeros(len(rows), dtype=np.int32)
+        for i, (label, seq) in enumerate(rows):
+            ids = encode_ascii(seq[:crop_nt])
+            bases[i, : ids.shape[0]] = ids
+            lengths[i] = ids.shape[0]
+            labels[i] = label_map.get(label, label) if label_map else label
+        onehot = np.zeros((len(rows), num_classes), dtype=np.float32)
+        onehot[np.arange(len(rows)), labels] = 1.0
+        yield {"bases": bases, "lengths": lengths, "labels": onehot}
+
+
+def batches_from_npz(
+    path: str | Path,
+    batch_size: int,
+    num_classes: int,
+    seed: int = 42,
+    repeat: bool = True,
+    key: str = "translated",
+) -> Iterator[dict[str, np.ndarray]]:
+    """Batches from a preprocessed NPZ of frame tokens + labels.
+
+    NPZ layout parity: ``dataops/convert.py`` output — arrays named
+    ``translated`` (N, 6, L) int tokens (already +1 shifted) or
+    ``nucleotide``; ``labels`` (N,) ints.
+    """
+    data = np.load(path, allow_pickle=False)
+    feats = np.asarray(data[key])
+    labels = np.asarray(data["labels"]).astype(np.int64).reshape(-1)
+    n = feats.shape[0]
+    rng = np.random.default_rng(seed)
+    while True:
+        order = rng.permutation(n)
+        for i in range(0, n - batch_size + 1, batch_size):
+            idx = order[i : i + batch_size]
+            onehot = np.zeros((batch_size, num_classes), dtype=np.float32)
+            onehot[np.arange(batch_size), labels[idx]] = 1.0
+            yield {key: feats[idx], "labels": onehot}
+        if not repeat:
+            return

@@ -1,0 +1,137 @@
+"""Jitted training step + state.
+
+Parity target: the reference's ``MetricModel.train_step``
+(``nnlib/v2/layers.py:2038-2093``) and Keras ``fit`` inner loop, rebuilt as
+a pure jitted step over a data-parallel mesh: batch sharded on the
+``data`` axis, parameters replicated; gradient means and batch-norm
+statistics become global XLA collectives under SPMD.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from jaeger_tpu.parallel import mesh as meshlib
+from jaeger_tpu.train import losses as losses_lib
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, variables, tx):
+        params = variables["params"]
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(params),
+            tx=tx,
+        )
+
+    @property
+    def variables(self):
+        v = {"params": self.params}
+        if self.batch_stats:
+            v["batch_stats"] = self.batch_stats
+        return v
+
+
+@dataclass
+class StepConfig:
+    loss_name: str = "categorical_crossentropy"
+    loss_params: dict | None = None
+    output_key: str = "prediction"
+    class_weights: jnp.ndarray | None = None
+    reg_specs: tuple = ()
+    frozen_prefixes: tuple = ()   # param subtrees excluded from updates
+
+
+def make_train_step(model, cfg: StepConfig) -> Callable:
+    """Build a jittable (state, batch, rng) -> (state, metrics) step.
+
+    ``batch`` is a dict with model inputs (``bases``/``lengths`` or
+    pre-encoded features) plus ``labels``.
+    """
+    loss_fn_base = losses_lib.LOSSES[cfg.loss_name]
+    loss_params = dict(cfg.loss_params or {})
+    loss_params.pop("from_logits", None)
+
+    def loss_fn(params, batch_stats, batch, rng):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        inputs = {k: v for k, v in batch.items() if k != "labels"}
+        mutable = ["batch_stats"] if batch_stats else []
+        out, updates = model.apply(
+            variables, inputs, train=True,
+            rngs={"dropout": rng}, mutable=mutable,
+        )
+        logits = out[cfg.output_key]
+        loss = loss_fn_base(
+            batch["labels"], logits,
+            class_weights=cfg.class_weights, **loss_params,
+        )
+        reg = losses_lib.regularization_loss(params, list(cfg.reg_specs))
+        new_stats = updates.get("batch_stats", batch_stats)
+        return loss + reg, (loss, reg, new_stats, logits)
+
+    def train_step(state: TrainState, batch, rng):
+        (total, (loss, reg, new_stats, logits)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch, rng)
+        if cfg.frozen_prefixes:
+            grads = _mask_frozen(grads, cfg.frozen_prefixes)
+        updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(grads)
+        metrics = {
+            "loss": loss, "reg_loss": reg, "total_loss": total,
+            "grad_norm": gnorm,
+        }
+        if batch["labels"].ndim == 2 and logits.shape == batch["labels"].shape:
+            acc = jnp.mean(
+                jnp.argmax(logits, -1) == jnp.argmax(batch["labels"], -1)
+            )
+            metrics["accuracy"] = acc
+        new_state = state.replace(
+            step=state.step + 1, params=new_params,
+            batch_stats=new_stats, opt_state=new_opt,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def _mask_frozen(grads, prefixes: tuple):
+    def zero_if_frozen(path, leaf):
+        path_str = "/".join(
+            getattr(p, "key", getattr(p, "name", str(p))) for p in path
+        )
+        if any(path_str.startswith(p) for p in prefixes):
+            return jnp.zeros_like(leaf)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(zero_if_frozen, grads)
+
+
+def shard_train_step(train_step, mesh):
+    """jit the step with batch sharded over the mesh's data axis."""
+    data = meshlib.shard_along(mesh)
+    rep = meshlib.replicate(mesh)
+    return jax.jit(
+        train_step,
+        in_shardings=(rep, data, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )

@@ -1,0 +1,227 @@
+"""Model builder tests: config -> model -> forward shapes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jaeger_tpu.models.builder import ModelBuilder
+
+BASE_CONFIG = {
+    "model": {
+        "name": "test_tiny",
+        "seed": 0,
+        "classifier_out_dim": 3,
+        "embedding": {
+            "use_embedding_layer": True,
+            "input_type": "translated",
+            "embedding_size": 8,
+            "embedding_regularizer": "l2",
+            "embedding_regularizer_w": 1e-5,
+        },
+        "string_processor": {"crop_size": 40, "seq_onehot": False},
+        "representation_learner": {
+            "hidden_layers": [
+                {"name": "masked_conv1d",
+                 "config": {"filters": 16, "kernel_size": 7,
+                            "kernel_regularizer": "l2",
+                            "kernel_regularizer_w": 1e-5}},
+                {"name": "masked_batchnorm", "config": {"return_nmd": False}},
+                {"name": "activation", "config": {"activation": "gelu"}},
+                {"name": "residual_block",
+                 "config": {"use_1x1conv": False, "block_size": 2,
+                            "filters": 16, "kernel_size": 3}},
+                {"name": "masked_batchnorm", "config": {}},
+                {"name": "gelu"},
+            ],
+            "pooling": "average",
+        },
+        "classifier": {
+            "input_shape": 16,
+            "hidden_layers": [
+                {"name": "dropout", "config": {"rate": 0.3}},
+                {"name": "dense",
+                 "config": {"units": 3, "dtype": "float32"}},
+            ],
+        },
+    },
+    "training": {},
+}
+
+
+def _inputs(n, crop_nt, rng=None, lengths=None):
+    rng = rng or np.random.default_rng(0)
+    bases = rng.integers(0, 4, size=(n, crop_nt), dtype=np.uint8)
+    if lengths is None:
+        lengths = np.full(n, crop_nt, np.int32)
+    return {"bases": jnp.asarray(bases), "lengths": jnp.asarray(lengths)}
+
+
+def test_baseline_forward_shapes():
+    b = ModelBuilder(BASE_CONFIG)
+    model, variables = b.init()
+    _, crop_nt = b.crop
+    assert crop_nt == 125
+    out = model.apply(variables, _inputs(4, crop_nt), train=False)
+    assert out["prediction"].shape == (4, 3)
+    assert out["embedding"].shape == (4, 16)
+
+
+def test_train_mode_updates_batch_stats():
+    b = ModelBuilder(BASE_CONFIG)
+    model, variables = b.init()
+    _, crop_nt = b.crop
+    out, updates = model.apply(
+        variables, _inputs(4, crop_nt), train=True,
+        rngs={"dropout": jax.random.PRNGKey(0)},
+        mutable=["batch_stats"],
+    )
+    before = variables["batch_stats"]
+    after = updates["batch_stats"]
+    diffs = jax.tree.map(
+        lambda a, c: float(jnp.abs(a - c).max()), before, after
+    )
+    assert max(jax.tree.leaves(diffs)) > 0
+
+
+def test_padding_invariance():
+    """A short window must produce identical logits whether delivered in a
+    short buffer or padded into a longer one (mask correctness)."""
+    b = ModelBuilder(BASE_CONFIG)
+    model, variables = b.init()
+    _, crop_nt = b.crop
+    rng = np.random.default_rng(1)
+    m = 80
+    seq = rng.integers(0, 4, size=m, dtype=np.uint8)
+
+    short = np.full((1, crop_nt), 4, dtype=np.uint8)
+    short[0, :m] = seq
+    out_short = model.apply(
+        variables,
+        {"bases": jnp.asarray(short),
+         "lengths": jnp.asarray([m], np.int32)},
+        train=False,
+    )
+    # wider buffer, same valid content
+    wide = np.full((1, crop_nt + 64), 4, dtype=np.uint8)
+    wide[0, :m] = seq
+    out_wide = model.apply(
+        variables,
+        {"bases": jnp.asarray(wide),
+         "lengths": jnp.asarray([m], np.int32)},
+        train=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_short["prediction"]),
+        np.asarray(out_wide["prediction"]), rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_nmd_and_reliability_head():
+    cfg = {
+        "model": {
+            **BASE_CONFIG["model"],
+            "representation_learner": {
+                "hidden_layers": [
+                    {"name": "masked_conv1d",
+                     "config": {"filters": 8, "kernel_size": 3}},
+                    {"name": "masked_batchnorm",
+                     "config": {"return_nmd": True}},
+                    {"name": "gelu"},
+                ],
+                "pooling": "average",
+            },
+            "reliability_model": {
+                "mode": "nmd",
+                "hidden_layers": [
+                    {"name": "dense", "config": {"units": 1}},
+                ],
+            },
+        },
+        "training": {},
+    }
+    b = ModelBuilder(cfg)
+    model, variables = b.init()
+    _, crop_nt = b.crop
+    out = model.apply(variables, _inputs(4, crop_nt), train=False)
+    assert out["nmd"].shape == (4, 8)
+    assert out["reliability"].shape == (4, 1)
+
+
+def test_nmd_plus_signals():
+    cfg = {
+        "model": {
+            **BASE_CONFIG["model"],
+            "representation_learner": {
+                "hidden_layers": [
+                    {"name": "masked_conv1d",
+                     "config": {"filters": 8, "kernel_size": 3}},
+                    {"name": "masked_batchnorm",
+                     "config": {"return_nmd": True}},
+                ],
+                "pooling": "max",
+            },
+            "reliability_model": {
+                "mode": "nmd_plus_signals",
+                "hidden_layers": [
+                    {"name": "dense", "config": {"units": 1}},
+                ],
+            },
+        },
+        "training": {},
+    }
+    b = ModelBuilder(cfg)
+    model, variables = b.init()
+    _, crop_nt = b.crop
+    out = model.apply(variables, _inputs(3, crop_nt), train=False)
+    assert out["reliability"].shape == (3, 1)
+
+
+def test_projection_head():
+    cfg = {
+        "model": {
+            **BASE_CONFIG["model"],
+            "projection": {
+                "input_shape": 16,
+                "margin": 0.5,
+                "scale": 30,
+                "hidden_layers": [
+                    {"name": "dense", "config": {"units": 8,
+                                                 "activation": "relu"}},
+                    {"name": "dense", "config": {"units": 4}},
+                ],
+            },
+        },
+        "training": {},
+    }
+    b = ModelBuilder(cfg)
+    model, variables = b.init()
+    _, crop_nt = b.crop
+    out = model.apply(
+        variables, _inputs(2, crop_nt), train=False, with_projection=True
+    )
+    assert out["projection"].shape == (2, 4)
+
+
+@pytest.mark.parametrize("pooling", ["average", "max", "last", "gatedframe"])
+def test_poolers(pooling):
+    cfg = {
+        "model": {
+            **BASE_CONFIG["model"],
+            "representation_learner": {
+                "hidden_layers": [
+                    {"name": "masked_conv1d",
+                     "config": {"filters": 8, "kernel_size": 3}},
+                ],
+                "pooling": pooling,
+            },
+        },
+        "training": {},
+    }
+    b = ModelBuilder(cfg)
+    model, variables = b.init()
+    _, crop_nt = b.crop
+    out = model.apply(variables, _inputs(2, crop_nt), train=False)
+    assert out["embedding"].shape == (2, 8)
+    if pooling == "gatedframe":
+        assert out["gate"].shape == (2, 6)
