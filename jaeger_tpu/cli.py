@@ -69,10 +69,18 @@ def main(verbose: int) -> None:
               help="Skip the terminal-repeat scan.")
 @click.option("--window-scores", is_flag=True, default=False,
               help="Save per-window score NPZ.")
+@click.option("-p", "--prophage", is_flag=True, default=False,
+              help="Extract and report prophage-like regions.")
+@click.option("-s", "--sensitivity", default=1.5, show_default=True,
+              help="Sensitivity of the prophage extraction (0-4).")
+@click.option("--lc", default=500_000, show_default=True,
+              help="Minimum contig length for prophage extraction.")
+@click.option("--plot-type", default="circular", show_default=True,
+              type=click.Choice(["circular", "linear", "both", "none"]))
 def predict(input_path, output_dir, model_path, fsize, stride, batch,
             min_len, dustmask, dynamic_stride, precision, crf_switch_cost,
             crf_prior, reliability_cutoff, phage_score, no_termini,
-            window_scores):
+            window_scores, prophage, sensitivity, lc, plot_type):
     """Identify phage/prophage sequences in a FASTA of contigs."""
     from jaeger_tpu.commands.predict import run_core
 
@@ -83,6 +91,8 @@ def predict(input_path, output_dir, model_path, fsize, stride, batch,
         crf_switch_cost=crf_switch_cost, crf_prior=crf_prior,
         reliability_cutoff=reliability_cutoff, phage_score=phage_score,
         scan_termini=not no_termini, save_window_scores=window_scores,
+        prophage=prophage, sensitivity=sensitivity, lc=lc,
+        plot_type=plot_type,
     )
     click.echo(f"summary written to {table}")
 

@@ -45,6 +45,10 @@ def run_core(
     phage_score: float = 1.0,
     scan_termini: bool = True,
     save_window_scores: bool = False,
+    prophage: bool = False,
+    sensitivity: float = 1.5,
+    lc: int = 500_000,
+    plot_type: str = "circular",
 ) -> Path:
     t0 = time.time()
     input_path = Path(input_path)
@@ -101,6 +105,57 @@ def run_core(
         reliability_cutoff=reliability_cutoff,
         phage_score=phage_score,
     )
+    if prophage:
+        # prophage segmentation + boundary refinement + att report + plots
+        # (parity: reference commands/predict.py:353-442)
+        from jaeger_tpu.postprocess import prophages as pro
+        from jaeger_tpu.postprocess.genes import refine_prophage_boundaries
+
+        class_map = {"index": indices, "class": labels}
+        logits_df = pro.logits_to_df_v2(
+            class_map=class_map,
+            cmdline_kwargs={"lc": lc, "fsize": fsize, "stride": stride},
+            headers=data_full["headers"],
+            predictions=data_full["predictions"],
+            lengths=data_full["lengths"],
+            gc_skews=data_full["gc_skews"],
+            gcs=data_full["gcs"],
+        )
+        if logits_df:
+            logger.info("identifying prophages")
+            pro_dir = output_dir / f"{stem}_prophages"
+            plots_dir = pro_dir / "plots"
+            for d in (pro_dir, plots_dir):
+                d.mkdir(parents=True, exist_ok=True)
+            phage_cord = pro.segment(
+                logits_df, outdir=plots_dir, cutoff_length=lc,
+                sensitivity=sensitivity, identifier="phage",
+            )
+            refined = refine_prophage_boundaries(
+                prophage_cordinates=phage_cord,
+                fasta_path=input_path, fsize=fsize, stride=stride,
+            )
+            if plot_type in ("circular", "both"):
+                pro.plot_scores(
+                    logits_df, fsize=fsize, infile_base=stem,
+                    outdir=plots_dir, phage_cordinates=phage_cord,
+                    stride=stride,
+                )
+            if plot_type in ("linear", "both"):
+                pro.plot_scores_linear(
+                    logits_df, fsize=fsize, infile_base=stem,
+                    outdir=plots_dir, phage_cordinates=phage_cord,
+                    stride=stride,
+                )
+            pro.prophage_report(
+                fsize=fsize, filehandle=input_path,
+                prophage_cordinates=phage_cord, outdir=pro_dir,
+                refined_boundaries=refined, stride=stride,
+                cutoff_length=lc,
+            )
+        else:
+            logger.info("no prophage regions found")
+
     if save_window_scores:
         np.savez_compressed(
             output_dir / f"{stem}_window_scores.npz",

@@ -1,0 +1,223 @@
+"""Postprocess tests: reduction, CRF, CPD, SW, termini, window summary."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from jaeger_tpu.postprocess import collect, helpers as H
+from jaeger_tpu.postprocess.cpd import KneeLocator, kernel_cpd_linear
+from jaeger_tpu.postprocess.sw import smith_waterman
+from jaeger_tpu.postprocess.termini import reverse_complement, scan_contig
+
+
+class TestHelpers:
+    def test_find_runs(self):
+        v, l, s = H.find_runs(np.array([1, 1, 0, 0, 0, 2]))
+        np.testing.assert_array_equal(v, [1, 0, 2])
+        np.testing.assert_array_equal(l, [2, 3, 1])
+        np.testing.assert_array_equal(s, [0, 2, 5])
+
+    def test_window_summary(self):
+        cm = {0: "chromosome", 1: "phage", 2: "plasmid"}
+        x = np.array([0, 0, 1, 1, 1, 2])
+        assert H.get_window_summary(x, cm) == "2c3P1p"
+
+    def test_viterbi_matches_argmax_at_zero_cost(self):
+        rng = np.random.default_rng(0)
+        logits = rng.normal(size=(20, 3))
+        np.testing.assert_array_equal(
+            H.viterbi_decode(logits, 0.0), np.argmax(logits, axis=-1)
+        )
+
+    def test_viterbi_smooths_flickers(self):
+        # one weakly-confident flicker inside a confident run is smoothed
+        logits = np.full((9, 2), 0.0)
+        logits[:, 0] = 2.0
+        logits[4] = [1.05, 1.2]  # weak flip
+        path = H.viterbi_decode(logits, switch_cost=2.0)
+        assert (path == 0).all()
+
+    def test_biological_prior(self):
+        p = H.default_transition_prior(["bacteria", "phage", "eukarya"])
+        assert p[0, 1] == 0.5     # bacteria<->phage plausible
+        assert p[0, 2] == 3.0     # bacteria<->eukarya implausible
+        assert p[1, 2] == 3.0     # eukarya<->phage implausible
+        assert (np.diag(p) == 0).all()
+
+    def test_energy_matches_reference_shapes(self):
+        logits = np.array([[1.0, 2.0, 3.0]])
+        e = H.energy(logits)
+        expected = -np.log(np.exp(1) + np.exp(2) + np.exp(3))
+        # 3-class path: plain -logsumexp over classes? reference uses the
+        # binary fallback for C not in (2,): -logsumexp([z, 0]) per element
+        assert e.shape == (1, 3)
+        np.testing.assert_allclose(
+            e, -np.logaddexp(logits, 0.0), rtol=1e-12
+        )
+        e2 = H.energy(np.array([[1.0, 2.0]]))
+        np.testing.assert_allclose(
+            e2, [-np.log(np.exp(1) + np.exp(2))], rtol=1e-12
+        )
+
+
+class TestReduce:
+    def _meta(self, windows_per_contig):
+        n = sum(windows_per_contig)
+        headers, end = [], []
+        for ci, w in enumerate(windows_per_contig):
+            headers += [f"c{ci}"] * w
+            end += [0] * (w - 1) + [1]
+        return collect.PredictionMeta(
+            headers=np.array(headers, dtype=object),
+            contig_end=np.array(end, np.int8),
+            seqlen=np.repeat(
+                [w * 2000 for w in windows_per_contig], windows_per_contig
+            ).astype(np.int32),
+            g=np.full(n, 500), c=np.full(n, 500),
+            a=np.full(n, 500), t=np.full(n, 500),
+            gc_skew=np.zeros(n, np.float32),
+        )
+
+    def test_reduce_and_write(self, tmp_path):
+        rng = np.random.default_rng(0)
+        wpc = [3, 5, 2]
+        meta = self._meta(wpc)
+        logits = rng.normal(size=(10, 3)).astype(np.float32)
+        logits[3:8, 1] += 4.0  # contig c1 looks viral
+        rel = rng.normal(size=(10, 1)).astype(np.float32)
+        data, full = collect.reduce_windows(
+            logits, meta, fsize=2000, num_classes=3, reliability=rel,
+            class_names=["chromosome", "phage", "plasmid"],
+        )
+        assert list(data["headers"]) == ["c0", "c1", "c2"]
+        assert data["consensus"][1] == 1
+        assert len(full["predictions"][1]) == 5
+        n = collect.write_output(
+            data,
+            output_table_path=tmp_path / "out.tsv",
+            output_phage_table_path=tmp_path / "phage.tsv",
+            labels=["chromosome", "phage", "plasmid"], indices=[0, 1, 2],
+        )
+        assert n == 3
+        df = pd.read_table(tmp_path / "out.tsv")
+        assert df.loc[1, "prediction"] == "phage"
+        assert "window_summary" in df.columns
+        assert (tmp_path / "phage.tsv").exists()
+
+    def test_binary_head(self):
+        rng = np.random.default_rng(1)
+        meta = self._meta([4])
+        logits = rng.normal(size=(4, 1)).astype(np.float32) + 3.0
+        data, _ = collect.reduce_windows(
+            logits, meta, fsize=2000, num_classes=2,
+            class_names=["host", "phage"],
+        )
+        assert data["consensus"][0] == 1.0
+
+
+class TestCPD:
+    def test_detects_step(self):
+        x = np.concatenate([np.zeros(30), np.ones(20) * 3.0, np.zeros(30)])
+        bkps = kernel_cpd_linear(x, pen=1.0)
+        assert bkps[-1] == 80
+        assert any(abs(b - 30) <= 1 for b in bkps)
+        assert any(abs(b - 50) <= 1 for b in bkps)
+
+    def test_high_penalty_no_breaks(self):
+        x = np.random.default_rng(0).normal(size=60) * 0.01
+        assert kernel_cpd_linear(x, pen=100.0) == [60]
+
+    def test_knee(self):
+        # classic convex decreasing curve with a knee
+        x = np.array([10, 7, 5, 3, 2, 2, 2, 2, 2])[::-1]  # ascending
+        y = np.arange(9)[::-1]
+        kn = KneeLocator(x, y, curve="convex", direction="decreasing")
+        assert kn.knee is not None
+
+    def test_segment_end_to_end(self):
+        from jaeger_tpu.postprocess.prophages import segment
+
+        n = 300
+        score = np.full(n, 0.3)
+        score[120:160] = 3.5  # prophage island
+        t = pd.DataFrame({"phage": score,
+                          "length": np.arange(n) * 2000})
+        result = segment(
+            {"contig": [t, "bacteria", n * 2000]},
+            cutoff_length=100_000, sensitivity=1.5,
+        )
+        cords, scores = result["contig"]
+        assert len(cords) >= 1
+        s, e = cords[0]
+        assert 110 <= s <= 130
+        assert 150 <= e <= 170
+        assert scores[0] > 1.5
+
+
+class TestSW:
+    def test_exact_repeat(self):
+        r = smith_waterman("AAATTTGGGCCC", "TTTGGG")
+        assert r.score == 12  # 6 matches * 2
+        assert r.query_aligned == "TTTGGG"
+        assert r.comp == "||||||"
+
+    def test_no_similarity(self):
+        r = smith_waterman("AAAAAAA", "GGGGGGG")
+        assert r.score <= 2
+
+    def test_gap(self):
+        # repeat with one base inserted: open=100 forbids short gaps,
+        # expect the longer exact block to win instead
+        r = smith_waterman("ATGCATGCATGC", "ATGCAGTGCATGC")
+        assert r.score >= 10
+
+    def test_positions(self):
+        q = "NNNNATGCATGCNNNN"
+        ref = "XXATGCATGCXX"
+        r = smith_waterman(q, ref)
+        assert q[r.end_query - r.length + 1 : r.end_query + 1] == "ATGCATGC"
+
+
+class TestTermini:
+    def test_dtr_detection(self, random_dna):
+        core = random_dna(3000)
+        repeat = random_dna(60)
+        seq = repeat + core + repeat
+        res = scan_contig("ctg1", seq)
+        assert res["terminal_repeats"] == "DTR"
+        assert res["repeat_length"] >= 55
+        assert res["identity"] > 0.95
+
+    def test_itr_detection(self, random_dna):
+        core = random_dna(3000)
+        repeat = random_dna(60)
+        seq = repeat + core + reverse_complement(repeat)
+        res = scan_contig("ctg1", seq)
+        assert res["terminal_repeats"] == "ITR"
+
+    def test_no_repeat(self, random_dna):
+        res = scan_contig("ctg1", random_dna(2500))
+        assert res["terminal_repeats"] is None
+
+
+class TestGenes:
+    def test_orf_and_refine(self):
+        from jaeger_tpu.postprocess.genes import (
+            find_genes, refine_boundary, refine_region,
+        )
+
+        gene = "ATG" + "GCT" * 40 + "TAA"   # 126 nt ORF
+        seq = "C" * 50 + gene + "C" * 50
+        genes = find_genes(seq)
+        assert any(s == 50 and e == 50 + len(gene) for s, e in genes)
+        # boundary inside the gene snaps outward
+        inside = 60
+        left = refine_boundary(inside, genes, "left")
+        assert left == 50
+        right = refine_boundary(inside, genes, "right")
+        assert right == 50 + len(gene)
+        rs, re_ = refine_region(60, 100, genes)
+        assert rs == 50 and re_ == 50 + len(gene)
+        # max extension caps movement
+        capped = refine_boundary(inside, genes, "left", max_extension=5)
+        assert capped == 55
