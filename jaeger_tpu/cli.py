@@ -122,5 +122,174 @@ def train(config_path, output_dir, epochs, steps_per_epoch):
     )
 
 
+@main.group()
+def utils() -> None:
+    """Training-data tooling (fragment, mask, convert, optimize-data...)."""
+
+
+@utils.command("optimize-data")
+@click.option("-i", "--input", "input_path", required=True,
+              type=click.Path(exists=True))
+@click.option("-o", "--output", "output_path", required=True,
+              type=click.Path())
+@click.option("--format", "fmt", default="translated", show_default=True,
+              type=click.Choice(["translated", "nucleotide", "both"]))
+@click.option("--crop-size", "crop_size", multiple=True, type=int,
+              default=(500,), show_default=True)
+@click.option("--stride", default=0, show_default=True)
+@click.option("--one-hot", is_flag=True, default=False)
+@click.option("--codon-map", default="codon_id", show_default=True)
+@click.option("--compress", default="fast", show_default=True,
+              type=click.Choice(["default", "none", "fast"]))
+@click.option("--no-pad", is_flag=True, default=False,
+              help="Store ragged per-crop arrays instead of padded.")
+@click.option("--balance-classes", is_flag=True, default=False)
+@click.option("--shard-size", default=None, type=int,
+              help="Stream output as class-balanced shards of this size.")
+def optimize_data(input_path, output_path, fmt, crop_size, stride, one_hot,
+                  codon_map, compress, no_pad, balance_classes, shard_size):
+    """Convert a label,sequence CSV to a preprocessed NPZ dataset."""
+    from jaeger_tpu.commands.utils import optimize_data_core
+
+    summary = optimize_data_core(
+        input_path, output_path, format=fmt,
+        crop_size=list(crop_size), stride=stride, one_hot=one_hot,
+        codon_map=codon_map, compress=compress, pad=not no_pad,
+        balance_classes=balance_classes, shard_size=shard_size,
+    )
+    click.echo(summary)
+
+
+@utils.command()
+@click.option("-i", "--input", "input_path", required=True,
+              type=click.Path(exists=True))
+@click.option("-o", "--output", "output_path", required=True)
+@click.option("--fsize", default=2000, show_default=True)
+@click.option("--stride", default=None, type=int)
+@click.option("--min-len", default=None, type=int)
+@click.option("--label", default=None, type=int)
+def fragment(input_path, output_path, fsize, stride, min_len, label):
+    """Fragment a FASTA into fixed windows (CSV or FASTA output)."""
+    from jaeger_tpu.commands.utils import fragment_core
+
+    n = fragment_core(input_path, output_path, fsize=fsize, stride=stride,
+                      min_len=min_len, label=label)
+    click.echo(f"{n} fragments written to {output_path}")
+
+
+@utils.command()
+@click.option("-i", "--input", "input_path", required=True,
+              type=click.Path(exists=True))
+@click.option("-o", "--output", "output_path", required=True)
+@click.option("--minperc", default=0.0, show_default=True)
+@click.option("--maxperc", default=1.0, show_default=True)
+@click.option("--step", default=0.01, show_default=True)
+@click.option("--mutate", is_flag=True, default=False,
+              help="Replace with random bases instead of N-masking.")
+def mask(input_path, output_path, minperc, maxperc, step, mutate):
+    """Progressive masking/mutation series for robustness testing."""
+    from jaeger_tpu.commands.utils import mask_core
+
+    n = mask_core(input_path, output_path, minperc=minperc, maxperc=maxperc,
+                  step=step, mutate=mutate)
+    click.echo(f"{n} entries written to {output_path}")
+
+
+@utils.command()
+@click.option("-i", "--input", "input_path", required=True,
+              type=click.Path(exists=True))
+@click.option("-o", "--output", "output_path", required=True)
+@click.option("--itype", required=True,
+              type=click.Choice(["CSV", "FASTA"], case_sensitive=False))
+def convert(input_path, output_path, itype):
+    """Convert between CSV (class,sequence,id) and FASTA."""
+    from jaeger_tpu.commands.utils import convert_core
+
+    n = convert_core(input_path, output_path, itype)
+    click.echo(f"{n} records converted")
+
+
+@utils.command()
+@click.option("-i", "--input", "input_path", required=True,
+              type=click.Path(exists=True))
+def stats(input_path):
+    """Summary statistics for a prediction TSV."""
+    import json
+
+    from jaeger_tpu.commands.utils import stats_core
+
+    click.echo(json.dumps(stats_core(input_path), indent=2, default=str))
+
+
+@utils.command("split")
+@click.option("-i", "--input", "input_path", required=True,
+              type=click.Path(exists=True))
+@click.option("-o", "--output", "output_path", required=True)
+@click.option("--minlen", default=2000, show_default=True)
+@click.option("--maxlen", default=5000, show_default=True)
+@click.option("--overlap", default=0, show_default=True)
+@click.option("--coverage", default=None, type=float)
+@click.option("--circular", is_flag=True, default=False)
+@click.option("--max-n-prop", default=0.1, show_default=True)
+@click.option("--seed", default=None, type=int)
+@click.option("--shuffle", is_flag=True, default=False)
+def split_cmd(input_path, output_path, minlen, maxlen, overlap, coverage,
+              circular, max_n_prop, seed, shuffle):
+    """Simulate metagenome assemblies by fragment sampling."""
+    from jaeger_tpu.dataops.split import split_core
+
+    n = split_core(input_path, output_path, minlen=minlen, maxlen=maxlen,
+                   overlap=overlap, coverage=coverage, circular=circular,
+                   max_n_prop=max_n_prop, seed=seed, shuffle=shuffle)
+    click.echo(f"{n} fragments written to {output_path}")
+
+
+@utils.command("ood-data")
+@click.option("-i", "--input", "input_path", required=True,
+              type=click.Path(exists=True))
+@click.option("-o", "--output", "output_path", required=True)
+@click.option("--method", default="dinuc", show_default=True,
+              type=click.Choice(["dinuc", "kmer", "random"]))
+@click.option("--kmer", default=2, show_default=True)
+@click.option("--n-shuffles", default=1, show_default=True)
+@click.option("--tandem-repeats", default=0, show_default=True)
+@click.option("--seed", default=42, show_default=True)
+@click.option("--output-format", default="csv", show_default=True,
+              type=click.Choice(["csv", "fasta"]))
+def ood_data(input_path, output_path, method, kmer, n_shuffles,
+             tandem_repeats, seed, output_format):
+    """Build a shuffled-negative OOD dataset."""
+    from jaeger_tpu.dataops.ood import shuffle_core
+
+    summary = shuffle_core(input_path, output_path, method=method, kmer=kmer,
+                           n_shuffles=n_shuffles,
+                           tandem_repeats=tandem_repeats, seed=seed,
+                           output_format=output_format)
+    click.echo(summary)
+
+
+@utils.command("dataset")
+@click.option("-i", "--input", "input_path", required=True,
+              type=click.Path(exists=True))
+@click.option("-o", "--out-prefix", "out_prefix", required=True)
+@click.option("--frag-len", default=2048, show_default=True)
+@click.option("--overlap", default=1024, show_default=True)
+@click.option("--trainperc", default=0.8, show_default=True)
+@click.option("--valperc", default=0.1, show_default=True)
+@click.option("--testperc", default=0.1, show_default=True)
+@click.option("--label", default=0, show_default=True)
+@click.option("--seed", default=42, show_default=True)
+def dataset(input_path, out_prefix, frag_len, overlap, trainperc, valperc,
+            testperc, label, seed):
+    """Fragment + dedupe + split genomes into train/val/test CSVs."""
+    from jaeger_tpu.commands.utils import dataset_core
+
+    summary = dataset_core(input_path, out_prefix, frag_len=frag_len,
+                           overlap=overlap, trainperc=trainperc,
+                           valperc=valperc, testperc=testperc, label=label,
+                           seed=seed)
+    click.echo(summary)
+
+
 if __name__ == "__main__":
     main()

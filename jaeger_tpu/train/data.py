@@ -104,6 +104,41 @@ def batches_from_csv(
         yield {"bases": bases, "lengths": lengths, "labels": onehot}
 
 
+def load_npz_dataset(path: str | Path, key: str = "translated") -> dict:
+    """Load a converter NPZ (dense, object-ragged, or sharded-manifest).
+
+    Layout parity: :mod:`jaeger_tpu.dataops.convert` and the reference's
+    ``dataops/convert.py`` output (``data/loaders.py:908-1142`` reader).
+    Returns {key, labels, lengths, translated_lengths}.
+    """
+    data = np.load(path, allow_pickle=True)
+    names = set(data.files)
+    if "_jaeger_manifest" in names:
+        import json
+
+        manifest = json.loads(str(data["_jaeger_manifest"]))
+        out: dict[str, np.ndarray] = {}
+        for k in manifest["keys"]:
+            parts = [
+                data[f"{k}_{s['index']:05d}"] for s in manifest["shards"]
+            ]
+            out[k] = np.concatenate(parts, axis=0)
+        return out
+    return {k: data[k] for k in names if not k.endswith("_map")
+            and k != "codon_map"}
+
+
+def _densify(feats: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """Pad a batch of ragged (object) arrays to the batch max length."""
+    items = [feats[i] for i in idx]
+    max_len = max(a.shape[-1] for a in items)
+    out = np.zeros((len(items),) + items[0].shape[:-1] + (max_len,),
+                   dtype=items[0].dtype)
+    for j, a in enumerate(items):
+        out[j, ..., : a.shape[-1]] = a
+    return out
+
+
 def batches_from_npz(
     path: str | Path,
     batch_size: int,
@@ -114,12 +149,13 @@ def batches_from_npz(
 ) -> Iterator[dict[str, np.ndarray]]:
     """Batches from a preprocessed NPZ of frame tokens + labels.
 
-    NPZ layout parity: ``dataops/convert.py`` output — arrays named
-    ``translated`` (N, 6, L) int tokens (already +1 shifted) or
-    ``nucleotide``; ``labels`` (N,) ints.
+    Handles dense (N, 6, L) arrays, ragged object arrays (padded to the
+    batch max — the reference's ragged/densify path), and sharded
+    manifests.
     """
-    data = np.load(path, allow_pickle=False)
-    feats = np.asarray(data[key])
+    data = load_npz_dataset(path, key)
+    feats = data[key]
+    ragged = feats.dtype == object
     labels = np.asarray(data["labels"]).astype(np.int64).reshape(-1)
     n = feats.shape[0]
     rng = np.random.default_rng(seed)
@@ -127,8 +163,11 @@ def batches_from_npz(
         order = rng.permutation(n)
         for i in range(0, n - batch_size + 1, batch_size):
             idx = order[i : i + batch_size]
+            batch_feats = (
+                _densify(feats, idx) if ragged else feats[idx]
+            )
             onehot = np.zeros((batch_size, num_classes), dtype=np.float32)
             onehot[np.arange(batch_size), labels[idx]] = 1.0
-            yield {key: feats[idx], "labels": onehot}
+            yield {key: batch_feats, "labels": onehot}
         if not repeat:
             return

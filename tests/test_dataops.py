@@ -1,0 +1,279 @@
+"""Dataops tests: converter, loaders, transforms, synthetic, OOD, split."""
+
+import numpy as np
+import pytest
+
+from jaeger_tpu.dataops.convert import (
+    _class_interleaved_permutation,
+    _crop_starts,
+    convert_dataset,
+    encode_nucleotide_batch,
+    encode_translated_batch,
+    translated_frame_length,
+)
+from jaeger_tpu.seqops import crop
+from jaeger_tpu.seqops.transform import (
+    dinuc_shuffle,
+    kmer_shuffle,
+    reverse_complement,
+    shuffle_dna,
+)
+from jaeger_tpu.seqops.windows import encode_ascii
+from jaeger_tpu.train.data import batches_from_npz, load_npz_dataset
+
+
+def _csv(tmp_path, rows):
+    p = tmp_path / "data.csv"
+    p.write_text("".join(f"{label},{seq}\n" for label, seq in rows))
+    return str(p)
+
+
+class TestEncoders:
+    def test_matches_device_encoder_at_contract_crop(self, random_dna):
+        """Converter tokens == device-encoder tokens at nt = 3c + 5."""
+        from jaeger_tpu.ops.encode import encode_frames
+
+        crop_nt = crop.codons_to_nucleotides(33)  # 104
+        seqs = [random_dna(crop_nt) for _ in range(5)]
+        bases = np.stack([encode_ascii(s) for s in seqs])
+        lengths = np.full(5, crop_nt, np.int32)
+        conv = encode_translated_batch(bases, lengths, crop_nt)
+        dev = np.asarray(encode_frames(bases, lengths, crop_size=crop_nt))
+        np.testing.assert_array_equal(conv, dev)
+
+    def test_frame_length_arithmetic(self):
+        assert translated_frame_length(500) == 165
+        assert translated_frame_length(1505) == 500
+        assert translated_frame_length(500, dicodon=True) == 164
+        assert translated_frame_length(3) == 0
+
+    def test_short_sequence_masked_tail(self, random_dna):
+        bases = np.full((1, 100), 4, np.uint8)
+        ids = encode_ascii(random_dna(40))
+        bases[0, :40] = ids
+        out = encode_translated_batch(bases, np.array([40]), 100)
+        k_valid = 40 // 3 - 1
+        assert (out[0, :, :k_valid] > 0).all()
+        assert (out[0, :, k_valid:] == 0).all()
+
+    def test_dicodon(self, random_dna):
+        s = random_dna(65)
+        bases = encode_ascii(s)[None]
+        out = encode_translated_batch(
+            bases, np.array([65]), 65, codon_map="cod_id"
+        )
+        assert out.shape == (1, 6, translated_frame_length(65, True))
+        assert out.max() <= 4096
+
+    def test_nucleotide_int_map(self):
+        bases = encode_ascii("AGTCN")[None]
+        out = encode_nucleotide_batch(bases, np.array([5]), 5)
+        # default map {A:1,G:2,T:3,C:4,N:0}
+        np.testing.assert_array_equal(out[0, 0], [1, 2, 3, 4, 0])
+        # reverse strand: complement of reversed = N G A C T
+        np.testing.assert_array_equal(out[0, 1], [0, 2, 1, 4, 3])
+
+    def test_nucleotide_onehot(self):
+        bases = encode_ascii("AGCTN")[None]
+        out = encode_nucleotide_batch(
+            bases, np.array([5]), 5, one_hot=True
+        )
+        assert out.shape == (1, 2, 5, 4)
+        assert out[0, 0, 4].sum() == 0  # N -> zero row
+
+
+class TestConvert:
+    def test_roundtrip(self, tmp_path, random_dna):
+        rows = [(i % 3, random_dna(120)) for i in range(30)]
+        csv = _csv(tmp_path, rows)
+        out = tmp_path / "out.npz"
+        summary = convert_dataset(csv, str(out), crop_size=104,
+                                  compress="fast")
+        assert summary["rows"] == 30
+        data = load_npz_dataset(out)
+        assert data["translated"].shape == (30, 6, 33)
+        assert set(np.unique(data["labels"])) == {0, 1, 2}
+        np.testing.assert_array_equal(data["lengths"], np.full(30, 104))
+
+    def test_multi_crop_sliding(self, tmp_path, random_dna):
+        rows = [(0, random_dna(300))]
+        csv = _csv(tmp_path, rows)
+        out = tmp_path / "out.npz"
+        summary = convert_dataset(csv, str(out), crop_size=[100],
+                                  stride=100)
+        # starts 0,100,200 for a 300bp seq at crop 100
+        assert summary["rows"] == 3
+
+    def test_crop_starts(self):
+        assert _crop_starts(300, 100, 100) == [0, 100, 200]
+        assert _crop_starts(350, 100, 100) == [0, 100, 200, 250]
+        assert _crop_starts(90, 100, 100) == [0]
+        assert _crop_starts(300, 100, 0) == [0]
+
+    def test_ragged_output(self, tmp_path, random_dna):
+        rows = [(0, random_dna(80)), (1, random_dna(120))]
+        csv = _csv(tmp_path, rows)
+        out = tmp_path / "ragged.npz"
+        convert_dataset(csv, str(out), crop_size=104, pad=False)
+        data = load_npz_dataset(out)
+        assert data["translated"].dtype == object
+        assert data["translated"][0].shape[-1] == 80 // 3 - 1
+
+    def test_sharded_manifest(self, tmp_path, random_dna):
+        rows = [(i % 2, random_dna(60)) for i in range(25)]
+        csv = _csv(tmp_path, rows)
+        out = tmp_path / "shards.npz"
+        convert_dataset(csv, str(out), crop_size=59, shard_size=10,
+                        balance_classes=True)
+        data = load_npz_dataset(out)
+        assert data["translated"].shape[0] == 25
+
+    def test_balanced_interleave(self):
+        labels = np.array([0] * 8 + [1] * 4)
+        perm = _class_interleaved_permutation(labels, seed=0)
+        # every prefix should be close to the global ratio
+        seq = labels[perm]
+        first_half = seq[:6]
+        assert 1 <= (first_half == 1).sum() <= 3
+
+    def test_batches_from_npz(self, tmp_path, random_dna):
+        rows = [(i % 3, random_dna(104)) for i in range(40)]
+        csv = _csv(tmp_path, rows)
+        out = tmp_path / "b.npz"
+        convert_dataset(csv, str(out), crop_size=104)
+        b = next(batches_from_npz(out, batch_size=16, num_classes=3))
+        assert b["translated"].shape == (16, 6, 33)
+        assert b["labels"].shape == (16, 3)
+
+
+class TestTransforms:
+    def test_reverse_complement(self):
+        assert reverse_complement("ATGC") == "GCAT"
+        assert reverse_complement("ATGCN") == "NGCAT"
+        assert reverse_complement("RYKM") == "KMRY"
+
+    def test_shuffle_preserves_mono(self):
+        s = "AAATTTGGGCCCC"
+        out = shuffle_dna(s, np.random.default_rng(0))
+        assert sorted(out) == sorted(s)
+
+    def test_kmer_shuffle(self):
+        s = "AABBCCDDEE"
+        out = kmer_shuffle(s, k=2, rng=np.random.default_rng(1))
+        assert sorted(out[i:i+2] for i in range(0, 10, 2)) == [
+            "AA", "BB", "CC", "DD", "EE"
+        ]
+
+    def test_dinuc_shuffle_preserves_dinucs(self, random_dna):
+        s = random_dna(400)
+
+        def dinuc_counts(x):
+            from collections import Counter
+
+            return Counter(x[i:i+2] for i in range(len(x) - 1))
+
+        out = dinuc_shuffle(s, rng=np.random.default_rng(0))
+        assert len(out) == len(s)
+        assert dinuc_counts(out) == dinuc_counts(s)
+        assert out != s  # overwhelmingly likely for 400bp
+
+    def test_dinuc_shuffle_multi(self, random_dna):
+        outs = dinuc_shuffle(random_dna(100), num_shufs=3,
+                             rng=np.random.default_rng(0))
+        assert len(outs) == 3
+
+
+class TestSyntheticAndOOD:
+    def test_synthetic_generators(self):
+        import random as pyrandom
+
+        from jaeger_tpu.seqops import synthetic as syn
+
+        pyrandom.seed(0)
+        assert syn.generate_homopolymer(5, "G") == "GGGGG"
+        assert syn.generate_tandem_repeat("AT", 3) == "ATATAT"
+        reps = syn.generate_random_tandem_repeats(3)
+        assert all(len(r) <= 2048 for r in reps)
+        seq = "ATGC" * 100
+        out = syn.apply_n_stretch(seq, (0.2, 0.3))
+        assert len(out) == len(seq)
+        frac = out.count("N") / len(out)
+        assert 0.15 <= frac <= 0.35
+        out2 = syn.apply_tandem_repeat_window(seq)
+        assert len(out2) == len(seq)
+        mix = syn.apply_mix(["A" * 50, "G" * 50], output_length=60)
+        assert len(mix) == 60
+
+    def test_ood_builder(self, tmp_path, random_dna):
+        src = tmp_path / "in.csv"
+        src.write_text("".join(f"1,{random_dna(100)}\n" for _ in range(5)))
+        out = tmp_path / "ood.csv"
+        from jaeger_tpu.dataops.ood import shuffle_core
+
+        summary = shuffle_core(str(src), str(out), method="dinuc",
+                               n_shuffles=2, tandem_repeats=3)
+        assert summary["id"] == 5
+        assert summary["ood"] == 13
+        lines = out.read_text().strip().split("\n")
+        assert len(lines) == 18
+
+    def test_split_core(self, tmp_path, random_dna):
+        from jaeger_tpu.dataops.split import split_core
+        from jaeger_tpu.seqops.fasta import read_fasta
+
+        src = tmp_path / "genome.fasta"
+        src.write_text(f">g1\n{random_dna(20000)}\n")
+        out = tmp_path / "frags.fasta"
+        n = split_core(str(src), str(out), minlen=1000, maxlen=2000,
+                       seed=1)
+        assert n >= 10
+        frags = list(read_fasta(out))
+        assert all(1000 <= len(s) <= 2000 for _, s in frags)
+
+    def test_split_coverage(self, tmp_path, random_dna):
+        from jaeger_tpu.dataops.split import split_core
+
+        src = tmp_path / "genome.fasta"
+        src.write_text(f">g1\n{random_dna(10000)}\n")
+        out = tmp_path / "cov.fasta"
+        n = split_core(str(src), str(out), minlen=500, maxlen=500,
+                       coverage=2.0, seed=1)
+        assert n >= 35  # ~2x coverage of 10kb at 500bp
+
+
+class TestUtilsCommands:
+    def test_mask_core(self, tmp_path, random_dna):
+        from jaeger_tpu.commands.utils import mask_core
+
+        src = tmp_path / "in.fasta"
+        src.write_text(f">s1\n{random_dna(200)}\n")
+        out = tmp_path / "masked.fasta"
+        n = mask_core(str(src), str(out), minperc=0.0, maxperc=0.05,
+                      step=0.01, seed=0)
+        assert n == 6  # 0.00 .. 0.05
+        text = out.read_text()
+        assert "_mutperc_5.00" in text
+
+    def test_convert_roundtrip(self, tmp_path, random_dna):
+        from jaeger_tpu.commands.utils import convert_core
+
+        csv = tmp_path / "in.csv"
+        seqs = [(i, random_dna(50)) for i in range(4)]
+        csv.write_text(
+            "".join(f"{i},{s},seq{i}\n" for i, s in seqs)
+        )
+        fasta = tmp_path / "out.fasta"
+        assert convert_core(str(csv), str(fasta), "CSV") == 4
+        back = tmp_path / "back.csv"
+        assert convert_core(str(fasta), str(back), "FASTA") == 4
+        assert back.read_text().count("seq") == 4
+
+    def test_fragment_core(self, tmp_path, random_dna):
+        from jaeger_tpu.commands.utils import fragment_core
+
+        src = tmp_path / "in.fasta"
+        src.write_text(f">c1\n{random_dna(5000)}\n")
+        out = tmp_path / "frags.csv"
+        n = fragment_core(str(src), str(out), fsize=2000, label=1)
+        assert n == 2
+        assert out.read_text().startswith("1,")
