@@ -112,13 +112,24 @@ def health() -> None:
 @click.option("--epochs", default=None, type=int,
               help="Override classifier epochs.")
 @click.option("--steps-per-epoch", default=None, type=int)
-def train(config_path, output_dir, epochs, steps_per_epoch):
+@click.option("--self-supervised-pretraining", is_flag=True, default=False,
+              help="Run the ArcFace projection pretraining branch first.")
+@click.option("--generate-reliability-data", is_flag=True, default=None,
+              help="Generate ID/OOD reliability data with the classifier.")
+@click.option("--from-last-checkpoint", is_flag=True, default=False,
+              help="Resume from the most advanced branch checkpoint.")
+def train(config_path, output_dir, epochs, steps_per_epoch,
+          self_supervised_pretraining, generate_reliability_data,
+          from_last_checkpoint):
     """Train a fragment classifier from a YAML config."""
     from jaeger_tpu.commands.train import train_fragment_core
 
     train_fragment_core(
         config_path=config_path, output_dir=output_dir,
         epochs_override=epochs, steps_override=steps_per_epoch,
+        self_supervised_pretraining=self_supervised_pretraining,
+        generate_reliability=generate_reliability_data,
+        from_last_checkpoint=from_last_checkpoint,
     )
 
 

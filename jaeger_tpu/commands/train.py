@@ -1,36 +1,52 @@
-"""Training orchestration.
+"""Training orchestration: projection -> classifier -> reliability.
 
 Parity target: reference ``commands/train.py:603-1242``
-(``train_fragment_core``): config-driven branch training
-(projection-pretrain -> classifier -> reliability), convergence markers,
-checkpoint/resume, SavedModel-equivalent export. This first revision
-covers the classifier branch end-to-end (data -> jitted step -> metrics ->
-export); the projection/reliability branches and threshold tuning land
-with the training milestone.
+(``train_fragment_core``) — config-driven branch training with
+convergence markers, per-epoch checkpointing + resume, callback state
+persistence, reliability data generation, threshold tuning, refinement
+fitting, and model export. The inner loop is the jitted data-parallel
+step from :mod:`jaeger_tpu.train.loop`.
 """
 
 from __future__ import annotations
 
-import json
 import logging
 import time
 from pathlib import Path
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from jaeger_tpu.models.artifacts import save_model
 from jaeger_tpu.models.builder import ModelBuilder, load_model_config
 from jaeger_tpu.parallel import mesh as meshlib
 from jaeger_tpu.train import data as data_lib
-from jaeger_tpu.train.loop import StepConfig, TrainState, make_train_step, shard_train_step
-from jaeger_tpu.train.optimizers import make_optimizer
+from jaeger_tpu.train import losses as losses_lib
+from jaeger_tpu.train.callbacks import build_callbacks
+from jaeger_tpu.train.checkpoint import (
+    CheckpointManager,
+    TrainingStatePersistence,
+    read_convergence_marker,
+    resolve_resume_stage,
+    write_convergence_marker,
+)
+from jaeger_tpu.train.loop import (
+    StepConfig,
+    TrainState,
+    make_train_step,
+)
+from jaeger_tpu.train.optimizers import (
+    get_learning_rate,
+    make_optimizer,
+    set_learning_rate,
+)
 
 logger = logging.getLogger("jaeger_tpu")
 
 
 def _fragment_paths(train_cfg: dict, key: str = "fragment_classifier_data"):
-    """Flatten the config's data section (reference nnlib/builder.py:1726)."""
+    """Flatten a data section (reference ``nnlib/builder.py:1726-1744``)."""
     out: dict[str, dict] = {}
     for split, entries in (train_cfg.get(key) or {}).items():
         paths, labels, classes = [], [], []
@@ -42,19 +58,135 @@ def _fragment_paths(train_cfg: dict, key: str = "fragment_classifier_data"):
     return out
 
 
-def write_convergence_marker(directory: Path, branch: str, info: dict) -> None:
-    """Parity: reference ``commands/train.py:83-95`` converged.json."""
-    directory.mkdir(parents=True, exist_ok=True)
-    (directory / "converged.json").write_text(
-        json.dumps({"branch": branch, **info})
-    )
-
-
-def read_convergence_marker(directory: Path) -> dict | None:
-    marker = directory / "converged.json"
-    if marker.exists():
-        return json.loads(marker.read_text())
+def _label_map(sp: dict, kind: str = "classifier") -> dict[int, int] | None:
+    src = sp.get(f"{kind}_labels", [])
+    dst = sp.get(f"{kind}_labels_map", [])
+    if src and dst:
+        return {int(a): int(b) for a, b in zip(src, dst)}
     return None
+
+
+def _class_weights(train_cfg: dict, key: str, num_classes: int):
+    cw = train_cfg.get(key)
+    if not cw:
+        return None
+    weights = np.ones(num_classes, np.float32)
+    for k, v in cw.items():
+        weights[int(k)] = float(v)
+    return jnp.asarray(weights)
+
+
+def _make_eval_fn(model, loss_name: str, output_key: str = "prediction"):
+    loss_fn = losses_lib.LOSSES[loss_name]
+
+    @jax.jit
+    def eval_step(variables, batch):
+        inputs = {k: v for k, v in batch.items() if k != "labels"}
+        out = model.apply(variables, inputs, train=False)
+        logits = out[output_key]
+        loss = loss_fn(batch["labels"], logits)
+        if logits.shape[-1] == 1:
+            acc = jnp.mean(
+                (logits[:, 0] > 0).astype(jnp.float32)
+                == batch["labels"].reshape(-1)
+            )
+        else:
+            acc = jnp.mean(
+                jnp.argmax(logits, -1) == jnp.argmax(batch["labels"], -1)
+            )
+        return loss, acc
+
+    def evaluate(variables, batches, max_steps: int) -> dict:
+        losses, accs = [], []
+        for i, batch in enumerate(batches):
+            if i >= max_steps:
+                break
+            dev = {k: jnp.asarray(v) for k, v in batch.items()}
+            loss, acc = eval_step(variables, dev)
+            losses.append(float(loss))
+            accs.append(float(acc))
+        if not losses:
+            return {}
+        return {
+            "val_loss": float(np.mean(losses)),
+            "val_accuracy": float(np.mean(accs)),
+        }
+
+    return evaluate
+
+
+def _run_branch(
+    branch: str,
+    model,
+    state: TrainState,
+    step_fn,
+    make_train_batches,
+    make_val_batches,
+    epochs: int,
+    steps_per_epoch: int,
+    val_steps: int,
+    ckpt_dir: Path,
+    callbacks: dict,
+    evaluate,
+    rng,
+    start_epoch: int = 0,
+) -> tuple[TrainState, list[dict]]:
+    """One branch's epoch loop with callbacks + checkpoints."""
+    mgr = CheckpointManager(ckpt_dir)
+    persist = TrainingStatePersistence(ckpt_dir)
+    history: list[dict] = []
+    nan_guard = callbacks.get("nan_guard")
+    early = callbacks.get("early_stopping")
+    reduce_lr = callbacks.get("reduce_lr")
+    csv_logger = callbacks.get("csv_logger")
+
+    for epoch in range(start_epoch, epochs):
+        t0 = time.time()
+        metrics = None
+        for i, batch in enumerate(make_train_batches(epoch)):
+            if i >= steps_per_epoch:
+                break
+            rng, step_rng = jax.random.split(rng)
+            dev = {k: jnp.asarray(v) for k, v in batch.items()}
+            state, metrics = step_fn(state, dev, step_rng)
+            if nan_guard is not None and i % 50 == 0:
+                if nan_guard.on_step(float(metrics["loss"])):
+                    logger.error(f"{branch}: non-finite loss, stopping")
+                    return state, history
+        if metrics is None:
+            break
+        epoch_metrics = {k: float(v) for k, v in metrics.items()}
+        if make_val_batches is not None and val_steps > 0:
+            epoch_metrics.update(
+                evaluate(state.variables, make_val_batches(), val_steps)
+            )
+        epoch_metrics["epoch_time_s"] = time.time() - t0
+        history.append({"epoch": epoch, **epoch_metrics})
+        logger.info(f"{branch} epoch {epoch}: {epoch_metrics}")
+        if csv_logger is not None:
+            csv_logger.on_epoch_end(epoch, epoch_metrics)
+
+        mgr.save(epoch, state.variables, epoch_metrics)
+        lr = get_learning_rate(state.opt_state)
+        if reduce_lr is not None:
+            new_lr = reduce_lr.on_epoch_end(epoch_metrics, lr)
+            if new_lr is not None:
+                logger.info(f"{branch}: reducing lr {lr} -> {new_lr}")
+                state = state.replace(
+                    opt_state=set_learning_rate(state.opt_state, new_lr)
+                )
+                lr = new_lr
+        persist.save(epoch, lr, callbacks)
+        if early is not None and early.on_epoch_end(
+            epoch_metrics, state.params
+        ):
+            logger.info(f"{branch}: early stopping at epoch {epoch}")
+            if early.restore_best_weights and early.best_params is not None:
+                state = state.replace(params=early.best_params)
+            break
+    if csv_logger is not None:
+        csv_logger.close()
+    return state, history
 
 
 def train_fragment_core(
@@ -65,120 +197,380 @@ def train_fragment_core(
     batch_override: int | None = None,
     use_mesh: bool = True,
     save: bool = True,
+    self_supervised_pretraining: bool = False,
+    generate_reliability: bool | None = None,
+    from_last_checkpoint: bool = False,
 ) -> dict:
     config = load_model_config(config_path)
     model_cfg = config.get("model", {})
     train_cfg = config.get("training", {})
+    sp = model_cfg.get("string_processor", {})
 
     builder = ModelBuilder(config)
     model, variables = builder.init()
     codons, crop_nt = builder.crop
     num_classes = int(model_cfg.get("classifier_out_dim", 3))
+    seed = int(model_cfg.get("seed", 42))
+    rng = jax.random.PRNGKey(seed)
+
+    out_root = Path(
+        output_dir
+        or train_cfg.get("model_saving", {}).get("path", "model_out")
+    )
+    ckpt_root = out_root / "checkpoints"
+    data_format = sp.get("data_format", "csv")
 
     batch_size = int(batch_override or train_cfg.get("batch_size", 64))
-    epochs = int(
-        epochs_override
-        if epochs_override is not None
-        else train_cfg.get("classifier_epochs", 1)
-    )
-    steps_per_epoch = int(
-        steps_override or train_cfg.get("classifier_train_steps", 100)
-    )
-
     mesh = None
     if use_mesh and len(jax.devices()) > 1:
         mesh = meshlib.data_mesh()
         batch_size = meshlib.pad_to_multiple(batch_size, mesh.devices.size)
 
-    tx = make_optimizer(
-        train_cfg.get("optimizer", "adam"),
-        train_cfg.get("optimizer_params", {}),
-        accumulation_steps=int(train_cfg.get("accumulation_steps", 1) or 1),
-    )
-    state = TrainState.create(variables, tx)
-
-    class_weights = None
-    cw = train_cfg.get("classifier_class_weights")
-    if cw:
-        class_weights = np.ones(num_classes, np.float32)
-        for k, v in cw.items():
-            class_weights[int(k)] = float(v)
-        import jax.numpy as jnp
-
-        class_weights = jnp.asarray(class_weights)
-
-    step_fn = make_train_step(
-        model,
-        StepConfig(
-            loss_name=train_cfg.get("loss_classifier",
-                                    "categorical_crossentropy"),
-            loss_params=train_cfg.get("loss_params_classifier", {}),
-            class_weights=class_weights,
-            reg_specs=tuple(builder.regularizer_specs()),
-        ),
-    )
-    if mesh is not None:
-        step_fn = shard_train_step(step_fn, mesh)
-    else:
-        step_fn = jax.jit(step_fn, donate_argnums=(0,))
+    # --- resume (reliability > classifier > projection) ---
+    start_epochs = {"projection": 0, "classifier": 0, "reliability": 0}
+    if from_last_checkpoint:
+        stage, entry = resolve_resume_stage(ckpt_root)
+        if stage is not None:
+            mgr = CheckpointManager(ckpt_root / stage)
+            variables = mgr.restore(entry, variables)
+            start_epochs[stage] = entry["epoch"] + 1
+            logger.info(
+                f"resumed from {stage} checkpoint epoch {entry['epoch']}"
+            )
 
     paths = _fragment_paths(train_cfg)
     train_paths = paths.get("train", {}).get("paths", [])
-    if not train_paths:
-        raise ValueError("no fragment_classifier_data.train paths configured")
+    val_paths = paths.get("validation", {}).get("paths", [])
+    label_map = _label_map(sp)
 
-    sp = model_cfg.get("string_processor", {})
-    labels_src = sp.get("classifier_labels", [])
-    labels_dst = sp.get("classifier_labels_map", [])
-    label_map = (
-        {int(a): int(b) for a, b in zip(labels_src, labels_dst)}
-        if labels_src and labels_dst else None
-    )
-
-    rng = jax.random.PRNGKey(int(model_cfg.get("seed", 42)))
-    history = []
-    t0 = time.time()
-    for epoch in range(epochs):
-        batches = data_lib.batches_from_csv(
-            train_paths, batch_size=batch_size, crop_nt=crop_nt,
+    def csv_batches(paths_, epoch_seed, repeat=True):
+        return data_lib.batches_from_csv(
+            paths_, batch_size=batch_size, crop_nt=crop_nt,
             num_classes=num_classes,
             shuffle_buffer=int(sp.get("buffer_size", 50000)),
-            seed=int(model_cfg.get("seed", 42)) + epoch,
-            label_map=label_map,
+            seed=seed + epoch_seed, label_map=label_map, repeat=repeat,
         )
-        metrics = None
-        for i, batch in enumerate(batches):
-            if i >= steps_per_epoch:
+
+    def npz_batches(paths_, epoch_seed, repeat=True):
+        return data_lib.batches_from_npz(
+            paths_[0], batch_size=batch_size, num_classes=num_classes,
+            seed=seed + epoch_seed, repeat=repeat,
+        )
+
+    make_batches = npz_batches if data_format == "numpy" else csv_batches
+
+    reg_specs = tuple(builder.regularizer_specs())
+    history: dict = {}
+    results: dict = {"model": model_cfg.get("name", "jaeger_model")}
+
+    # === 1. PROJECTION (self-supervised ArcFace pretraining) ===
+    proj_cfg = model_cfg.get("projection")
+    proj_epochs = int(train_cfg.get("projection_epochs", 0) or 0)
+    proj_dir = ckpt_root / "projection"
+    if (
+        proj_cfg and proj_epochs > 0 and self_supervised_pretraining
+        and train_paths and read_convergence_marker(proj_dir) is None
+    ):
+        logger.info("training projection branch (ArcFace)")
+        proj_dim = None
+        for entry in reversed(proj_cfg.get("hidden_layers", [])):
+            units = (entry.get("config") or {}).get("units")
+            if units:
+                proj_dim = int(units)
                 break
-            rng, step_rng = jax.random.split(rng)
-            import jax.numpy as jnp
+        arcface = losses_lib.ArcFaceLoss(
+            num_classes=num_classes, embedding_dim=proj_dim,
+            margin=float(proj_cfg.get("margin", 0.5)),
+            scale=float(proj_cfg.get("scale", 30.0)),
+        )
+        af_vars = arcface.init(
+            rng, jnp.zeros((2, num_classes)), jnp.zeros((2, proj_dim))
+        )
+        tx = make_optimizer(
+            train_cfg.get("optimizer", "adam"),
+            train_cfg.get("optimizer_params", {}),
+        )
+        combined = {"model": variables["params"],
+                    "arcface": af_vars["params"]}
+        opt_state = tx.init(combined)
+        batch_stats = variables.get("batch_stats", {})
 
-            dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            state, metrics = step_fn(state, dev_batch, step_rng)
-        if metrics is not None:
-            metrics = {k: float(v) for k, v in metrics.items()}
-            history.append({"epoch": epoch, **metrics})
-            logger.info(f"epoch {epoch}: {metrics}")
+        def proj_loss(params, stats, batch, step_rng):
+            v = {"params": params["model"]}
+            if stats:
+                v["batch_stats"] = stats
+            out, updates = model.apply(
+                v, {k: x for k, x in batch.items() if k != "labels"},
+                train=True, with_projection=True,
+                rngs={"dropout": step_rng},
+                mutable=["batch_stats"] if stats else [],
+            )
+            loss = arcface.apply(
+                {"params": params["arcface"]},
+                batch["labels"], out["projection"],
+            )
+            reg = losses_lib.regularization_loss(params["model"],
+                                                 list(reg_specs))
+            return loss + reg, (loss, updates.get("batch_stats", stats))
 
-    elapsed = time.time() - t0
-    result = {
-        "history": history,
-        "elapsed_s": elapsed,
-        "steps": int(state.step),
-        "params": int(
-            sum(x.size for x in jax.tree.leaves(state.params))
-        ),
-    }
+        @jax.jit
+        def proj_step(params, stats, opt_state, batch, step_rng):
+            (total, (loss, new_stats)), grads = jax.value_and_grad(
+                proj_loss, has_aux=True
+            )(params, stats, batch, step_rng)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            import optax
+
+            params = optax.apply_updates(params, updates)
+            return params, new_stats, opt_state, loss
+
+        steps = int(
+            steps_override or train_cfg.get("classifier_train_steps", 100)
+        )
+        proj_hist = []
+        for epoch in range(proj_epochs):
+            loss_val = None
+            for i, batch in enumerate(make_batches(train_paths, epoch)):
+                if i >= steps:
+                    break
+                rng, step_rng = jax.random.split(rng)
+                dev = {k: jnp.asarray(v) for k, v in batch.items()}
+                combined, batch_stats, opt_state, loss_val = proj_step(
+                    combined, batch_stats, opt_state, dev, step_rng
+                )
+            if loss_val is not None:
+                proj_hist.append(
+                    {"epoch": epoch, "loss": float(loss_val)}
+                )
+                logger.info(f"projection epoch {epoch}: "
+                            f"loss={float(loss_val):.4f}")
+        variables = {"params": combined["model"]}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        write_convergence_marker(proj_dir, "projection",
+                                 {"epochs": proj_epochs})
+        history["projection"] = proj_hist
+
+    # === 2. CLASSIFIER ===
+    cls_epochs = int(
+        epochs_override
+        if epochs_override is not None
+        else train_cfg.get("classifier_epochs", 1)
+    )
+    cls_dir = ckpt_root / "classifier"
+    if cls_epochs > 0 and train_paths and (
+        read_convergence_marker(cls_dir) is None or epochs_override
+    ):
+        tx = make_optimizer(
+            train_cfg.get("optimizer", "adam"),
+            train_cfg.get("optimizer_params", {}),
+            accumulation_steps=int(
+                train_cfg.get("accumulation_steps", 1) or 1
+            ),
+        )
+        state = TrainState.create(variables, tx)
+        step_fn = jax.jit(
+            make_train_step(
+                model,
+                StepConfig(
+                    loss_name=train_cfg.get(
+                        "loss_classifier", "categorical_crossentropy"
+                    ),
+                    loss_params=train_cfg.get("loss_params_classifier", {}),
+                    class_weights=_class_weights(
+                        train_cfg, "classifier_class_weights", num_classes
+                    ),
+                    reg_specs=reg_specs,
+                ),
+            ),
+            donate_argnums=(0,),
+        )
+        callbacks = build_callbacks(
+            train_cfg.get("callbacks", {}).get("classifier", [])
+        )
+        TrainingStatePersistence(cls_dir).restore_into(callbacks)
+        evaluate = _make_eval_fn(
+            model, train_cfg.get("loss_classifier",
+                                 "categorical_crossentropy")
+        )
+        steps = int(
+            steps_override or train_cfg.get("classifier_train_steps", 100)
+        )
+        val_steps = int(train_cfg.get("classifier_validation_steps", 10))
+        state, cls_hist = _run_branch(
+            "classifier", model, state, step_fn,
+            lambda e: make_batches(train_paths, e),
+            (lambda: make_batches(val_paths, 999, repeat=False))
+            if val_paths else None,
+            cls_epochs, steps, val_steps, cls_dir, callbacks, evaluate,
+            rng, start_epoch=start_epochs["classifier"],
+        )
+        variables = state.variables
+        write_convergence_marker(cls_dir, "classifier", {
+            "epochs": cls_epochs,
+            "final": cls_hist[-1] if cls_hist else {},
+        })
+        history["classifier"] = cls_hist
+
+    # === 3. RELIABILITY ===
+    rel_cfg = model_cfg.get("reliability_model")
+    rel_epochs = int(train_cfg.get("reliability_epochs", 0) or 0)
+    rel_dir = ckpt_root / "reliability"
+    if generate_reliability is None:
+        generate_reliability = bool(
+            train_cfg.get("generate_reliability_data", False)
+        )
+    rel_paths = _fragment_paths(train_cfg, "fragment_reliability_data")
+    if rel_cfg and rel_epochs > 0:
+        if generate_reliability and train_paths:
+            from jaeger_tpu.dataops.reliability_generator import (
+                generate_reliability_data,
+            )
+
+            rel_paths = generate_reliability_data(
+                model, variables, train_paths[0],
+                str(out_root / "reliability_data"), crop_nt,
+            )
+        rel_train = rel_paths.get("train", {}).get("paths", [])
+        rel_val = rel_paths.get("validation", {}).get("paths", [])
+        if rel_train:
+            logger.info("training reliability branch (rep+classifier frozen)")
+            tx = make_optimizer(
+                train_cfg.get("optimizer", "adam"),
+                train_cfg.get("optimizer_params", {}),
+            )
+            state = TrainState.create(variables, tx)
+            step_fn = jax.jit(
+                make_train_step(
+                    model,
+                    StepConfig(
+                        loss_name=train_cfg.get(
+                            "loss_reliability", "binary_crossentropy"
+                        ),
+                        loss_params=train_cfg.get(
+                            "loss_params_reliability", {}
+                        ),
+                        output_key="reliability",
+                        frozen_prefixes=(
+                            "embedding", "rep", "classifier", "projection",
+                        ),
+                    ),
+                ),
+                donate_argnums=(0,),
+            )
+
+            def rel_batches(paths_, epoch_seed, repeat=True):
+                return data_lib.batches_from_csv(
+                    paths_, batch_size=batch_size, crop_nt=crop_nt,
+                    num_classes=1, seed=seed + epoch_seed, repeat=repeat,
+                    label_map=_label_map(sp, "reliability"),
+                )
+
+            callbacks = build_callbacks(
+                train_cfg.get("callbacks", {}).get("reliability", [])
+            )
+            evaluate = _make_eval_fn(
+                model, train_cfg.get("loss_reliability",
+                                     "binary_crossentropy"),
+                output_key="reliability",
+            )
+            steps = int(
+                steps_override
+                or train_cfg.get("reliability_train_steps", 100)
+            )
+            val_steps = int(
+                train_cfg.get("reliability_validation_steps", 10)
+            )
+            state, rel_hist = _run_branch(
+                "reliability", model, state, step_fn,
+                lambda e: rel_batches(rel_train, e),
+                (lambda: rel_batches(rel_val, 999, repeat=False))
+                if rel_val else None,
+                rel_epochs, steps, val_steps, rel_dir, callbacks, evaluate,
+                rng, start_epoch=start_epochs["reliability"],
+            )
+            variables = state.variables
+            write_convergence_marker(rel_dir, "reliability",
+                                     {"epochs": rel_epochs})
+            history["reliability"] = rel_hist
+
+            # --- threshold tuning + calibration (reference
+            # commands/train.py:1144-1195) ---
+            if rel_val:
+                scores, labels = _collect_reliability_scores(
+                    model, variables, rel_val[0], crop_nt, batch_size
+                )
+                if np.unique(labels).size >= 2:
+                    from jaeger_tpu.postprocess.threshold import (
+                        calibration_summary,
+                        tune_reliability_threshold,
+                        write_calibration_outputs,
+                        write_threshold_outputs,
+                    )
+
+                    best, rows, summary = tune_reliability_threshold(
+                        scores, labels
+                    )
+                    write_threshold_outputs(rel_dir, best, rows)
+                    ece, brier, cal_rows = calibration_summary(
+                        scores, labels
+                    )
+                    write_calibration_outputs(rel_dir, cal_rows)
+                    results["reliability_threshold"] = best
+                    results["reliability_auroc"] = summary["auroc"]
+                    logger.info(
+                        f"reliability threshold={best} "
+                        f"auroc={summary['auroc']:.3f} ece={ece:.3f}"
+                    )
+
+    results["history"] = history
+    results["params"] = int(
+        sum(x.size for x in jax.tree.leaves(variables["params"]))
+    )
 
     if save:
-        out = Path(
-            output_dir
-            or train_cfg.get("model_saving", {}).get("path", "model_out")
+        save_model(variables, config, out_root)
+        results["model_path"] = str(out_root)
+        logger.info(f"model saved to {out_root}")
+    return results
+
+
+def _collect_reliability_scores(model, variables, csv_path, crop_nt,
+                                batch_size):
+    """Sigmoid reliability scores + ID/OOD labels over a CSV."""
+    from jaeger_tpu.dataops.reliability_generator import _predict_csv_rows  # noqa: F401
+    from jaeger_tpu.seqops.windows import BASE_N, encode_ascii
+
+    rows = []
+    with open(csv_path) as fh:
+        for line in fh:
+            parts = line.strip().split(",")
+            if len(parts) >= 2:
+                try:
+                    rows.append((int(parts[0]), parts[1]))
+                except ValueError:
+                    continue
+    scores, labels = [], []
+    for i in range(0, len(rows), batch_size):
+        chunk = rows[i : i + batch_size]
+        n = len(chunk)
+        bases = np.full((batch_size, crop_nt), BASE_N, dtype=np.uint8)
+        lengths = np.zeros(batch_size, dtype=np.int32)
+        for j, (_, seq) in enumerate(chunk):
+            ids = encode_ascii(seq[:crop_nt])
+            bases[j, : ids.shape[0]] = ids
+            lengths[j] = ids.shape[0]
+        out = model.apply(
+            variables,
+            {"bases": jnp.asarray(bases), "lengths": jnp.asarray(lengths)},
+            train=False,
         )
-        save_model(state.variables, config, out)
-        write_convergence_marker(out, "classifier", {
-            "steps": int(state.step), "history": history[-1:] if history else [],
-        })
-        result["model_path"] = str(out)
-        logger.info(f"model saved to {out}")
-    return result
+        rel = np.asarray(out["reliability"], dtype=np.float64)[:n].reshape(-1)
+        scores.extend(1 / (1 + np.exp(-rel)))
+        labels.extend(lbl for lbl, _ in chunk)
+    return np.asarray(scores), np.asarray(labels)
+
+
+def write_convergence_marker_compat(directory: Path, branch: str,
+                                    info: dict) -> None:
+    write_convergence_marker(directory, branch, info)

@@ -1,0 +1,133 @@
+"""Checkpointing and resume.
+
+Parity targets: the reference's per-branch epoch-named weight checkpoints
+(``epoch:{epoch}-loss:{val_loss}`` files, selected by
+``get_latest_h5_with_metadata``, ``nnlib/builder.py:383-441``), the
+``TrainingStateCallback`` that persists LR / plateau / early-stop state to
+``training_state.json`` (``nnlib/builder.py:101-206``), and the
+``converged.json`` branch markers (``commands/train.py:83-112``).
+
+Storage is orbax: one checkpoint per epoch under
+``<dir>/epoch_<NNN>``, with metrics recorded in ``checkpoints.json`` so
+resume can pick the latest (or best) without parsing filenames.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any
+
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str | Path, keep: int = 3):
+        self.directory = Path(directory)
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self.keep = keep
+        self._ckptr = ocp.StandardCheckpointer()
+        self._index_path = self.directory / "checkpoints.json"
+
+    def _index(self) -> list[dict]:
+        if self._index_path.exists():
+            return json.loads(self._index_path.read_text())
+        return []
+
+    def _write_index(self, index: list[dict]) -> None:
+        self._index_path.write_text(json.dumps(index, indent=1))
+
+    def save(self, epoch: int, variables: Any,
+             metrics: dict | None = None) -> Path:
+        path = (self.directory / f"epoch_{epoch:03d}").resolve()
+        self._ckptr.save(path, variables, force=True)
+        index = [e for e in self._index() if e["epoch"] != epoch]
+        index.append({
+            "epoch": epoch,
+            "path": str(path),
+            "metrics": {k: float(v) for k, v in (metrics or {}).items()},
+        })
+        index.sort(key=lambda e: e["epoch"])
+        # prune old checkpoints beyond `keep`
+        while len(index) > self.keep:
+            old = index.pop(0)
+            old_path = Path(old["path"])
+            if old_path.exists():
+                import shutil
+
+                shutil.rmtree(old_path, ignore_errors=True)
+        self._write_index(index)
+        return path
+
+    def latest(self) -> dict | None:
+        index = self._index()
+        return index[-1] if index else None
+
+    def best(self, monitor: str = "val_loss", mode: str = "min") -> dict | None:
+        index = [e for e in self._index() if monitor in e.get("metrics", {})]
+        if not index:
+            return self.latest()
+        key = lambda e: e["metrics"][monitor]  # noqa: E731
+        return min(index, key=key) if mode == "min" else max(index, key=key)
+
+    def restore(self, entry: dict, template: Any) -> Any:
+        return self._ckptr.restore(Path(entry["path"]).resolve(), template)
+
+
+class TrainingStatePersistence:
+    """training_state.json: epoch counter + callback states + LR."""
+
+    def __init__(self, directory: str | Path):
+        self.path = Path(directory) / "training_state.json"
+
+    def save(self, epoch: int, lr: float | None, callbacks: dict) -> None:
+        state = {"epoch": epoch, "learning_rate": lr}
+        for name in ("early_stopping", "reduce_lr"):
+            if name in callbacks:
+                state[name] = callbacks[name].state()
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self.path.write_text(json.dumps(state, indent=1))
+
+    def load(self) -> dict | None:
+        if self.path.exists():
+            return json.loads(self.path.read_text())
+        return None
+
+    def restore_into(self, callbacks: dict) -> dict | None:
+        state = self.load()
+        if state is None:
+            return None
+        for name in ("early_stopping", "reduce_lr"):
+            if name in callbacks and name in state:
+                callbacks[name].restore(state[name])
+        return state
+
+
+def write_convergence_marker(directory: str | Path, branch: str,
+                             info: dict) -> None:
+    directory = Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+    (directory / "converged.json").write_text(
+        json.dumps({"branch": branch, **info})
+    )
+
+
+def read_convergence_marker(directory: str | Path) -> dict | None:
+    marker = Path(directory) / "converged.json"
+    if marker.exists():
+        return json.loads(marker.read_text())
+    return None
+
+
+def resolve_resume_stage(checkpoint_root: Path) -> tuple[str | None, dict | None]:
+    """Most advanced stage with a checkpoint wins:
+    reliability > classifier > projection (reference
+    ``nnlib/builder.py:460-471``)."""
+    for stage in ("reliability", "classifier", "projection"):
+        mgr_dir = checkpoint_root / stage
+        if (mgr_dir / "checkpoints.json").exists():
+            mgr = CheckpointManager(mgr_dir)
+            entry = mgr.latest()
+            if entry:
+                return stage, entry
+    return None, None

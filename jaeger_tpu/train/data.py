@@ -99,9 +99,13 @@ def batches_from_csv(
             bases[i, : ids.shape[0]] = ids
             lengths[i] = ids.shape[0]
             labels[i] = label_map.get(label, label) if label_map else label
-        onehot = np.zeros((len(rows), num_classes), dtype=np.float32)
-        onehot[np.arange(len(rows)), labels] = 1.0
-        yield {"bases": bases, "lengths": lengths, "labels": onehot}
+        if num_classes <= 1:
+            # binary head (reliability): raw 0/1 labels, shape (B, 1)
+            out_labels = labels.astype(np.float32)[:, None]
+        else:
+            out_labels = np.zeros((len(rows), num_classes), dtype=np.float32)
+            out_labels[np.arange(len(rows)), labels] = 1.0
+        yield {"bases": bases, "lengths": lengths, "labels": out_labels}
 
 
 def load_npz_dataset(path: str | Path, key: str = "translated") -> dict:

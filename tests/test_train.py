@@ -1,0 +1,272 @@
+"""Training stack tests: optimizers, callbacks, checkpoints, threshold,
+refinement, losses, full orchestration."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+class TestOptimizers:
+    def test_factory_names(self):
+        from jaeger_tpu.train.optimizers import make_optimizer
+
+        for name in ["adam", "adamw", "sgd", "rmsprop", "adagrad"]:
+            tx = make_optimizer(name, {"learning_rate": 0.01})
+            params = {"w": jnp.ones(3)}
+            state = tx.init(params)
+            g = {"w": jnp.ones(3)}
+            updates, _ = tx.update(g, state, params)
+            assert jnp.isfinite(updates["w"]).all()
+
+    def test_lr_mutation(self):
+        from jaeger_tpu.train.optimizers import (
+            get_learning_rate, make_optimizer, set_learning_rate,
+        )
+
+        tx = make_optimizer("adam", {"learning_rate": 0.01, "clipnorm": 1.0})
+        state = tx.init({"w": jnp.ones(3)})
+        assert get_learning_rate(state) == pytest.approx(0.01)
+        state = set_learning_rate(state, 0.005)
+        assert get_learning_rate(state) == pytest.approx(0.005)
+
+    def test_accumulation(self):
+        from jaeger_tpu.train.optimizers import make_optimizer
+
+        tx = make_optimizer("adam", {"learning_rate": 0.1},
+                            accumulation_steps=2)
+        params = {"w": jnp.ones(3)}
+        state = tx.init(params)
+        u1, state = tx.update({"w": jnp.ones(3)}, state, params)
+        # first of two accumulation steps: no update applied yet
+        assert float(jnp.abs(u1["w"]).max()) == 0.0
+        u2, state = tx.update({"w": jnp.ones(3)}, state, params)
+        assert float(jnp.abs(u2["w"]).max()) > 0.0
+
+    def test_cosine_schedule(self):
+        from jaeger_tpu.train.optimizers import make_schedule
+
+        sched = make_schedule(
+            {"lr_schedule": "cosine", "learning_rate": 0.1,
+             "decay_steps": 100}
+        )
+        assert sched(0) == pytest.approx(0.1)
+        assert sched(100) < 0.001
+
+
+class TestCallbacks:
+    def test_early_stopping(self):
+        from jaeger_tpu.train.callbacks import EarlyStopping
+
+        es = EarlyStopping(patience=2)
+        assert not es.on_epoch_end({"val_loss": 1.0}, params="p1")
+        assert not es.on_epoch_end({"val_loss": 1.1}, params="p2")
+        assert es.on_epoch_end({"val_loss": 1.2}, params="p3")
+        assert es.best_params == "p1"
+
+    def test_reduce_lr(self):
+        from jaeger_tpu.train.callbacks import ReduceLROnPlateau
+
+        rl = ReduceLROnPlateau(patience=1, factor=0.5, min_lr=1e-4)
+        assert rl.on_epoch_end({"val_loss": 1.0}, 0.01) is None
+        new = rl.on_epoch_end({"val_loss": 1.5}, 0.01)
+        assert new == pytest.approx(0.005)
+
+    def test_state_roundtrip(self):
+        from jaeger_tpu.train.callbacks import EarlyStopping
+
+        es = EarlyStopping()
+        es.on_epoch_end({"val_loss": 0.5})
+        es2 = EarlyStopping()
+        es2.restore(es.state())
+        assert es2.best == 0.5
+
+    def test_build_from_config(self):
+        from jaeger_tpu.train.callbacks import build_callbacks
+
+        cbs = build_callbacks([
+            {"name": "EarlyStopping", "params": {"patience": 5}},
+            {"name": "ReduceLROnPlateau", "params": {"factor": 0.1}},
+            {"name": "TerminateOnNaN"},
+        ])
+        assert cbs["early_stopping"].patience == 5
+        assert cbs["reduce_lr"].factor == 0.1
+        assert cbs["nan_guard"].on_step(float("nan"))
+
+
+class TestCheckpoint:
+    def test_save_restore_latest_best(self, tmp_path):
+        from jaeger_tpu.train.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(tmp_path / "ckpt", keep=2)
+        v1 = {"params": {"w": jnp.ones(3)}}
+        mgr.save(0, v1, {"val_loss": 1.0})
+        mgr.save(1, {"params": {"w": jnp.ones(3) * 2}}, {"val_loss": 0.5})
+        mgr.save(2, {"params": {"w": jnp.ones(3) * 3}}, {"val_loss": 0.8})
+        assert mgr.latest()["epoch"] == 2
+        assert mgr.best()["epoch"] == 1
+        restored = mgr.restore(mgr.best(), v1)
+        np.testing.assert_allclose(restored["params"]["w"], 2.0)
+        # keep=2 pruned epoch 0
+        assert len(mgr._index()) == 2
+
+    def test_training_state_persistence(self, tmp_path):
+        from jaeger_tpu.train.callbacks import EarlyStopping, ReduceLROnPlateau
+        from jaeger_tpu.train.checkpoint import TrainingStatePersistence
+
+        cbs = {"early_stopping": EarlyStopping(),
+               "reduce_lr": ReduceLROnPlateau()}
+        cbs["early_stopping"].on_epoch_end({"val_loss": 0.7})
+        persist = TrainingStatePersistence(tmp_path)
+        persist.save(3, 0.001, cbs)
+        cbs2 = {"early_stopping": EarlyStopping(),
+                "reduce_lr": ReduceLROnPlateau()}
+        state = TrainingStatePersistence(tmp_path).restore_into(cbs2)
+        assert state["epoch"] == 3
+        assert cbs2["early_stopping"].best == 0.7
+
+
+class TestThreshold:
+    def test_tuning_separable(self):
+        from jaeger_tpu.postprocess.threshold import tune_reliability_threshold
+
+        rng = np.random.default_rng(0)
+        scores = np.concatenate([
+            rng.uniform(0.6, 1.0, 200), rng.uniform(0.0, 0.4, 200)
+        ])
+        labels = np.concatenate([np.ones(200), np.zeros(200)])
+        best, rows, summary = tune_reliability_threshold(scores, labels)
+        assert 0.4 <= best <= 0.6
+        assert summary["auroc"] > 0.99
+        assert summary["auprc"] > 0.99
+
+    def test_requires_both_classes(self):
+        from jaeger_tpu.postprocess.threshold import tune_reliability_threshold
+
+        with pytest.raises(ValueError):
+            tune_reliability_threshold(np.ones(10), np.ones(10))
+
+    def test_calibration(self):
+        from jaeger_tpu.postprocess.threshold import calibration_summary
+
+        scores = np.array([0.1, 0.9, 0.9, 0.1])
+        labels = np.array([0, 1, 1, 0])
+        ece, brier, rows = calibration_summary(scores, labels, n_bins=2)
+        assert ece == pytest.approx(0.1, abs=1e-6)
+        assert brier == pytest.approx(0.01, abs=1e-6)
+
+    def test_outputs_written(self, tmp_path):
+        from jaeger_tpu.postprocess.threshold import (
+            tune_reliability_threshold, write_threshold_outputs,
+        )
+
+        scores = np.array([0.9, 0.8, 0.2, 0.1])
+        labels = np.array([1, 1, 0, 0])
+        best, rows, _ = tune_reliability_threshold(scores, labels)
+        best_path, sweep_path = write_threshold_outputs(tmp_path, best, rows)
+        assert float(best_path.read_text()) == best
+        assert sweep_path.read_text().startswith("threshold,")
+
+
+class TestRefinement:
+    def _window_df(self, rng, n=200):
+        from jaeger_tpu.postprocess.refinement import CLASSES, SCORE_COLS
+
+        true = rng.integers(0, len(CLASSES), n)
+        S = rng.normal(size=(n, len(CLASSES)))
+        S[np.arange(n), true] += 4.0
+        df = pd.DataFrame(S, columns=SCORE_COLS)
+        df["true"] = [CLASSES[i] for i in true]
+        df["contig_id"] = [f"c{i % 10}" for i in range(n)]
+        return df
+
+    def test_fit_refine_aggregate(self):
+        from jaeger_tpu.postprocess import refinement as R
+
+        rng = np.random.default_rng(0)
+        df = R.add_score_features(self._window_df(rng))
+        df["prediction"] = df["top_class"]
+        taus = R.fit_thresholds(df, quantile=0.05)
+        assert all(k in taus for k in R.CLASSES)
+        refined = R.refine(df, taus)
+        assert "refined_prediction" in refined.columns
+        # confident windows keep their class
+        frac_kept = (refined["refined_prediction"] != "unknown").mean()
+        assert frac_kept > 0.8
+        contig = R.aggregate_contig(refined, mode="gated")
+        assert len(contig) == 10
+        assert {"contig_call", "contig_margin"} <= set(contig.columns)
+
+    def test_save_load(self, tmp_path):
+        from jaeger_tpu.postprocess import refinement as R
+
+        taus = {c: {"logit": 0.1, "margin": 0.2, "n": 50}
+                for c in R.CLASSES}
+        path = tmp_path / "refine.yaml"
+        R.save_refinement(taus, path, jaeger_model="m1", quantile=0.05)
+        meta = R.load_refinement(path, expect_model="m1")
+        assert meta["taus"]["phage"]["logit"] == pytest.approx(0.1)
+        with pytest.raises(ValueError):
+            R.load_refinement(path, expect_model="other")
+
+
+class TestLosses:
+    def test_ce_matches_manual(self):
+        from jaeger_tpu.train.losses import categorical_crossentropy
+
+        logits = jnp.array([[2.0, 0.0, 0.0]])
+        labels = jnp.array([[1.0, 0.0, 0.0]])
+        expected = -np.log(np.exp(2) / (np.exp(2) + 2))
+        assert float(
+            categorical_crossentropy(labels, logits)
+        ) == pytest.approx(expected, rel=1e-5)
+
+    def test_bce(self):
+        from jaeger_tpu.train.losses import binary_crossentropy
+
+        logits = jnp.array([[10.0], [-10.0]])
+        labels = jnp.array([[1.0], [0.0]])
+        assert float(binary_crossentropy(labels, logits)) < 1e-3
+
+    def test_arcface(self):
+        from jaeger_tpu.train.losses import ArcFaceLoss
+
+        af = ArcFaceLoss(num_classes=3, embedding_dim=8)
+        v = af.init(jax.random.PRNGKey(0), jnp.zeros((4, 3)),
+                    jnp.zeros((4, 8)))
+        emb = jax.random.normal(jax.random.PRNGKey(1), (4, 8))
+        labels = jax.nn.one_hot(jnp.array([0, 1, 2, 0]), 3)
+        loss = af.apply(v, labels, emb)
+        assert jnp.isfinite(loss)
+        # gradient flows into centroids
+        g = jax.grad(lambda p: af.apply({"params": p}, labels, emb))(
+            v["params"]
+        )
+        assert float(jnp.abs(g["class_weights"]).max()) > 0
+
+    def test_supcon(self):
+        from jaeger_tpu.train.losses import supervised_contrastive_loss
+
+        feats = jax.random.normal(jax.random.PRNGKey(0), (8, 16))
+        labels = jnp.array([0, 0, 1, 1, 2, 2, 0, 1])
+        loss = supervised_contrastive_loss(labels, feats)
+        assert jnp.isfinite(loss)
+
+    def test_hierarchical(self):
+        from jaeger_tpu.train.losses import hierarchical_loss
+
+        logits = jax.random.normal(jax.random.PRNGKey(0), (4, 6))
+        y = jnp.array([0, 2, 4, 5])
+        parent_of = [0, 0, 1, 1, 2, 2]
+        groups = [[0, 1], [2, 3], [4, 5]]
+        loss = hierarchical_loss(y, logits, parent_of, groups)
+        assert jnp.isfinite(loss)
+
+    def test_regularization(self):
+        from jaeger_tpu.train.losses import regularization_loss
+
+        params = {"rep": {"conv_0": {"kernel": jnp.ones((2, 2))}}}
+        loss = regularization_loss(params, [("rep/.*kernel", "l2", 0.5)])
+        assert float(loss) == pytest.approx(2.0)
