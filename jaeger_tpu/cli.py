@@ -77,10 +77,19 @@ def main(verbose: int) -> None:
               help="Minimum contig length for prophage extraction.")
 @click.option("--plot-type", default="circular", show_default=True,
               type=click.Choice(["circular", "linear", "both", "none"]))
+@click.option("--refine", is_flag=True, default=False,
+              help="Apply post-hoc refinement calibration if present.")
+@click.option("--refine-mode", default="gated", show_default=True,
+              type=click.Choice(["gated", "weighted", "unweighted"]))
+@click.option("--getsequences", is_flag=True, default=False,
+              help="Extract phage contigs to FASTA.")
+@click.option("--save-embedding", is_flag=True, default=False)
+@click.option("--save-nmd", is_flag=True, default=False)
 def predict(input_path, output_dir, model_path, fsize, stride, batch,
             min_len, dustmask, dynamic_stride, precision, crf_switch_cost,
             crf_prior, reliability_cutoff, phage_score, no_termini,
-            window_scores, prophage, sensitivity, lc, plot_type):
+            window_scores, prophage, sensitivity, lc, plot_type, refine,
+            refine_mode, getsequences, save_embedding, save_nmd):
     """Identify phage/prophage sequences in a FASTA of contigs."""
     from jaeger_tpu.commands.predict import run_core
 
@@ -92,7 +101,9 @@ def predict(input_path, output_dir, model_path, fsize, stride, batch,
         reliability_cutoff=reliability_cutoff, phage_score=phage_score,
         scan_termini=not no_termini, save_window_scores=window_scores,
         prophage=prophage, sensitivity=sensitivity, lc=lc,
-        plot_type=plot_type,
+        plot_type=plot_type, refine=refine, refine_mode=refine_mode,
+        getsequences=getsequences, save_embedding=save_embedding,
+        save_nmd=save_nmd,
     )
     click.echo(f"summary written to {table}")
 
@@ -131,6 +142,55 @@ def train(config_path, output_dir, epochs, steps_per_epoch,
         generate_reliability=generate_reliability_data,
         from_last_checkpoint=from_last_checkpoint,
     )
+
+
+@main.group()
+def taxonomy() -> None:
+    """Experimental embedding-based taxonomy assignment."""
+
+
+@taxonomy.command("build")
+@click.option("-m", "--model", "model_path", required=True,
+              type=click.Path(exists=True))
+@click.option("-i", "--input", "fasta", required=True,
+              type=click.Path(exists=True))
+@click.option("--acc2taxid", required=True, type=click.Path(exists=True))
+@click.option("--taxdump", "taxdump_dir", required=True,
+              type=click.Path(exists=True))
+@click.option("-o", "--output", "out_dir", required=True)
+@click.option("--fsize", default=2000, show_default=True)
+@click.option("--batch", default=256, show_default=True)
+def taxonomy_build(model_path, fasta, acc2taxid, taxdump_dir, out_dir,
+                   fsize, batch):
+    """Build a cosine taxonomy index from reference genomes."""
+    from jaeger_tpu.commands.taxonomy import build_taxdb
+
+    _honour_platform_env()
+    out = build_taxdb(model_path, fasta, acc2taxid, taxdump_dir, out_dir,
+                      fsize=fsize, batch=batch)
+    click.echo(f"taxonomy db written to {out}")
+
+
+@taxonomy.command("predict")
+@click.option("-m", "--model", "model_path", required=True,
+              type=click.Path(exists=True))
+@click.option("--db", "db_dir", required=True, type=click.Path(exists=True))
+@click.option("-i", "--input", "fasta", required=True,
+              type=click.Path(exists=True))
+@click.option("-o", "--output", required=True)
+@click.option("-k", default=5, show_default=True)
+@click.option("--fraction", default=0.6, show_default=True)
+@click.option("--fsize", default=2000, show_default=True)
+@click.option("--batch", default=256, show_default=True)
+def taxonomy_predict(model_path, db_dir, fasta, output, k, fraction, fsize,
+                     batch):
+    """Assign lineages to contigs via embedding k-NN + majority LCA."""
+    from jaeger_tpu.commands.taxonomy import predict_taxonomy
+
+    _honour_platform_env()
+    out = predict_taxonomy(model_path, db_dir, fasta, output, k=k,
+                           fraction=fraction, fsize=fsize, batch=batch)
+    click.echo(f"taxonomy predictions written to {out}")
 
 
 @main.group()
@@ -277,6 +337,81 @@ def ood_data(input_path, output_path, method, kmer, n_shuffles,
                            tandem_repeats=tandem_repeats, seed=seed,
                            output_format=output_format)
     click.echo(summary)
+
+
+@utils.command("combine-models")
+@click.argument("model_paths", nargs=-1, required=True,
+                type=click.Path(exists=True))
+@click.option("-o", "--output", "output_path", required=True)
+@click.option("--method", default="mean", show_default=True,
+              type=click.Choice(["mv", "sum", "mean", "none"]))
+def combine_models(model_paths, output_path, method):
+    """Combine N trained model bundles into an ensemble bundle."""
+    from jaeger_tpu.models.ensemble import combine_models_core
+
+    out = combine_models_core(list(model_paths), output_path, method)
+    click.echo(f"ensemble bundle written to {out}")
+
+
+@utils.command("receptive-field")
+@click.option("-c", "--config", "config_path", required=True,
+              type=click.Path(exists=True))
+def receptive_field(config_path):
+    """Static receptive field of a config's representation learner."""
+    from jaeger_tpu.utils.config import load_model_config
+    from jaeger_tpu.utils.receptive_field import receptive_field_summary
+
+    cfg = load_model_config(config_path)
+    model_cfg = cfg.get("model", cfg)
+    rep = model_cfg.get("representation_learner", {})
+    layers = rep.get("hidden_layers", [])
+    if "branch" in rep:
+        layers = rep["branch"].get("hidden_layers", [])
+    sp = model_cfg.get("string_processor", {})
+    crop = sp.get("crop_size") or (max(sp.get("crop_sizes", [0])) or None)
+    click.echo(receptive_field_summary(layers, crop_size=crop))
+
+
+@main.command("register-models")
+@click.argument("model_path", type=click.Path(exists=True))
+@click.option("--registry", default=None, type=click.Path())
+def register_models(model_path, registry):
+    """Register a local model bundle in the model registry."""
+    from jaeger_tpu.utils.registry import add_to_registry
+
+    data = add_to_registry(model_path, registry)
+    click.echo(f"registered; {len(data['model_paths'])} model path(s) known")
+
+
+@main.command("list-models")
+@click.option("--registry", default=None, type=click.Path())
+def list_models(registry):
+    """List registered model bundles."""
+    from jaeger_tpu.utils.registry import AvailableModels
+
+    models = AvailableModels(registry_path=registry)
+    if not models.info:
+        click.echo("no models registered")
+    for name, info in sorted(models.info.items()):
+        click.echo(f"{name}\t{info['path']}")
+
+
+@main.command()
+@click.argument("url")
+@click.option("-d", "--dest", default="models", show_default=True)
+@click.option("--registry", default=None, type=click.Path())
+def download(url, dest, registry):
+    """Download and register a model archive (requires network access)."""
+    from jaeger_tpu.utils.registry import download_models
+
+    try:
+        registered = download_models(url, dest, registry)
+        click.echo(f"registered {len(registered)} model(s)")
+    except OSError as e:
+        raise click.ClickException(
+            f"download failed ({e}); in sealed environments place the "
+            "bundle locally and use `register-models` instead"
+        )
 
 
 @utils.command("dataset")

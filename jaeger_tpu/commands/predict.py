@@ -27,6 +27,44 @@ from jaeger_tpu.seqops.windows import window_batches
 logger = logging.getLogger("jaeger_tpu")
 
 
+def _build_refined_contig_df(data_full: dict, taus: dict, mode: str = "gated",
+                             min_windows: int = 3,
+                             merge_split: str = "half",
+                             allow_merged_contig_call: bool = False,
+                             contig_hedge_margin: float = 1.0):
+    """Per-contig refined calls from raw window logits.
+
+    Parity: reference ``commands/predict.py:115-157`` — requires the
+    6-class model whose logits align with the refinement SCORE_COLS.
+    """
+    import pandas as pd
+
+    from jaeger_tpu.postprocess import refinement as R
+
+    predictions = data_full.get("predictions")
+    headers = data_full.get("headers")
+    if predictions is None or headers is None:
+        return None
+    rows = []
+    for contig_id, logits in zip(headers, predictions):
+        if logits.ndim != 2 or logits.shape[1] != len(R.SCORE_COLS):
+            continue
+        for window_idx, wl in enumerate(logits):
+            row = {"contig_id": contig_id, "window_idx": window_idx}
+            row.update(dict(zip(R.SCORE_COLS, wl)))
+            rows.append(row)
+    if not rows:
+        return None
+    window_df = R.add_score_features(pd.DataFrame(rows))
+    window_df = R.refine(window_df, taus)
+    return R.aggregate_contig(
+        window_df, mode=mode, min_windows=min_windows,
+        merge_split=merge_split,
+        allow_merged_contig_call=allow_merged_contig_call,
+        contig_hedge_margin=contig_hedge_margin,
+    )
+
+
 def run_core(
     input_path: str,
     output_dir: str,
@@ -49,6 +87,12 @@ def run_core(
     sensitivity: float = 1.5,
     lc: int = 500_000,
     plot_type: str = "circular",
+    refine: bool = False,
+    refine_mode: str = "gated",
+    refine_min_windows: int = 3,
+    getsequences: bool = False,
+    save_embedding: bool = False,
+    save_nmd: bool = False,
 ) -> Path:
     t0 = time.time()
     input_path = Path(input_path)
@@ -62,7 +106,14 @@ def run_core(
         "float32": jnp.float32, "bfloat16": jnp.bfloat16,
         "bf16": jnp.bfloat16, "fp32": jnp.float32,
     }[precision]
-    model, variables, config, classes = load_model(model_path, dtype=dtype)
+    from jaeger_tpu.models.ensemble import is_ensemble, load_ensemble
+
+    if is_ensemble(model_path):
+        model, variables, config, classes = load_ensemble(
+            model_path, dtype=dtype
+        )
+    else:
+        model, variables, config, classes = load_model(model_path, dtype=dtype)
     indices, labels = class_names_in_order(classes)
 
     term_repeats = None
@@ -93,6 +144,30 @@ def run_core(
         term_repeats=term_repeats,
     )
 
+    # --- optional post-hoc refinement (reference predict.py:311-335) ---
+    refined_contig = None
+    if refine:
+        refine_path = Path(model_path) / (
+            f"{config.get('model', {}).get('name', 'model')}_refine.yaml"
+        )
+        if not refine_path.exists():
+            candidates = list(Path(model_path).glob("*_refine.yaml"))
+            refine_path = candidates[0] if candidates else refine_path
+        if refine_path.exists():
+            from jaeger_tpu.postprocess import refinement as R
+
+            try:
+                refine_cfg = R.load_refinement(refine_path)
+                refined_contig = _build_refined_contig_df(
+                    data_full, refine_cfg["taus"], mode=refine_mode,
+                    min_windows=refine_min_windows,
+                )
+                logger.info(f"applied refinement from {refine_path}")
+            except Exception as e:
+                logger.warning(f"refinement failed: {e}; using defaults")
+        else:
+            logger.warning(f"no refinement calibration at {refine_path}")
+
     stem = input_path.stem
     table = output_dir / f"{stem}_default_jaeger.tsv"
     phage_table = output_dir / f"{stem}_default_phages_jaeger.tsv"
@@ -104,7 +179,17 @@ def run_core(
         indices=indices or list(range(outputs["prediction"].shape[-1])),
         reliability_cutoff=reliability_cutoff,
         phage_score=phage_score,
+        refined_contig=refined_contig,
     )
+
+    if getsequences and phage_table.exists():
+        # phage FASTA extraction (reference collect.py:613-640)
+        from jaeger_tpu.postprocess.collect import write_fasta_from_results
+
+        out_fasta = output_dir / f"{stem}_phages_jaeger.fasta"
+        write_fasta_from_results(str(input_path), str(phage_table),
+                                 str(out_fasta))
+        logger.info(f"phage sequences written to {out_fasta}")
     if prophage:
         # prophage segmentation + boundary refinement + att report + plots
         # (parity: reference commands/predict.py:353-442)
@@ -157,15 +242,31 @@ def run_core(
             logger.info("no prophage regions found")
 
     if save_window_scores:
-        np.savez_compressed(
+        preds_obj = np.empty(len(data_full["predictions"]), dtype=object)
+        preds_obj[:] = data_full["predictions"]
+        gcs_obj = np.empty(len(data_full["gcs"]), dtype=object)
+        gcs_obj[:] = data_full["gcs"]
+        skews_obj = np.empty(len(data_full["gc_skews"]), dtype=object)
+        skews_obj[:] = data_full["gc_skews"]
+        np.savez(
             output_dir / f"{stem}_window_scores.npz",
             headers=data_full["headers"],
             lengths=data_full["lengths"],
-            predictions=np.asarray(outputs["prediction"]),
-            **(
-                {"reliability": np.asarray(outputs["reliability"])}
-                if "reliability" in outputs else {}
-            ),
+            predictions=preds_obj,
+            gc_skews=skews_obj,
+            gcs=gcs_obj,
+        )
+    if save_embedding and "embedding" in outputs:
+        np.savez_compressed(
+            output_dir / f"{stem}_embeddings.npz",
+            embedding=np.asarray(outputs["embedding"]),
+            headers=np.asarray(meta.headers, dtype=str),
+        )
+    if save_nmd and "nmd" in outputs:
+        np.savez_compressed(
+            output_dir / f"{stem}_nmd.npz",
+            nmd=np.asarray(outputs["nmd"]),
+            headers=np.asarray(meta.headers, dtype=str),
         )
     dt = time.time() - t0
     logger.info(

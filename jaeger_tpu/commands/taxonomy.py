@@ -1,0 +1,248 @@
+"""Experimental embedding-based taxonomy assignment.
+
+Parity target: reference ``commands/taxonomy.py:81-520`` — build: run the
+embedding graph over reference-genome windows, index the L2-normalized
+embeddings; predict: embed query windows, k-NN, majority-fraction LCA per
+contig. TPU redesign: the FAISS flat cosine index
+(``taxonomy.py:105,220``) becomes an on-device matmul + ``lax.top_k``
+over the sharded embedding matrix — the k-NN *is* an MXU matmul — and
+taxopy's LCA is replaced by an in-repo NCBI-taxdump walker.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from collections import Counter
+from pathlib import Path
+
+import numpy as np
+
+logger = logging.getLogger("jaeger_tpu")
+
+
+# ---------------------------------------------------------------------------
+# Minimal NCBI taxdump handling (replaces taxopy)
+# ---------------------------------------------------------------------------
+
+
+class TaxDb:
+    """parent/rank/name maps from nodes.dmp + names.dmp."""
+
+    def __init__(self, taxdump_dir: str | Path):
+        taxdump_dir = Path(taxdump_dir)
+        self.parent: dict[int, int] = {}
+        self.rank: dict[int, str] = {}
+        self.name: dict[int, str] = {}
+        with open(taxdump_dir / "nodes.dmp") as fh:
+            for line in fh:
+                parts = [p.strip() for p in line.split("|")]
+                taxid, parent, rank = int(parts[0]), int(parts[1]), parts[2]
+                self.parent[taxid] = parent
+                self.rank[taxid] = rank
+        names_path = taxdump_dir / "names.dmp"
+        if names_path.exists():
+            with open(names_path) as fh:
+                for line in fh:
+                    parts = [p.strip() for p in line.split("|")]
+                    if len(parts) > 3 and parts[3] == "scientific name":
+                        self.name[int(parts[0])] = parts[1]
+
+    def lineage(self, taxid: int) -> list[int]:
+        """Root -> taxid path."""
+        path = []
+        seen = set()
+        while taxid not in seen:
+            seen.add(taxid)
+            path.append(taxid)
+            parent = self.parent.get(taxid)
+            if parent is None or parent == taxid:
+                break
+            taxid = parent
+        return path[::-1]
+
+    def majority_lca(self, taxids: list[int], fraction: float = 0.6) -> int:
+        """Deepest taxon on >= ``fraction`` of the lineages.
+
+        Parity with taxopy's majority-vote LCA used at reference
+        ``taxonomy.py:115-151``.
+        """
+        taxids = [t for t in taxids if t in self.parent]
+        if not taxids:
+            return 1
+        n = len(taxids)
+        counts: Counter[int] = Counter()
+        for t in taxids:
+            counts.update(set(self.lineage(t)))
+        eligible = [t for t, c in counts.items() if c / n >= fraction]
+        if not eligible:
+            return 1
+        return max(eligible, key=lambda t: len(self.lineage(t)))
+
+    def lineage_names(self, taxid: int) -> str:
+        return ";".join(
+            self.name.get(t, str(t)) for t in self.lineage(taxid)
+            if self.rank.get(t) != "no rank" or t == taxid
+        )
+
+
+# ---------------------------------------------------------------------------
+# Cosine index (on-device matmul top-k)
+# ---------------------------------------------------------------------------
+
+
+def _l2_normalize(x: np.ndarray) -> np.ndarray:
+    return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+
+
+class CosineIndex:
+    """Flat cosine index: one MXU matmul + top_k per query batch."""
+
+    def __init__(self, embeddings: np.ndarray, taxids: np.ndarray):
+        self.embeddings = _l2_normalize(
+            np.asarray(embeddings, np.float32)
+        )
+        self.taxids = np.asarray(taxids, np.int64)
+
+    def search(self, queries: np.ndarray, k: int = 5):
+        import jax
+        import jax.numpy as jnp
+
+        q = _l2_normalize(np.asarray(queries, np.float32))
+
+        @jax.jit
+        def _topk(qm, index):
+            sims = qm @ index.T
+            return jax.lax.top_k(sims, k)
+
+        scores, idx = _topk(jnp.asarray(q), jnp.asarray(self.embeddings))
+        return np.asarray(scores), np.asarray(idx)
+
+    def save(self, path: str | Path) -> None:
+        np.savez_compressed(
+            path, embeddings=self.embeddings, taxids=self.taxids
+        )
+
+    @classmethod
+    def load(cls, path: str | Path) -> "CosineIndex":
+        data = np.load(path)
+        return cls(data["embeddings"], data["taxids"])
+
+
+# ---------------------------------------------------------------------------
+# Build / predict
+# ---------------------------------------------------------------------------
+
+
+def _embed_fasta(model_path: str, fasta: str, fsize: int, batch: int,
+                 precision: str = "bfloat16"):
+    """(per-window embeddings, per-window contig headers)."""
+    import jax.numpy as jnp
+
+    from jaeger_tpu.infer.engine import InferenceEngine
+    from jaeger_tpu.models.artifacts import load_model
+    from jaeger_tpu.postprocess.collect import PredictionMeta
+    from jaeger_tpu.seqops.windows import window_batches
+
+    dtype = jnp.bfloat16 if precision.startswith("bf") else jnp.float32
+    model, variables, config, _ = load_model(model_path, dtype=dtype)
+    engine = InferenceEngine(model, variables, batch_size=batch)
+    outputs, kept = engine.predict_batches(
+        window_batches(fasta, fragsize=fsize, stride=fsize)
+    )
+    if not outputs:
+        raise ValueError(f"no windows produced from {fasta}")
+    meta = PredictionMeta.from_batches(kept)
+    return outputs["embedding"], np.asarray(meta.headers, dtype=str)
+
+
+def build_taxdb(
+    model_path: str,
+    fasta: str,
+    acc2taxid: str,
+    taxdump_dir: str,
+    out_dir: str,
+    fsize: int = 2000,
+    batch: int = 256,
+) -> Path:
+    """Embed reference genomes and build the cosine taxonomy index.
+
+    ``acc2taxid`` is a 2-column TSV mapping contig accession -> taxid
+    (reference ``taxonomy.py:243-253``).
+    """
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    mapping: dict[str, int] = {}
+    with open(acc2taxid) as fh:
+        for line in fh:
+            parts = line.strip().split("\t")
+            if len(parts) >= 2:
+                try:
+                    mapping[parts[0]] = int(parts[1])
+                except ValueError:
+                    continue
+
+    embeddings, headers = _embed_fasta(model_path, fasta, fsize, batch)
+    taxids = np.array(
+        [mapping.get(h.split()[0], 0) for h in headers], np.int64
+    )
+    keep = taxids > 0
+    index = CosineIndex(embeddings[keep], taxids[keep])
+    index.save(out_dir / "genomes_index.npz")
+
+    # stage the taxdump files the predictor needs
+    tax_dir = out_dir / "tax"
+    tax_dir.mkdir(exist_ok=True)
+    for name in ("nodes.dmp", "names.dmp"):
+        src = Path(taxdump_dir) / name
+        if src.exists():
+            (tax_dir / name).write_bytes(src.read_bytes())
+    (out_dir / "taxdb.json").write_text(json.dumps({
+        "model": str(model_path), "fsize": fsize,
+        "windows": int(keep.sum()),
+    }))
+    logger.info(f"taxonomy db built: {int(keep.sum())} indexed windows")
+    return out_dir
+
+
+def predict_taxonomy(
+    model_path: str,
+    db_dir: str,
+    fasta: str,
+    output: str,
+    k: int = 5,
+    fraction: float = 0.6,
+    fsize: int = 2000,
+    batch: int = 256,
+) -> Path:
+    """Assign a lineage per contig via embedding k-NN + majority LCA."""
+    db_dir = Path(db_dir)
+    index = CosineIndex.load(db_dir / "genomes_index.npz")
+    taxdb = TaxDb(db_dir / "tax")
+
+    embeddings, headers = _embed_fasta(model_path, fasta, fsize, batch)
+    scores, idx = index.search(embeddings, k=k)
+    window_taxids = index.taxids[idx]  # (n, k)
+
+    rows = []
+    for contig in dict.fromkeys(headers):
+        m = headers == contig
+        votes = window_taxids[m].reshape(-1).tolist()
+        lca = taxdb.majority_lca(votes, fraction=fraction)
+        rows.append({
+            "contig_id": contig,
+            "taxid": lca,
+            "rank": taxdb.rank.get(lca, ""),
+            "name": taxdb.name.get(lca, str(lca)),
+            "lineage": taxdb.lineage_names(lca),
+            "n_windows": int(m.sum()),
+            "mean_knn_similarity": float(scores[m].mean()),
+        })
+    import pandas as pd
+
+    df = pd.DataFrame(rows)
+    output = Path(output)
+    output.parent.mkdir(parents=True, exist_ok=True)
+    df.to_csv(output, sep="\t", index=False, float_format="%.4f")
+    logger.info(f"taxonomy predictions written to {output}")
+    return output

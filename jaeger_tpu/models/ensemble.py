@@ -1,0 +1,97 @@
+"""Model ensembling.
+
+Parity target: reference ``commands/utils_models.py:11-166``
+(``EnsembleModel`` / ``combine_models_core``): combine N trained models'
+predictions with majority-vote (MV), SUM, MEAN, or NONE (stacked). The
+TPU redesign runs every member inside one jitted program — XLA fuses the
+shared device-side encoding; members and combination rule are stored in
+an ``ensemble.yaml`` bundle of sub-bundles.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import yaml
+
+from jaeger_tpu.models.artifacts import load_model
+
+
+class EnsembleModel:
+    """Duck-types the (model, variables) pair the inference engine uses:
+    ``apply(variables, inputs, train=False)`` with
+    ``variables = {"members": [member_variables, ...]}``."""
+
+    def __init__(self, models: list, method: str = "mean"):
+        method = method.lower()
+        if method not in ("mv", "sum", "mean", "none"):
+            raise ValueError(f"unknown combination method {method!r}")
+        self.models = models
+        self.method = method
+
+    def apply(self, variables, inputs, train: bool = False, **kwargs):
+        member_vars = variables["members"]
+        outs = [
+            m.apply(v, inputs, train=train)
+            for m, v in zip(self.models, member_vars)
+        ]
+        preds = [o["prediction"] for o in outs]
+        stacked = jnp.stack(preds, axis=0)  # (M, B, C)
+        if self.method == "mv":
+            votes = jax.nn.one_hot(
+                jnp.argmax(stacked, axis=-1), stacked.shape[-1]
+            )
+            combined = jnp.sum(votes, axis=0)
+        elif self.method == "sum":
+            combined = jnp.sum(stacked, axis=0)
+        elif self.method == "mean":
+            combined = jnp.mean(stacked, axis=0)
+        else:  # none: stacked member predictions
+            combined = stacked
+        result = {"prediction": combined}
+        rels = [o["reliability"] for o in outs if "reliability" in o]
+        if rels:
+            result["reliability"] = jnp.mean(jnp.stack(rels, axis=0), axis=0)
+        if "embedding" in outs[0]:
+            result["embedding"] = jnp.concatenate(
+                [o["embedding"] for o in outs], axis=-1
+            )
+        return result
+
+
+def combine_models_core(model_paths: list[str], output_path: str,
+                        method: str = "mean") -> Path:
+    """Bundle N model directories into an ensemble bundle."""
+    output_path = Path(output_path)
+    output_path.mkdir(parents=True, exist_ok=True)
+    members = []
+    for i, mp in enumerate(model_paths):
+        # validate each member loads
+        load_model(mp)
+        members.append(str(Path(mp).resolve()))
+    (output_path / "ensemble.yaml").write_text(
+        yaml.safe_dump({"method": method, "members": members})
+    )
+    return output_path
+
+
+def load_ensemble(path: str | Path, dtype=jnp.float32):
+    """Load an ensemble bundle -> (EnsembleModel, variables, config, classes)."""
+    path = Path(path)
+    spec = yaml.safe_load((path / "ensemble.yaml").read_text())
+    models, member_vars = [], []
+    config = classes = None
+    for mp in spec["members"]:
+        m, v, cfg, cls = load_model(mp, dtype=dtype)
+        models.append(m)
+        member_vars.append(v)
+        config = config or cfg
+        classes = classes or cls
+    ens = EnsembleModel(models, method=spec.get("method", "mean"))
+    return ens, {"members": member_vars}, config, classes
+
+
+def is_ensemble(path: str | Path) -> bool:
+    return (Path(path) / "ensemble.yaml").exists()

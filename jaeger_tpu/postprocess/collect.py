@@ -312,3 +312,20 @@ def write_output(data: dict, output_table_path, output_phage_table_path,
             output_phage_table_path, sep="\t", index=False, float_format="%.3f"
         )
     return len(df)
+
+
+def write_fasta_from_results(input_fasta: str, output_tsv: str,
+                             output_fasta: str, width: int = 70) -> None:
+    """Extract contigs named in the phage TSV into a FASTA.
+
+    Parity: reference ``collect.py:613-640``.
+    """
+    from jaeger_tpu.seqops.fasta import read_fasta
+
+    phages = set(pd.read_table(str(output_tsv))["contig_id"].tolist())
+    with open(str(output_fasta), "w") as fh:
+        for header, seq in read_fasta(str(input_fasta)):
+            if header in phages:
+                fh.write(f">{header}\n")
+                for i in range(0, len(seq), width):
+                    fh.write(f"{seq[i : i + width]}\n")

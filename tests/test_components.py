@@ -1,0 +1,187 @@
+"""Component tests: ensemble, registry, receptive field, taxonomy."""
+
+import numpy as np
+import pytest
+
+from jaeger_tpu.models.artifacts import save_model
+from jaeger_tpu.models.builder import ModelBuilder
+
+TINY = {
+    "model": {
+        "name": "tiny_a",
+        "seed": 0,
+        "classifier_out_dim": 3,
+        "class_label_map": [
+            {"class": "chromosome", "label": 0},
+            {"class": "phage", "label": 1},
+            {"class": "plasmid", "label": 2},
+        ],
+        "embedding": {"use_embedding_layer": True,
+                      "input_type": "translated", "embedding_size": 8},
+        "string_processor": {"crop_size": 30, "seq_onehot": False},
+        "representation_learner": {
+            "hidden_layers": [
+                {"name": "masked_conv1d",
+                 "config": {"filters": 8, "kernel_size": 3}},
+            ],
+            "pooling": "average",
+        },
+        "classifier": {
+            "hidden_layers": [{"name": "dense", "config": {"units": 3}}],
+        },
+    },
+    "training": {},
+}
+
+
+def _save_tiny(tmp_path, name, seed=0):
+    import copy
+
+    cfg = copy.deepcopy(TINY)
+    cfg["model"]["name"] = name
+    cfg["model"]["seed"] = seed
+    b = ModelBuilder(cfg)
+    model, variables = b.init()
+    path = tmp_path / name
+    save_model(variables, cfg, path)
+    return path
+
+
+class TestEnsemble:
+    def test_combine_and_apply(self, tmp_path):
+        import jax.numpy as jnp
+
+        from jaeger_tpu.models.ensemble import (
+            combine_models_core, is_ensemble, load_ensemble,
+        )
+
+        p1 = _save_tiny(tmp_path, "m1", seed=1)
+        p2 = _save_tiny(tmp_path, "m2", seed=2)
+        ens_path = combine_models_core([str(p1), str(p2)],
+                                       tmp_path / "ens", method="mean")
+        assert is_ensemble(ens_path)
+        ens, variables, config, classes = load_ensemble(ens_path)
+        rng = np.random.default_rng(0)
+        inputs = {
+            "bases": jnp.asarray(
+                rng.integers(0, 4, size=(4, 95), dtype=np.uint8)
+            ),
+            "lengths": jnp.full((4,), 95, jnp.int32),
+        }
+        out = ens.apply(variables, inputs)
+        assert out["prediction"].shape == (4, 3)
+
+    def test_mv_method(self, tmp_path):
+        import jax.numpy as jnp
+
+        from jaeger_tpu.models.ensemble import (
+            combine_models_core, load_ensemble,
+        )
+
+        p1 = _save_tiny(tmp_path, "m1", seed=1)
+        ens_path = combine_models_core([str(p1), str(p1)],
+                                       tmp_path / "mv", method="mv")
+        ens, variables, _, _ = load_ensemble(ens_path)
+        inputs = {
+            "bases": jnp.zeros((2, 95), jnp.uint8),
+            "lengths": jnp.full((2,), 95, jnp.int32),
+        }
+        out = ens.apply(variables, inputs)
+        # two identical members: vote counts are 0 or 2
+        assert float(out["prediction"].max()) == 2.0
+
+
+class TestRegistry:
+    def test_register_and_scan(self, tmp_path):
+        from jaeger_tpu.utils.registry import AvailableModels, add_to_registry
+
+        p1 = _save_tiny(tmp_path, "reg_model")
+        reg = tmp_path / "registry.json"
+        add_to_registry(p1, reg)
+        models = AvailableModels(registry_path=reg)
+        assert "reg_model" in models.info
+        assert models.resolve("reg_model") == str(p1)
+        assert models.resolve(str(p1)) == str(p1)
+        with pytest.raises(FileNotFoundError):
+            models.resolve("nope")
+
+
+class TestReceptiveField:
+    def test_conv_stack(self):
+        from jaeger_tpu.utils.receptive_field import compute_receptive_field
+
+        layers = [
+            {"name": "masked_conv1d", "config": {"kernel_size": 7}},
+            {"name": "masked_batchnorm", "config": {}},
+            {"name": "residual_block",
+             "config": {"block_size": 2, "kernel_size": 3}},
+        ]
+        rf, trace = compute_receptive_field(layers)
+        assert rf == 1 + 6 + 2 * 2  # conv k7 + 2 blocks * (3-1)
+        assert trace[0] == ("input", 1)
+
+    def test_bilstm_full(self):
+        import math
+
+        from jaeger_tpu.utils.receptive_field import compute_receptive_field
+
+        rf, _ = compute_receptive_field(
+            [{"name": "masked_bilstm", "config": {"units": 8}}]
+        )
+        assert math.isinf(rf)
+
+    def test_summary_string(self):
+        from jaeger_tpu.utils.receptive_field import receptive_field_summary
+
+        s = receptive_field_summary(
+            [{"name": "masked_conv1d", "config": {"kernel_size": 7}}],
+            crop_size=500,
+        )
+        assert "Receptive field: 7" in s
+        assert "crop size: 500" in s
+
+
+class TestTaxonomy:
+    def _taxdump(self, tmp_path):
+        # tiny tree: 1 root; 2 bacteria; 3 e.coli; 4 viruses; 5 phageT4
+        (tmp_path / "tax").mkdir()
+        (tmp_path / "tax" / "nodes.dmp").write_text(
+            "1\t|\t1\t|\tno rank\t|\n"
+            "2\t|\t1\t|\tsuperkingdom\t|\n"
+            "3\t|\t2\t|\tspecies\t|\n"
+            "4\t|\t1\t|\tsuperkingdom\t|\n"
+            "5\t|\t4\t|\tspecies\t|\n"
+        )
+        (tmp_path / "tax" / "names.dmp").write_text(
+            "1\t|\troot\t|\t\t|\tscientific name\t|\n"
+            "2\t|\tBacteria\t|\t\t|\tscientific name\t|\n"
+            "3\t|\tE.coli\t|\t\t|\tscientific name\t|\n"
+            "4\t|\tViruses\t|\t\t|\tscientific name\t|\n"
+            "5\t|\tPhageT4\t|\t\t|\tscientific name\t|\n"
+        )
+        return tmp_path / "tax"
+
+    def test_taxdb_lca(self, tmp_path):
+        from jaeger_tpu.commands.taxonomy import TaxDb
+
+        db = TaxDb(self._taxdump(tmp_path))
+        assert db.lineage(3) == [1, 2, 3]
+        assert db.majority_lca([3, 3, 3]) == 3
+        assert db.majority_lca([3, 5]) == 1           # split vote -> root
+        assert db.majority_lca([3, 3, 5], fraction=0.6) == 3
+        assert "Bacteria" in db.lineage_names(3)
+
+    def test_cosine_index(self, tmp_path):
+        from jaeger_tpu.commands.taxonomy import CosineIndex
+
+        rng = np.random.default_rng(0)
+        emb = rng.normal(size=(50, 16)).astype(np.float32)
+        taxids = np.arange(50)
+        idx = CosineIndex(emb, taxids)
+        scores, nn = idx.search(emb[:5], k=3)
+        # nearest neighbour of each vector is itself
+        np.testing.assert_array_equal(nn[:, 0], np.arange(5))
+        assert scores[:, 0] == pytest.approx(1.0, abs=1e-5)
+        idx.save(tmp_path / "index.npz")
+        idx2 = CosineIndex.load(tmp_path / "index.npz")
+        assert idx2.embeddings.shape == (50, 16)
