@@ -1,0 +1,180 @@
+"""ctypes bindings for the native host library.
+
+Builds ``libjaeger_host.so`` from :file:`jaeger_host.cpp` on first use
+(g++ -O3, cached next to the source) and exposes the native FASTA reader,
+SDUST masker, encoder, and Smith-Waterman. Every entry point has a pure
+Python fallback elsewhere in the package; call :func:`available` to check
+whether the fast path is live.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import subprocess
+from pathlib import Path
+
+logger = logging.getLogger("jaeger_tpu")
+
+_SRC = Path(__file__).parent / "jaeger_host.cpp"
+_SO = Path(__file__).parent / "libjaeger_host.so"
+_LIB: ctypes.CDLL | None = None
+_TRIED = False
+
+
+def _build() -> bool:
+    try:
+        cmd = [
+            "g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
+            str(_SRC), "-o", str(_SO), "-lz",
+        ]
+        result = subprocess.run(cmd, capture_output=True, text=True,
+                                timeout=120)
+        if result.returncode != 0:
+            logger.debug(f"native build failed: {result.stderr[:500]}")
+            return False
+        return True
+    except (OSError, subprocess.SubprocessError) as e:
+        logger.debug(f"native build unavailable: {e}")
+        return False
+
+
+def _load() -> ctypes.CDLL | None:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(str(_SO))
+    except OSError as e:
+        logger.debug(f"native load failed: {e}")
+        return None
+
+    lib.jt_open_fasta.restype = ctypes.c_void_p
+    lib.jt_open_fasta.argtypes = [ctypes.c_char_p]
+    lib.jt_next_contig.restype = ctypes.c_long
+    lib.jt_next_contig.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.POINTER(ctypes.c_char_p),
+    ]
+    lib.jt_close_fasta.argtypes = [ctypes.c_void_p]
+    lib.jt_encode_ascii.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p,
+    ]
+    lib.jt_composition.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.POINTER(ctypes.c_long),
+    ]
+    lib.jt_sdust.restype = ctypes.c_long
+    lib.jt_sdust.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_long), ctypes.c_long,
+    ]
+    lib.jt_dust_mask.restype = ctypes.c_long
+    lib.jt_dust_mask.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.jt_smith_waterman.restype = ctypes.c_long
+    lib.jt_smith_waterman.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p, ctypes.c_long,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_long,
+    ]
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def read_fasta_native(path: str):
+    """Yield (header, sequence) like seqops.fasta.read_fasta."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    handle = lib.jt_open_fasta(str(path).encode())
+    if not handle:
+        raise OSError(f"cannot open {path}")
+    try:
+        header = ctypes.c_char_p()
+        seq = ctypes.c_char_p()
+        while True:
+            n = lib.jt_next_contig(handle, ctypes.byref(header),
+                                   ctypes.byref(seq))
+            if n < 0:
+                break
+            yield header.value.decode("ascii"), seq.value.decode("ascii")
+    finally:
+        lib.jt_close_fasta(handle)
+
+
+def encode_ascii_native(seq: str):
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    raw = seq.encode("ascii")
+    out = np.empty(len(raw), dtype=np.uint8)
+    lib.jt_encode_ascii(raw, len(raw),
+                        out.ctypes.data_as(ctypes.c_char_p))
+    return out
+
+
+def dust_intervals_native(seq: str, window: int = 64,
+                          threshold: int = 20) -> list[tuple[int, int]]:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    raw = seq.encode("ascii")
+    cap = max(1024, len(seq) // 16)
+    buf = (ctypes.c_long * (cap * 2))()
+    n = lib.jt_sdust(raw, len(raw), window, threshold, buf, cap)
+    return [(buf[2 * i], buf[2 * i + 1]) for i in range(n)]
+
+
+def dust_mask_native(seq: str, window: int = 64, threshold: int = 20) -> str:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    buf = ctypes.create_string_buffer(seq.encode("ascii"), len(seq))
+    lib.jt_dust_mask(buf, len(seq), window, threshold)
+    return buf.raw[: len(seq)].decode("ascii")
+
+
+def smith_waterman_native(query: str, ref: str, open_: int = 100,
+                          extend: int = 5, match: int = 2,
+                          mismatch: int = -100):
+    """Returns an SWResult compatible with postprocess.sw."""
+    from jaeger_tpu.postprocess.sw import SWResult
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    cap = len(query) + len(ref) + 2
+    q_out = ctypes.create_string_buffer(cap)
+    r_out = ctypes.create_string_buffer(cap)
+    end_q = ctypes.c_long()
+    end_r = ctypes.c_long()
+    score = lib.jt_smith_waterman(
+        query.encode("ascii"), len(query), ref.encode("ascii"), len(ref),
+        open_, extend, match, mismatch,
+        ctypes.byref(end_q), ctypes.byref(end_r), q_out, r_out, cap,
+    )
+    qa = q_out.value.decode("ascii")
+    ra = r_out.value.decode("ascii")
+    comp = "".join(
+        "|" if (a == b and a != "-" and a.upper() in "ACGT")
+        else (" " if (a == "-" or b == "-") else ".")
+        for a, b in zip(qa, ra)
+    )
+    return SWResult(
+        score=int(score), end_query=int(end_q.value),
+        end_ref=int(end_r.value), query_aligned=qa, ref_aligned=ra,
+        comp=comp,
+    )

@@ -54,7 +54,23 @@ def smith_waterman(
     match: int = 2,
     mismatch: int = -100,
 ) -> SWResult:
-    """Local alignment of ``query`` vs ``ref`` with traceback."""
+    """Local alignment of ``query`` vs ``ref`` with traceback.
+
+    Dispatches to the C++ DP when built (identical output, pinned by
+    tests/test_native.py); ``JAEGER_TPU_NATIVE=0`` forces the numpy path.
+    """
+    import os
+
+    if os.environ.get("JAEGER_TPU_NATIVE", "1") != "0":
+        try:
+            from jaeger_tpu import native
+
+            if native.available():
+                return native.smith_waterman_native(
+                    query, ref, open_, extend, match, mismatch
+                )
+        except Exception:
+            pass
     q = np.frombuffer(query.upper().encode("ascii"), dtype=np.uint8)
     r = np.frombuffer(ref.upper().encode("ascii"), dtype=np.uint8)
     n, m = len(q), len(r)

@@ -154,7 +154,24 @@ def dust_intervals(
 
 
 def dust_mask(seq: str, window_size: int = 64, score_threshold: int = 20) -> str:
-    """Soft-mask (lowercase) low-complexity regions of ``seq``."""
+    """Soft-mask (lowercase) low-complexity regions of ``seq``.
+
+    Dispatches to the C++ implementation when built (identical output,
+    pinned by tests/test_native.py); set ``JAEGER_TPU_NATIVE=0`` to force
+    the Python path.
+    """
+    import os
+
+    if os.environ.get("JAEGER_TPU_NATIVE", "1") != "0":
+        try:
+            from jaeger_tpu import native
+
+            if native.available():
+                return native.dust_mask_native(
+                    seq, window_size, score_threshold
+                )
+        except Exception:
+            pass
     intervals = dust_intervals(seq, window_size, score_threshold)
     if not intervals:
         return seq

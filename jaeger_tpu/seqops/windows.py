@@ -112,6 +112,21 @@ def _gc_skew(g: int, c: int) -> float:
     return round(skew, 3)
 
 
+def _fasta_source(path: str):
+    """Native streaming reader when built, Python fallback otherwise."""
+    import os
+
+    if os.environ.get("JAEGER_TPU_NATIVE", "1") != "0":
+        try:
+            from jaeger_tpu import native
+
+            if native.available():
+                return native.read_fasta_native(str(path))
+        except Exception:
+            pass
+    return read_fasta(path)
+
+
 def iter_contigs(
     path: str,
     dustmask: bool = True,
@@ -122,7 +137,7 @@ def iter_contigs(
     Uppercases, optionally DUST-soft-masks (reference ``io.py:104-109``),
     and rewrites commas in headers to ``___`` like the reference.
     """
-    for header, seq in read_fasta(path):
+    for header, seq in _fasta_source(path):
         seqlen = len(seq)
         sequence = seq.strip().upper()
         if dustmask:

@@ -1,0 +1,102 @@
+"""Native library vs pure-Python oracle parity."""
+
+import numpy as np
+import pytest
+
+from jaeger_tpu import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library unavailable"
+)
+
+
+def test_fasta_reader_matches_python(tmp_path):
+    from jaeger_tpu.seqops.fasta import read_fasta
+
+    path = tmp_path / "t.fasta"
+    path.write_text(
+        ">seq one desc\nATGC\nGGTT\n\n>seq_two\nACGTACGT\n>empty\n>last\nTT\n"
+    )
+    py = list(read_fasta(path))
+    nat = list(native.read_fasta_native(str(path)))
+    assert nat == py
+
+
+def test_fasta_reader_gzip(tmp_path):
+    import gzip
+
+    from jaeger_tpu.seqops.fasta import read_fasta
+
+    path = tmp_path / "t.fasta.gz"
+    with gzip.open(path, "wt") as fh:
+        fh.write(">a\nATGCATGC\n>b\nGGGG\n")
+    assert list(native.read_fasta_native(str(path))) == list(read_fasta(path))
+
+
+def test_reference_test_fasta():
+    py_sum = 0
+    nat_sum = 0
+    from jaeger_tpu.seqops.fasta import read_fasta
+
+    path = "/root/repo/jaeger_tpu/data/test/test_contigs.fasta"
+    py = list(read_fasta(path))
+    nat = list(native.read_fasta_native(path))
+    assert len(py) == len(nat) == 9
+    for (h1, s1), (h2, s2) in zip(py, nat):
+        assert h1 == h2 and s1 == s2
+
+
+def test_encode_matches(random_dna):
+    from jaeger_tpu.seqops.windows import encode_ascii
+
+    s = random_dna(500) + "NnXatgc"
+    np.testing.assert_array_equal(
+        native.encode_ascii_native(s), encode_ascii(s)
+    )
+
+
+def test_dust_matches_python(random_dna):
+    from jaeger_tpu.seqops.dust import dust_intervals, dust_mask
+
+    seqs = [
+        random_dna(300) + "A" * 60 + random_dna(300),
+        "ATATATATATATATATAT" * 10 + random_dna(200),
+        random_dna(150) + "N" * 10 + "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+        + random_dna(150),
+        random_dna(400),
+    ]
+    for s in seqs:
+        assert native.dust_intervals_native(s) == dust_intervals(s)
+        assert native.dust_mask_native(s) == dust_mask(s)
+
+
+def test_sw_matches_python(random_dna):
+    from jaeger_tpu.postprocess.sw import smith_waterman
+
+    core = random_dna(400)
+    rep = random_dna(50)
+    q = rep + core[:200]
+    r = core[200:] + rep
+    py = smith_waterman(q, r)
+    nat = native.smith_waterman_native(q, r)
+    assert nat.score == py.score
+    assert nat.end_query == py.end_query
+    assert nat.end_ref == py.end_ref
+    assert nat.query_aligned == py.query_aligned
+    assert nat.ref_aligned == py.ref_aligned
+    assert nat.comp == py.comp
+
+
+def test_sw_no_match():
+    nat = native.smith_waterman_native("AAAA", "GGGG")
+    assert nat.score <= 2
+
+
+def test_composition_speed_sanity(random_dna):
+    # native dust should handle a 100kb contig fast
+    import time
+
+    s = random_dna(100_000)
+    t0 = time.time()
+    native.dust_intervals_native(s)
+    assert time.time() - t0 < 2.0
