@@ -35,29 +35,26 @@ def main() -> None:
     model, variables = builder.init(batch=1)
     _, crop_nt = builder.crop
 
+    from jaeger_tpu.infer.engine import InferenceEngine
+
     batch = 1024
+    n_windows = 64 * batch
     rng = np.random.default_rng(0)
-    bases_np = rng.integers(0, 4, size=(batch, crop_nt), dtype=np.uint8)
-    lengths_np = np.full((batch,), crop_nt, np.int32)
+    bases_np = rng.integers(0, 4, size=(n_windows, crop_nt), dtype=np.uint8)
+    lengths_np = np.full((n_windows,), crop_nt, np.int32)
 
-    @jax.jit
-    def fn(variables, bases, lengths):
-        out = model.apply(variables, {"bases": bases, "lengths": lengths},
-                          train=False)
-        return out["prediction"].astype(jnp.float32)
-
+    engine = InferenceEngine(model, variables, batch_size=batch,
+                             output_keys=("prediction", "reliability"))
     # warmup/compile
-    out = fn(variables, jnp.asarray(bases_np), jnp.asarray(lengths_np))
-    jax.block_until_ready(out)
+    engine.predict_windows(bases_np[: 2 * batch], lengths_np[: 2 * batch])
 
-    # steady state, including host->device transfer each step
-    n_iter = 30
+    # steady state through the pipelined engine (transfer + fused encode +
+    # bf16 forward + per-batch host offload)
     t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = fn(variables, jnp.asarray(bases_np), jnp.asarray(lengths_np))
-    jax.block_until_ready(out)
+    out = engine.predict_windows(bases_np, lengths_np)
     dt = time.perf_counter() - t0
-    windows_per_s = n_iter * batch / dt
+    assert out["prediction"].shape[0] == n_windows
+    windows_per_s = n_windows / dt
 
     print(json.dumps({
         "metric": "inference windows/s/chip (1.2M fragment model, bf16, "

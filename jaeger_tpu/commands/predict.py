@@ -120,7 +120,15 @@ def run_core(
     if scan_termini:
         term_repeats = scan_for_terminal_repeats(str(input_path))
 
-    engine = InferenceEngine(model, variables, batch_size=batch, mesh=mesh)
+    wanted = ["prediction", "reliability"]
+    if save_embedding:
+        wanted.append("embedding")
+    if save_nmd:
+        wanted.append("nmd")
+    engine = InferenceEngine(
+        model, variables, batch_size=batch, mesh=mesh,
+        output_keys=tuple(wanted),
+    )
 
     batches = window_batches(
         str(input_path), fragsize=fsize, stride=stride, min_len=min_len,

@@ -36,10 +36,17 @@ class InferenceEngine:
         batch_size: int = 512,
         mesh=None,
         donate: bool = False,
+        output_keys: tuple | None = None,
+        pipeline_depth: int = 4,
     ):
         self.model = model
         self.variables = variables
         self.batch_size = int(batch_size)
+        # Fetch only what the caller needs: device->host readback is the
+        # expensive leg (especially over a tunneled chip), and embedding/
+        # NMD tensors dwarf the logits.
+        self.output_keys = tuple(output_keys) if output_keys else None
+        self.pipeline_depth = max(1, int(pipeline_depth))
         self.mesh = mesh
         if mesh is not None:
             n_dev = mesh.devices.size
@@ -53,6 +60,8 @@ class InferenceEngine:
         out = self.model.apply(
             variables, {"bases": bases, "lengths": lengths}, train=False
         )
+        if self.output_keys is not None:
+            out = {k: v for k, v in out.items() if k in self.output_keys}
         return {k: v.astype(jnp.float32) for k, v in out.items()}
 
     def _get_fn(self, shape: tuple):
@@ -72,25 +81,41 @@ class InferenceEngine:
     def predict_windows(
         self, bases: np.ndarray, lengths: np.ndarray
     ) -> dict[str, np.ndarray]:
-        """Run the model over (n, cap) base IDs; returns host float32 dict."""
+        """Run the model over (n, cap) base IDs; returns host float32 dict.
+
+        The loop is pipelined two deep: the host->device transfer and
+        dispatch of batch i+1 overlap the device compute of batch i, and
+        the device->host readback of batch i-1 overlaps both (JAX
+        dispatch is async; only the final ``np.asarray`` synchronizes).
+        Per-batch host offload still bounds device memory like the
+        reference's ``.numpy()`` loop (``inference.py:360-367``).
+        """
         n = bases.shape[0]
         bs = self.batch_size
+        starts = list(range(0, n, bs))
         chunks: list[dict[str, np.ndarray]] = []
-        for i in range(0, n, bs):
+        in_flight: list[tuple[dict, int]] = []  # (device outputs, valid rows)
+
+        def drain_one() -> None:
+            out, valid = in_flight.pop(0)
+            host = {k: np.asarray(v)[:valid] for k, v in out.items()}
+            chunks.append(host)
+
+        for i in starts:
             b = bases[i : i + bs]
             ln = lengths[i : i + bs]
-            pad = bs - b.shape[0]
+            valid = b.shape[0]
+            pad = bs - valid
             if pad:
                 b = np.pad(b, ((0, pad), (0, 0)), constant_values=4)
                 ln = np.pad(ln, (0, pad), constant_values=0)
             fn = self._get_fn((bs, b.shape[1]))
             out = fn(self.variables, jnp.asarray(b), jnp.asarray(ln))
-            # per-batch host offload (bounds device memory, reference
-            # inference.py:360-367)
-            host = {k: np.asarray(v) for k, v in out.items()}
-            if pad:
-                host = {k: v[: bs - pad] for k, v in host.items()}
-            chunks.append(host)
+            in_flight.append((out, valid))
+            if len(in_flight) > self.pipeline_depth:
+                drain_one()
+        while in_flight:
+            drain_one()
         if not chunks:
             return {}
         return {

@@ -108,6 +108,108 @@ def batches_from_csv(
         yield {"bases": bases, "lengths": lengths, "labels": out_labels}
 
 
+def grouped_batches_from_csv(
+    paths: list[str | Path],
+    batch_size: int,
+    num_classes: int,
+    crop_nt: int | None = None,
+    replica_multiple: int = 1,
+    seed: int = 42,
+    repeat: bool = True,
+    label_map: dict[int, int] | None = None,
+    length_buckets: tuple[int, ...] | None = None,
+) -> Iterator[dict[str, np.ndarray]]:
+    """Group-by-length batching for variable-length training.
+
+    Parity: reference ``commands/train.py:235-303`` (``group_by_window``
+    on exact sequence length with replica-divisible batch sizes). Windows
+    accumulate per length bucket; a bucket flushes when it reaches
+    ``batch_size`` rounded down to a multiple of ``replica_multiple``.
+    With ``length_buckets`` lengths round up to the nearest bucket (the
+    XLA-friendly variant: few static shapes instead of one per length).
+    """
+    rng = random.Random(seed)
+    eff_batch = max(replica_multiple,
+                    (batch_size // replica_multiple) * replica_multiple)
+    buckets: dict[int, list[tuple[int, str]]] = {}
+
+    def bucket_of(n: int) -> int:
+        if crop_nt is not None:
+            n = min(n, crop_nt)
+        if length_buckets:
+            for b in length_buckets:
+                if n <= b:
+                    return b
+            return length_buckets[-1]
+        return n
+
+    def flush(blen: int, count: int | None = None) -> dict[str, np.ndarray]:
+        count = count or eff_batch
+        rows = buckets[blen][:count]
+        buckets[blen] = buckets[blen][count:]
+        bases = np.full((len(rows), blen), BASE_N, dtype=np.uint8)
+        lengths = np.zeros(len(rows), dtype=np.int32)
+        labels = np.zeros(len(rows), dtype=np.int64)
+        for i, (label, seq) in enumerate(rows):
+            ids = encode_ascii(seq[:blen])
+            bases[i, : ids.shape[0]] = ids
+            lengths[i] = ids.shape[0]
+            labels[i] = label_map.get(label, label) if label_map else label
+        if num_classes <= 1:
+            out_labels = labels.astype(np.float32)[:, None]
+        else:
+            out_labels = np.zeros((len(rows), num_classes), np.float32)
+            out_labels[np.arange(len(rows)), labels] = 1.0
+        return {"bases": bases, "lengths": lengths, "labels": out_labels}
+
+    while True:
+        for label, seq in iter_csv_examples(paths):
+            blen = bucket_of(len(seq))
+            buckets.setdefault(blen, []).append((label, seq))
+            if len(buckets[blen]) >= eff_batch:
+                yield flush(blen)
+        if not repeat:
+            # drain leftovers in complete replica-multiples
+            for blen in list(buckets):
+                while len(buckets[blen]) >= replica_multiple:
+                    n = min(eff_batch, (
+                        len(buckets[blen]) // replica_multiple
+                    ) * replica_multiple)
+                    yield flush(blen, n)
+            return
+        rng.random()  # advance RNG between epochs
+
+
+def apply_crop_mode(
+    batch: dict[str, np.ndarray],
+    crop_mode: str,
+    crop_sizes_nt: list[int],
+    rng: np.random.Generator,
+    key: str = "translated",
+) -> dict[str, np.ndarray]:
+    """Runtime crop augmentation on token batches.
+
+    Parity: reference ``data/loaders.py:505-530`` crop modes — ``sample``
+    picks one configured crop per batch, ``range`` a uniform length
+    between min and max. Tokens beyond the chosen frame count are zeroed
+    (masked), keeping shapes static.
+    """
+    if crop_mode not in ("sample", "range"):
+        return batch
+    from jaeger_tpu.seqops import crop as crop_contract
+
+    if crop_mode == "sample":
+        nt = int(rng.choice(crop_sizes_nt))
+    else:
+        nt = int(rng.integers(min(crop_sizes_nt), max(crop_sizes_nt) + 1))
+    k = max(1, crop_contract.numpy_frame_length(nt))
+    feats = batch[key]
+    if feats.shape[-1] > k:
+        feats = feats.copy()
+        feats[..., k:] = 0
+    return {**batch, key: feats}
+
+
 def load_npz_dataset(path: str | Path, key: str = "translated") -> dict:
     """Load a converter NPZ (dense, object-ragged, or sharded-manifest).
 
