@@ -85,11 +85,13 @@ def main(verbose: int) -> None:
               help="Extract phage contigs to FASTA.")
 @click.option("--save-embedding", is_flag=True, default=False)
 @click.option("--save-nmd", is_flag=True, default=False)
+@click.option("--profile", is_flag=True, default=False,
+              help="Write a jax.profiler trace of the inference loop.")
 def predict(input_path, output_dir, model_path, fsize, stride, batch,
             min_len, dustmask, dynamic_stride, precision, crf_switch_cost,
             crf_prior, reliability_cutoff, phage_score, no_termini,
             window_scores, prophage, sensitivity, lc, plot_type, refine,
-            refine_mode, getsequences, save_embedding, save_nmd):
+            refine_mode, getsequences, save_embedding, save_nmd, profile):
     """Identify phage/prophage sequences in a FASTA of contigs."""
     from jaeger_tpu.commands.predict import run_core
 
@@ -103,7 +105,7 @@ def predict(input_path, output_dir, model_path, fsize, stride, batch,
         prophage=prophage, sensitivity=sensitivity, lc=lc,
         plot_type=plot_type, refine=refine, refine_mode=refine_mode,
         getsequences=getsequences, save_embedding=save_embedding,
-        save_nmd=save_nmd,
+        save_nmd=save_nmd, profile=profile,
     )
     click.echo(f"summary written to {table}")
 
@@ -337,6 +339,37 @@ def ood_data(input_path, output_path, method, kmer, n_shuffles,
                            tandem_repeats=tandem_repeats, seed=seed,
                            output_format=output_format)
     click.echo(summary)
+
+
+@utils.command("quantize")
+@click.option("-m", "--model", "model_path", required=True,
+              type=click.Path(exists=True))
+@click.option("-o", "--output", "output_path", required=True)
+def quantize(model_path, output_path):
+    """Write an int8-weight variant of a model bundle."""
+    from jaeger_tpu.models.conversion import quantize_bundle
+
+    stats = quantize_bundle(model_path, output_path)
+    click.echo(stats)
+
+
+@utils.command("convert-graph")
+@click.option("-m", "--model", "model_path", required=True,
+              type=click.Path(exists=True))
+@click.option("-o", "--output", "output_path", required=True)
+@click.option("--batch", default=96, show_default=True)
+@click.option("--precision", default="bfloat16", show_default=True,
+              type=click.Choice(["bfloat16", "float32"]))
+def convert_graph(model_path, output_path, batch, precision):
+    """Export the jitted forward pass as a portable StableHLO artifact."""
+    import jax.numpy as jnp
+
+    from jaeger_tpu.models.conversion import export_stablehlo
+
+    _honour_platform_env()
+    dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
+    out = export_stablehlo(model_path, output_path, batch=batch, dtype=dtype)
+    click.echo(f"StableHLO artifact written to {out}")
 
 
 @utils.command("combine-models")

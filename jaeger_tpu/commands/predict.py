@@ -93,6 +93,7 @@ def run_core(
     getsequences: bool = False,
     save_embedding: bool = False,
     save_nmd: bool = False,
+    profile: bool = False,
 ) -> Path:
     t0 = time.time()
     input_path = Path(input_path)
@@ -134,7 +135,17 @@ def run_core(
         str(input_path), fragsize=fsize, stride=stride, min_len=min_len,
         dustmask=dustmask, dynamic_stride=dynamic_stride,
     )
-    outputs, kept = engine.predict_batches(batches)
+    if profile:
+        # first-class profiler trace (SURVEY aux #1: the reference had
+        # only rich ms/step progress); view with xprof/tensorboard
+        import jax
+
+        trace_dir = output_dir / "profile"
+        with jax.profiler.trace(str(trace_dir)):
+            outputs, kept = engine.predict_batches(batches)
+        logger.info(f"profiler trace written to {trace_dir}")
+    else:
+        outputs, kept = engine.predict_batches(batches)
     if not outputs:
         raise ValueError(f"no windows produced from {input_path}")
     n_windows = outputs["prediction"].shape[0]

@@ -38,6 +38,7 @@ class InferenceEngine:
         donate: bool = False,
         output_keys: tuple | None = None,
         pipeline_depth: int = 4,
+        pack_transfer: bool = True,
     ):
         self.model = model
         self.variables = variables
@@ -47,6 +48,9 @@ class InferenceEngine:
         # NMD tensors dwarf the logits.
         self.output_keys = tuple(output_keys) if output_keys else None
         self.pipeline_depth = max(1, int(pipeline_depth))
+        # nibble-pack base IDs for the host->device leg (2x fewer bytes;
+        # unpacked on device inside the jitted program)
+        self.pack_transfer = bool(pack_transfer)
         self.mesh = mesh
         if mesh is not None:
             n_dev = mesh.devices.size
@@ -64,6 +68,12 @@ class InferenceEngine:
             out = {k: v for k, v in out.items() if k in self.output_keys}
         return {k: v.astype(jnp.float32) for k, v in out.items()}
 
+    def _forward_packed(self, variables, packed, lengths, length: int):
+        from jaeger_tpu.ops.encode import unpack_bases
+
+        bases = unpack_bases(packed, length)
+        return self._forward(variables, bases, lengths)
+
     def _get_fn(self, shape: tuple):
         fn = self._compiled.get(shape)
         if fn is None:
@@ -74,7 +84,13 @@ class InferenceEngine:
                     self._data_sharding,
                     self._data_sharding,
                 )
-            fn = jax.jit(self._forward, **jit_kwargs)
+            if self.pack_transfer:
+                fn = jax.jit(
+                    functools.partial(self._forward_packed, length=shape[1]),
+                    **jit_kwargs,
+                )
+            else:
+                fn = jax.jit(self._forward, **jit_kwargs)
             self._compiled[shape] = fn
         return fn
 
@@ -110,7 +126,13 @@ class InferenceEngine:
                 b = np.pad(b, ((0, pad), (0, 0)), constant_values=4)
                 ln = np.pad(ln, (0, pad), constant_values=0)
             fn = self._get_fn((bs, b.shape[1]))
-            out = fn(self.variables, jnp.asarray(b), jnp.asarray(ln))
+            if self.pack_transfer:
+                from jaeger_tpu.ops.encode import pack_bases
+
+                payload = jnp.asarray(pack_bases(b))
+            else:
+                payload = jnp.asarray(b)
+            out = fn(self.variables, payload, jnp.asarray(ln))
             in_flight.append((out, valid))
             if len(in_flight) > self.pipeline_depth:
                 drain_one()

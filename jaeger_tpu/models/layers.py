@@ -26,6 +26,7 @@ from typing import Any, Callable, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 Dtype = Any
@@ -233,24 +234,41 @@ class MaskedBatchNorm(nn.Module):
             "batch_stats", "moving_variance", lambda: jnp.ones((c,), jnp.float32)
         )
 
-        xf = x.astype(jnp.float32)
-        reduce_axes = tuple(range(xf.ndim - 1))
-        example_axes = tuple(range(1, xf.ndim - 1))
-
+        reduce_axes = tuple(range(x.ndim - 1))
+        example_axes = tuple(range(1, x.ndim - 1))
         use_mask = self.use_masking and mask is not None
-        if use_mask:
-            mf = mask.astype(jnp.float32)[..., None]
-            masked = xf * mf
-            valid = jnp.sum(mf, axis=reduce_axes) + self.epsilon
-            mean_b = jnp.sum(masked, axis=reduce_axes) / valid
-            var_b = (
-                jnp.sum(mf * jnp.square(xf - mean_b), axis=reduce_axes) / valid
-            )
-        else:
-            mean_b = jnp.mean(xf, axis=reduce_axes)
-            var_b = jnp.var(xf, axis=reduce_axes)
 
+        # float32 statistics WITHOUT materializing an f32 activation copy:
+        # sums accumulate in f32 via the reduction dtype (XLA folds the
+        # upcast into the reduce), keeping activations bf16 end-to-end.
+        need_batch_stats = train or (self.return_nmd and use_mask) or (
+            self.return_nmd and not use_mask
+        )
+        mf = None
+        if use_mask:
+            mf = mask[..., None]
         if train:
+            if use_mask:
+                valid = (
+                    jnp.sum(mf, axis=reduce_axes, dtype=jnp.float32)
+                    + self.epsilon
+                )
+                xs = jnp.where(mf, x, 0)
+                mean_b = (
+                    jnp.sum(xs, axis=reduce_axes, dtype=jnp.float32) / valid
+                )
+                sq = jnp.square(
+                    x.astype(jnp.float32) - mean_b
+                ) * mf.astype(jnp.float32)
+                var_b = jnp.sum(sq, axis=reduce_axes, dtype=jnp.float32) / valid
+            else:
+                n = np.prod([x.shape[a] for a in reduce_axes])
+                mean_b = jnp.sum(x, axis=reduce_axes, dtype=jnp.float32) / n
+                var_b = (
+                    jnp.sum(jnp.square(x.astype(jnp.float32)),
+                            axis=reduce_axes) / n
+                    - jnp.square(mean_b)
+                )
             mean_use, var_use = mean_b, var_b
             if not self.is_initializing():
                 moving_mean.value = (
@@ -262,18 +280,27 @@ class MaskedBatchNorm(nn.Module):
         else:
             mean_use, var_use = moving_mean.value, moving_var.value
 
+        # fold (x - mean) * inv * gamma + beta into one bf16 affine
         inv = jax.lax.rsqrt(var_use + self.epsilon)
-        y = (xf - mean_use) * inv * gamma + beta
-        y = y.astype(x.dtype)
+        scale = (gamma * inv).astype(x.dtype)
+        bias = (beta - mean_use * inv * gamma).astype(x.dtype)
+        y = x * scale + bias
 
         if not self.return_nmd:
             return y, mask
         if use_mask:
-            per_ex = jnp.sum(masked, axis=example_axes)
-            cnt = jnp.sum(mf, axis=example_axes) + self.epsilon
+            xs = jnp.where(mf, x, 0)
+            per_ex = jnp.sum(xs, axis=example_axes, dtype=jnp.float32)
+            cnt = (
+                jnp.sum(mf, axis=example_axes, dtype=jnp.float32)
+                + self.epsilon
+            )
             mean_ch = per_ex / cnt
         else:
-            mean_ch = jnp.mean(xf, axis=example_axes)
+            n_ex = np.prod([x.shape[a] for a in example_axes])
+            mean_ch = (
+                jnp.sum(x, axis=example_axes, dtype=jnp.float32) / n_ex
+            )
         nmd = (mean_ch - mean_use).astype(x.dtype)
         return y, mask, nmd
 
@@ -293,20 +320,29 @@ class MaskedLayerNorm(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False):
         c = x.shape[-1]
-        xf = x.astype(jnp.float32)
         if mask is not None:
-            mf = jax.lax.stop_gradient(mask.astype(jnp.float32))[..., None]
-            xf = xf * mf
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.var(xf, axis=-1, keepdims=True)
-        y = (xf - mean) / jnp.sqrt(var + self.epsilon)
+            x = apply_mask(x, jax.lax.stop_gradient(mask))
+        # per-position channel moments accumulated in f32 without an f32
+        # activation copy; normalization applied in the compute dtype
+        mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
+        var = (
+            jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1,
+                     keepdims=True)
+            - jnp.square(mean)
+        )
+        inv = (1.0 / jnp.sqrt(var + self.epsilon)).astype(x.dtype)
+        y = (x - mean.astype(x.dtype)) * inv
         if self.scale:
-            y = y * self.param("gamma", nn.initializers.ones_init(), (c,), jnp.float32)
+            y = y * self.param(
+                "gamma", nn.initializers.ones_init(), (c,), jnp.float32
+            ).astype(x.dtype)
         if self.center:
-            y = y + self.param("beta", nn.initializers.zeros_init(), (c,), jnp.float32)
+            y = y + self.param(
+                "beta", nn.initializers.zeros_init(), (c,), jnp.float32
+            ).astype(x.dtype)
         if mask is not None:
-            y = y * mf
-        return y.astype(x.dtype), mask
+            y = apply_mask(y, mask)
+        return y, mask
 
 
 class LayerNorm(nn.Module):
@@ -345,8 +381,12 @@ class MaskedDYT(nn.Module):
         )
         gamma = self.param("gamma", nn.initializers.ones_init(), (c,), jnp.float32)
         beta = self.param("beta", nn.initializers.zeros_init(), (c,), jnp.float32)
-        y = jnp.tanh(alpha * x.astype(jnp.float32)) * gamma + beta
-        y = y.astype(x.dtype)
+        # tanh is bounded, so the compute dtype is safe (bf16 shares f32's
+        # exponent range); params stay f32 and cast down
+        y = (
+            jnp.tanh(alpha.astype(x.dtype) * x) * gamma.astype(x.dtype)
+            + beta.astype(x.dtype)
+        )
         if mask is not None:
             y = apply_mask(y, mask)
         return y, mask

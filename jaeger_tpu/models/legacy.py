@@ -1,0 +1,159 @@
+"""Legacy (v1) model family.
+
+Parity target: reference ``nnlib/v1/layers.py`` — the deprecated
+``default``/``experimental_*`` models used by ``predict_legacy`` and
+``health``: six amino-acid token streams through a shared-weight dilated
+convolution tower ("RC-CNN": one kernel serves all six reading frames),
+Add-merged, globally max-pooled into dense heads. Outputs
+``{"output", "embedding"}`` like ``WRes_model_embeddings``
+(``v1/layers.py:399-424``).
+
+Tokens come from the on-device encoder with ``alphabet="AA"`` (21 amino
+classes + stop, +1 shift -> vocab 22, matching the reference's
+``Embedding(22, 4, mask_zero=True)``). Weight porting from the bundled
+TF ``WRes_1024.h5`` is out of scope (TF/h5py-free environment); the
+architecture is provided so the legacy family can be retrained and the
+legacy predict path exercised end-to-end.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from jaeger_tpu.models.layers import get_activation
+
+
+class _SharedConvTower(nn.Module):
+    """Dilated conv tower applied with shared weights to each of the six
+    frame streams, then Add-merged (reference ``v1/layers.py:154-208``)."""
+
+    num_res_blocks: int = 5
+    add_residual: bool = True
+    filters: int = 128
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, streams: list[jnp.ndarray], train: bool = False):
+        # streams: list of (B, L, C)
+        def conv(name, k, dilation):
+            return nn.Conv(
+                self.filters, (k,), kernel_dilation=(dilation,),
+                padding="SAME", dtype=self.dtype, param_dtype=jnp.float32,
+                name=name,
+            )
+
+        def bn(name):
+            return nn.BatchNorm(
+                use_running_average=not train, momentum=0.9,
+                dtype=jnp.float32, param_dtype=jnp.float32, name=name,
+            )
+
+        gelu = get_activation("gelu")
+
+        c1 = conv("block1_0", 9, 1)
+        b1 = bn("bn1_0")
+        c2 = conv("block1_1", 5, 2)
+        b2 = bn("bn1_1")
+        res_convs = [
+            (conv(f"block2_{n}_a", 5, 3 + n), conv(f"block2_{n}_b", 5, 3 + n),
+             bn(f"bn2_{n}_a"), bn(f"bn2_{n}_b"))
+            for n in range(self.num_res_blocks)
+        ]
+
+        outs = []
+        for x in streams:
+            h = b1(gelu(c1(x)))
+            h = nn.max_pool(h, (2,), strides=(2,))
+            h = b2(gelu(c2(h)))
+            h = nn.max_pool(h, (2,), strides=(2,))
+            for ca, cb, ba, bb in res_convs:
+                r = ba(gelu(ca(h)))
+                r = bb(gelu(cb(r)))
+                h = h + r if self.add_residual else r
+            outs.append(h)
+        return sum(outs)
+
+
+class WResModel(nn.Module):
+    """Legacy 4-class amino model with embedding side output.
+
+    Parity: ``WRes_model_embeddings`` (reference ``v1/layers.py:399-424``).
+    Input: (B, 6, L) amino tokens (0 = pad).
+    """
+
+    num_classes: int = 4
+    dropout_active: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False):
+        tokens = inputs["translated"] if isinstance(inputs, dict) else inputs
+        emb = nn.Embed(22, 4, param_dtype=jnp.float32, dtype=self.dtype,
+                       name="aa")(tokens)          # (B, 6, L, 4)
+        streams = [emb[:, i] for i in range(emb.shape[1])]
+        x = _SharedConvTower(
+            num_res_blocks=5, add_residual=False, dtype=self.dtype,
+            name="tower",
+        )(streams, train)
+        x = jnp.max(x, axis=1)                     # GlobalMaxPool1D
+        drop = self.dropout_active and train
+        x = nn.Dropout(0.5, deterministic=not drop)(x)
+        x = get_activation("gelu")(
+            nn.Dense(128, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="augdense-1")(x)
+        )
+        x = nn.Dropout(0.5, deterministic=not drop)(x)
+        gmp = get_activation("gelu")(
+            nn.Dense(128, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="augdense-2")(x)
+        )
+        out = nn.Dense(self.num_classes, dtype=jnp.float32,
+                       param_dtype=jnp.float32, name="outdense")(gmp)
+        return {"output": out, "prediction": out, "embedding": gmp}
+
+
+class LSTMModel(nn.Module):
+    """Legacy conv-tower + BiLSTM classifier (reference ``v1/layers.py:427-450``)."""
+
+    num_classes: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False):
+        from jaeger_tpu.models.layers import MaskedBiLSTM
+
+        tokens = inputs["translated"] if isinstance(inputs, dict) else inputs
+        emb = nn.Embed(22, 4, param_dtype=jnp.float32, dtype=self.dtype,
+                       name="aa")(tokens)
+        streams = [emb[:, i] for i in range(emb.shape[1])]
+        x = _SharedConvTower(num_res_blocks=5, add_residual=True,
+                             dtype=self.dtype, name="tower")(streams, train)
+        seq, _ = MaskedBiLSTM(
+            units=128, return_sequences=False, ignore_mask=True,
+            dtype=self.dtype, name="bidirlstm",
+        )(x[:, None], None, train)
+        x = seq[:, 0]
+        x = nn.Dropout(0.1, deterministic=not train)(x)
+        x = get_activation("gelu")(
+            nn.Dense(128, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="augdense-1")(x)
+        )
+        x = nn.Dropout(0.1, deterministic=not train)(x)
+        x = get_activation("gelu")(
+            nn.Dense(128, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="augdense-2")(x)
+        )
+        out = nn.Dense(self.num_classes, dtype=jnp.float32,
+                       param_dtype=jnp.float32, name="outdense")(x)
+        return {"output": out, "prediction": out}
+
+
+def encode_amino_windows(bases, lengths, crop_size: int):
+    """(B, >=crop) base IDs -> (B, 6, K) amino tokens for legacy models."""
+    from jaeger_tpu.ops.encode import encode_frames
+
+    return encode_frames(bases, lengths, crop_size=crop_size, alphabet="AA")

@@ -82,6 +82,26 @@ def _frames_from_codons(codons: jnp.ndarray, k: int) -> jnp.ndarray:
     return jnp.stack(f, axis=1)
 
 
+def pack_bases(bases: np.ndarray) -> np.ndarray:
+    """Pack base IDs two-per-byte (4-bit nibbles) for host->device
+    transfer. Halves PCIe/interconnect bytes; exact for the 9-symbol
+    alphabet. Pads odd lengths with N."""
+    n, L = bases.shape
+    if L % 2:
+        bases = np.pad(bases, ((0, 0), (0, 1)), constant_values=4)
+        L += 1
+    b = bases.astype(np.uint8)
+    return (b[:, 0::2] | (b[:, 1::2] << 4)).astype(np.uint8)
+
+
+def unpack_bases(packed: jnp.ndarray, length: int) -> jnp.ndarray:
+    """Device-side inverse of :func:`pack_bases` -> (N, length) uint8."""
+    lo = packed & 0x0F
+    hi = packed >> 4
+    out = jnp.stack([lo, hi], axis=-1).reshape(packed.shape[0], -1)
+    return out[:, :length]
+
+
 @functools.partial(
     jax.jit, static_argnames=("crop_size", "masking", "alphabet")
 )

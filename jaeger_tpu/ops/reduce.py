@@ -1,0 +1,124 @@
+"""On-device window->contig statistical reduction.
+
+TPU-native redesign of the host-side ``pred_to_dict`` statistics
+(reference ``postprocess/collect.py:247-435``): instead of shipping every
+window's logits to the host and splitting/averaging there, the per-contig
+sums (logit sum/sum-of-squares, per-class argmax counts, entropy/energy
+sums, reliability-above-threshold counts) are segment-reduced on device,
+and the host fetches only the tiny partials plus one int8 class per
+window. For a 20-window contig this cuts device->host traffic ~20x; the
+host finishes means/variances in float and feeds the same summary writer.
+
+Window batches arrive ordered by contig; a contig may span batch
+boundaries, so partials are keyed by *global* contig index and summed on
+the host across batches.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("num_segments",))
+def contig_partials(
+    logits: jnp.ndarray,            # (B, C) float
+    seg_ids: jnp.ndarray,           # (B,) int32, local segment per window
+    valid: jnp.ndarray,             # (B,) bool
+    num_segments: int,
+    reliability: jnp.ndarray | None = None,   # (B, 1) float
+):
+    """Segment partial sums for one batch of windows."""
+    z = logits.astype(jnp.float32)
+    vf = valid.astype(jnp.float32)
+    zv = z * vf[:, None]
+
+    window_cls = jnp.argmax(z, axis=-1).astype(jnp.int8)
+
+    def seg(x):
+        return jax.ops.segment_sum(x, seg_ids, num_segments=num_segments)
+
+    out = {
+        "window_cls": window_cls,
+        "count": seg(vf),
+        "sum": seg(zv),
+        "sumsq": seg(z * zv),
+        "cls_counts": seg(
+            jax.nn.one_hot(window_cls, z.shape[-1]) * vf[:, None]
+        ),
+    }
+    # entropy on raw values, clipped like the reference's softmax_entropy
+    p = jnp.clip(z, 1e-12, 1.0)
+    entropy = -jnp.sum(p * jnp.log2(p), axis=-1)
+    out["entropy_sum"] = seg(entropy * vf)
+    # energy: elementwise -log(exp(z)+1) summed over classes (reference
+    # helpers.py:189-219 multi-class path), mean taken on host
+    energy = -jnp.logaddexp(z, 0.0)
+    out["energy_sum"] = seg(jnp.sum(energy, axis=-1) * vf)
+    out["energy_count"] = out["count"] * z.shape[-1]
+    if reliability is not None:
+        r = reliability.astype(jnp.float32).reshape(-1)
+        above = (jax.nn.sigmoid(r) > 0.5).astype(jnp.float32)
+        out["rel_above"] = seg(above * vf)
+        out["rel_count"] = out["count"]
+    return out
+
+
+class ContigAccumulator:
+    """Host-side accumulation of device partials keyed by global contig."""
+
+    def __init__(self, num_classes: int, with_reliability: bool):
+        self.num_classes = num_classes
+        self.with_reliability = with_reliability
+        self._stats: dict[int, dict[str, np.ndarray]] = {}
+        self._window_cls: dict[int, list[np.ndarray]] = {}
+
+    def add_batch(self, partials: dict, contig_base: np.ndarray,
+                  window_cls_contigs: np.ndarray) -> None:
+        """``contig_base[s]`` = global contig index of local segment s;
+        ``window_cls_contigs`` = global contig index per window."""
+        counts = np.asarray(partials["count"])
+        active = np.nonzero(counts > 0)[0]
+        for s in active:
+            g = int(contig_base[s])
+            st = self._stats.setdefault(g, {})
+            for key in ("count", "sum", "sumsq", "cls_counts",
+                        "entropy_sum", "energy_sum", "energy_count",
+                        "rel_above", "rel_count"):
+                if key not in partials:
+                    continue
+                val = np.asarray(partials[key])[s]
+                st[key] = st.get(key, 0) + val
+        cls = np.asarray(partials["window_cls"])
+        for g in np.unique(window_cls_contigs):
+            m = window_cls_contigs == g
+            self._window_cls.setdefault(int(g), []).append(cls[m])
+
+    def finalize(self) -> dict[int, dict]:
+        """Per-contig final stats: mean, var, counts, entropy, energy,
+        reliability fraction, window class sequence."""
+        out = {}
+        for g, st in sorted(self._stats.items()):
+            n = max(float(st["count"]), 1.0)
+            mean = st["sum"] / n
+            var = np.maximum(st["sumsq"] / n - mean * mean, 0.0)
+            entry = {
+                "n_windows": int(st["count"]),
+                "pred_sum": mean.astype(np.float16),
+                "pred_var": var.astype(np.float16),
+                "cls_counts": st["cls_counts"].astype(np.int64),
+                "entropy": np.float16(st["entropy_sum"] / n),
+                "energy": np.float16(
+                    st["energy_sum"] / max(float(st["energy_count"]), 1.0)
+                ),
+                "frag_pred": np.concatenate(self._window_cls[g]),
+            }
+            if self.with_reliability and "rel_above" in st:
+                entry["reliability"] = np.float16(
+                    st["rel_above"] / max(float(st["rel_count"]), 1.0)
+                )
+            out[g] = entry
+        return out

@@ -63,9 +63,19 @@ def make_train_step(model, cfg: StepConfig) -> Callable:
     ``batch`` is a dict with model inputs (``bases``/``lengths`` or
     pre-encoded features) plus ``labels``.
     """
-    loss_fn_base = losses_lib.LOSSES[cfg.loss_name]
     loss_params = dict(cfg.loss_params or {})
     loss_params.pop("from_logits", None)
+    if cfg.loss_name in ("hierachical_loss", "hierarchical_loss"):
+        # fine+coarse CE (reference nnlib/builder.py:1722, losses.py:127)
+        parent_of = tuple(loss_params.pop("parent_of"))
+        groups = tuple(tuple(g) for g in loss_params.pop("groups"))
+
+        def loss_fn_base(labels, logits, class_weights=None, **kw):
+            return losses_lib.hierarchical_loss(
+                labels, logits, parent_of, groups, **kw
+            )
+    else:
+        loss_fn_base = losses_lib.LOSSES[cfg.loss_name]
 
     def loss_fn(params, batch_stats, batch, rng):
         variables = {"params": params}
