@@ -130,18 +130,29 @@ def encode_frames(
     """
     C = int(crop_size)
     k = frame_positions(C)
-    fold = jnp.asarray(MASKED_LUT if masking else UPPER_LUT, dtype=jnp.int32)
     lut = jnp.asarray(codon_table(alphabet), dtype=jnp.int32)
-    comp = jnp.asarray(_COMPLEMENT)
 
-    b = jnp.take(fold, bases[:, :C].astype(jnp.int32), axis=0)
+    raw = bases[:, :C].astype(jnp.int32)
+    # case folding by arithmetic (no table gathers — TPU-hostile):
+    # lowercase ids 5-8 fold to 0-3 (masking off) or to N=4 (masking on)
+    if masking:
+        b = jnp.where(raw >= 4, 4, raw)
+    else:
+        b = jnp.where(raw >= 5, raw - 5, raw)
     m = jnp.minimum(lengths.astype(jnp.int32), C)  # valid bases in the crop
 
-    # reverse-complement of the *valid* prefix, re-padded with N on the right
-    pos = jnp.arange(C, dtype=jnp.int32)[None, :]
-    ridx = m[:, None] - 1 - pos
-    rb = jnp.take_along_axis(b, jnp.clip(ridx, 0, C - 1), axis=1)
-    rb = jnp.where(ridx >= 0, jnp.take(comp, rb, axis=0), 4)
+    # reverse-complement of the *valid* prefix, re-padded with N on the
+    # right. complement is pure arithmetic (A<->T, G<->C is id XOR 1);
+    # the per-window reversal is a contiguous dynamic slice out of
+    # [flip(comp), N-pad] instead of an elementwise gather.
+    comp_b = jnp.where(b < 4, b ^ 1, 4)
+    buf = jnp.concatenate(
+        [jnp.flip(comp_b, axis=1), jnp.full((b.shape[0], C), 4, b.dtype)],
+        axis=1,
+    )
+    rb = jax.vmap(
+        lambda row, start: jax.lax.dynamic_slice(row, (start,), (C,))
+    )(buf, C - m)
 
     fwd = _frames_from_codons(_trigram_codons(b, lut), k)
     rev = _frames_from_codons(_trigram_codons(rb, lut), k)
@@ -170,19 +181,26 @@ def encode_nucleotide(
     are all-zero rows (masked by the model's input Masking semantics).
     """
     C = int(crop_size)
-    fold = jnp.asarray(MASKED_LUT if masking else UPPER_LUT, dtype=jnp.int32)
-    comp = jnp.asarray(_COMPLEMENT)
     nuc = jnp.asarray(_NUC_ID)
 
-    b = jnp.take(fold, bases[:, :C].astype(jnp.int32), axis=0)
+    raw = bases[:, :C].astype(jnp.int32)
+    if masking:
+        b = jnp.where(raw >= 4, 4, raw)
+    else:
+        b = jnp.where(raw >= 5, raw - 5, raw)
     m = jnp.minimum(lengths.astype(jnp.int32), C)
     pos = jnp.arange(C, dtype=jnp.int32)[None, :]
     valid = pos < m[:, None]
     b = jnp.where(valid, b, 4)
 
-    ridx = m[:, None] - 1 - pos
-    rb = jnp.take_along_axis(b, jnp.clip(ridx, 0, C - 1), axis=1)
-    rb = jnp.where(ridx >= 0, jnp.take(comp, rb, axis=0), 4)
+    comp_b = jnp.where(b < 4, b ^ 1, 4)
+    buf = jnp.concatenate(
+        [jnp.flip(comp_b, axis=1), jnp.full((b.shape[0], C), 4, b.dtype)],
+        axis=1,
+    )
+    rb = jax.vmap(
+        lambda row, start: jax.lax.dynamic_slice(row, (start,), (C,))
+    )(buf, C - m)
 
     ids = jnp.stack([jnp.take(nuc, b, axis=0), jnp.take(nuc, rb, axis=0)], axis=1)
     return jax.nn.one_hot(ids, 4, dtype=jnp.float32)
