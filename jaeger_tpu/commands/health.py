@@ -46,6 +46,48 @@ _TINY_CONFIG = {
 }
 
 
+def _print_diagnostics() -> None:
+    """Environment diagnostics (parity: reference commands/health.py:88)."""
+    import platform
+    import sys
+
+    import jax
+
+    print("environment:")
+    print(f"  python   : {sys.version.split()[0]} ({platform.platform()})")
+    for mod in ("jax", "flax", "optax", "numpy", "pandas"):
+        try:
+            import importlib
+
+            version = getattr(importlib.import_module(mod), "__version__", "?")
+            print(f"  {mod:<9}: {version}")
+        except ImportError:
+            print(f"  {mod:<9}: MISSING")
+    print(f"  devices  : {jax.devices()} "
+          f"(default backend: {jax.default_backend()})")
+    try:
+        from jaeger_tpu import native
+
+        print(f"  native   : {'built' if native.available() else 'python fallback'}")
+    except Exception as e:
+        print(f"  native   : unavailable ({e})")
+    try:
+        import psutil
+
+        mem = psutil.virtual_memory()
+        print(f"  host mem : {mem.available / 2**30:.1f} / "
+              f"{mem.total / 2**30:.1f} GB free")
+    except ImportError:
+        pass
+    try:
+        from jaeger_tpu.utils.registry import AvailableModels
+
+        models = AvailableModels()
+        print(f"  models   : {sorted(models.info) or 'none registered'}")
+    except Exception:
+        pass
+
+
 def health_core() -> int:
     import jax
 
@@ -62,7 +104,7 @@ def health_core() -> int:
             traceback.print_exc(limit=2)
 
     print("jaeger-tpu health check")
-    print(f"  devices: {jax.devices()}")
+    _print_diagnostics()
 
     def t_matmul():
         import jax.numpy as jnp

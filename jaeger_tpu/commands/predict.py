@@ -135,6 +135,23 @@ def run_core(
         str(input_path), fragsize=fsize, stride=stride, min_len=min_len,
         dustmask=dustmask, dynamic_stride=dynamic_stride,
     )
+    # The device-reduced fast path fetches per-contig partials + one int8
+    # class per window instead of full logits — used whenever no consumer
+    # needs the full per-window logit matrices.
+    needs_full = bool(
+        crf_switch_cost is not None or prophage or save_window_scores
+        or refine or save_embedding or save_nmd or len(labels or []) <= 2
+    )
+
+    def run_engine():
+        if needs_full:
+            return engine.predict_batches(batches)
+        stats, kept = engine.predict_batches_reduced(
+            batches, num_classes=len(labels),
+            with_reliability=True,
+        )
+        return stats, kept
+
     if profile:
         # first-class profiler trace (SURVEY aux #1: the reference had
         # only rich ms/step progress); view with xprof/tensorboard
@@ -142,26 +159,39 @@ def run_core(
 
         trace_dir = output_dir / "profile"
         with jax.profiler.trace(str(trace_dir)):
-            outputs, kept = engine.predict_batches(batches)
+            result, kept = run_engine()
         logger.info(f"profiler trace written to {trace_dir}")
     else:
-        outputs, kept = engine.predict_batches(batches)
-    if not outputs:
+        result, kept = run_engine()
+    if not result:
         raise ValueError(f"no windows produced from {input_path}")
-    n_windows = outputs["prediction"].shape[0]
     meta = collect.PredictionMeta.from_batches(kept)
 
-    data, data_full = collect.reduce_windows(
-        prediction=outputs["prediction"],
-        meta=meta,
-        fsize=fsize,
-        num_classes=len(labels) if labels else outputs["prediction"].shape[-1],
-        reliability=outputs.get("reliability"),
-        class_names=labels,
-        crf_switch_cost=crf_switch_cost,
-        crf_prior=crf_prior,
-        term_repeats=term_repeats,
-    )
+    if needs_full:
+        outputs = result
+        n_windows = outputs["prediction"].shape[0]
+        data, data_full = collect.reduce_windows(
+            prediction=outputs["prediction"],
+            meta=meta,
+            fsize=fsize,
+            num_classes=(
+                len(labels) if labels else outputs["prediction"].shape[-1]
+            ),
+            reliability=outputs.get("reliability"),
+            class_names=labels,
+            crf_switch_cost=crf_switch_cost,
+            crf_prior=crf_prior,
+            term_repeats=term_repeats,
+        )
+    else:
+        stats = result
+        n_windows = int(sum(s["n_windows"] for s in stats.values()))
+        rel_present = any("reliability" in s for s in stats.values())
+        data = collect.data_from_device_stats(
+            stats, meta, fsize=fsize, num_classes=len(labels),
+            with_reliability=rel_present, term_repeats=term_repeats,
+        )
+        outputs, data_full = {}, None
 
     # --- optional post-hoc refinement (reference predict.py:311-335) ---
     refined_contig = None
@@ -292,4 +322,15 @@ def run_core(
         f"predict: {n} contigs, {n_windows} windows in {dt:.2f}s "
         f"({n_windows / dt:.0f} windows/s)"
     )
+    # resource summary (parity: reference predict.py:472-477 psutil logs)
+    try:
+        import psutil
+
+        proc = psutil.Process()
+        logger.info(
+            f"CPU time(s): {proc.cpu_times().user:.2f}  "
+            f"RSS: {proc.memory_info().rss / 2**30:.2f} GB"
+        )
+    except ImportError:
+        pass
     return table

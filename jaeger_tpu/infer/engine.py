@@ -145,6 +145,103 @@ class InferenceEngine:
             for k in chunks[0]
         }
 
+    # ------------------------------------------------------------------
+    # device-reduced fast path: per-contig partial statistics are segment-
+    # reduced on device; the host fetches tiny partials + one int8 class
+    # per window instead of full logit matrices (ops/reduce.py)
+    # ------------------------------------------------------------------
+
+    def _get_reduced_fn(self, shape: tuple, with_reliability: bool):
+        key = ("reduced", shape, with_reliability)
+        fn = self._compiled.get(key)
+        if fn is None:
+            from jaeger_tpu.ops.encode import unpack_bases
+            from jaeger_tpu.ops.reduce import contig_partials
+
+            bs = shape[0]
+
+            def forward_reduced(variables, payload, lengths, seg_ids, valid):
+                if self.pack_transfer:
+                    bases = unpack_bases(payload, shape[1])
+                else:
+                    bases = payload
+                out = self.model.apply(
+                    variables, {"bases": bases, "lengths": lengths},
+                    train=False,
+                )
+                return contig_partials(
+                    out["prediction"].astype(jnp.float32),
+                    seg_ids, valid, num_segments=bs,
+                    reliability=(
+                        out["reliability"].astype(jnp.float32)
+                        if with_reliability and "reliability" in out
+                        else None
+                    ),
+                )
+
+            fn = jax.jit(forward_reduced)
+            self._compiled[key] = fn
+        return fn
+
+    def predict_batches_reduced(
+        self, batches: Iterable[WindowBatch], num_classes: int,
+        with_reliability: bool = True,
+    ):
+        """Stream batches through the device-reduced path.
+
+        Returns (ContigAccumulator-final stats keyed by global contig
+        index, kept WindowBatches).
+        """
+        from jaeger_tpu.ops.encode import pack_bases
+        from jaeger_tpu.ops.reduce import ContigAccumulator
+
+        acc = ContigAccumulator(num_classes, with_reliability)
+        kept: list[WindowBatch] = []
+        bs = self.batch_size
+        in_flight: list[tuple[dict, np.ndarray, np.ndarray]] = []
+
+        def drain_one():
+            partial, seg_to_contig, win_contigs = in_flight.pop(0)
+            acc.add_batch(
+                {k: np.asarray(v) for k, v in partial.items()},
+                seg_to_contig, win_contigs,
+            )
+
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            kept.append(batch)
+            for i in range(0, len(batch), bs):
+                b = batch.bases[i : i + bs]
+                ln = batch.length[i : i + bs]
+                contig = batch.contig[i : i + bs].astype(np.int64)
+                n_valid = b.shape[0]
+                pad = bs - n_valid
+                if pad:
+                    b = np.pad(b, ((0, pad), (0, 0)), constant_values=4)
+                    ln = np.pad(ln, (0, pad))
+                    contig = np.pad(contig, (0, pad),
+                                    constant_values=contig[-1])
+                seg_local = (contig - contig[0]).astype(np.int32)
+                valid = np.zeros(bs, bool)
+                valid[:n_valid] = True
+                fn = self._get_reduced_fn((bs, b.shape[1]),
+                                          with_reliability)
+                payload = jnp.asarray(
+                    pack_bases(b) if self.pack_transfer else b
+                )
+                partial = fn(self.variables, payload, jnp.asarray(ln),
+                             jnp.asarray(seg_local), jnp.asarray(valid))
+                seg_to_contig = np.arange(bs, dtype=np.int64) + contig[0]
+                in_flight.append(
+                    (partial, seg_to_contig, contig[:n_valid])
+                )
+                if len(in_flight) > self.pipeline_depth:
+                    drain_one()
+        while in_flight:
+            drain_one()
+        return acc.finalize(), kept
+
     def predict_batches(
         self, batches: Iterable[WindowBatch]
     ) -> tuple[dict[str, np.ndarray], list[WindowBatch]]:

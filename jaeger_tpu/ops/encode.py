@@ -65,10 +65,33 @@ def frame_positions(crop_size: int) -> int:
     return crop_contract.frame_length(crop_size, crop_size)
 
 
-def _trigram_codons(b: jnp.ndarray, lut: jnp.ndarray) -> jnp.ndarray:
+def _codon_ids_arith(b: jnp.ndarray) -> jnp.ndarray:
+    """(B, L) base IDs -> (B, L-2) classical-table codon IDs, arithmetic.
+
+    The classical codon-table order (middle base slowest over TCAG) makes
+    the codon ID ``16*g(b1) + 4*g(b0) + g(b2)`` where ``g`` permutes our
+    base IDs (A0 T1 G2 C3) into TCAG positions — a 2-bit swap+flip:
+    ``g(b) = ((b & 1) ^ 1) * 2 + (b >> 1)``. This removes the per-element
+    table gather (TPU-hostile) from the hot encode path entirely.
+    Ambiguous bases (id >= 4) make the codon -1.
+    """
+    g = ((b & 1) ^ 1) * 2 + (b >> 1)
+    b0, b1, b2 = b[:, :-2], b[:, 1:-1], b[:, 2:]
+    g0, g1, g2 = g[:, :-2], g[:, 1:-1], g[:, 2:]
+    cid = 16 * g1 + 4 * g0 + g2
+    valid = (b0 < 4) & (b1 < 4) & (b2 < 4)
+    return jnp.where(valid, cid, -1)
+
+
+def _trigram_codons(b: jnp.ndarray, alphabet: str) -> jnp.ndarray:
     """(B, L) base IDs -> (B, L-2) codon class IDs (-1 for ambiguous)."""
-    tri = b[:, :-2] * 25 + b[:, 1:-1] * 5 + b[:, 2:]
-    return jnp.take(lut, tri, axis=0)
+    cid = _codon_ids_arith(b)
+    if alphabet.upper() in ("CODON", "CODON_ID"):
+        return cid
+    # reduced alphabets remap through a 64-entry table (tiny gather)
+    _, ids = maps.resolve_alphabet(alphabet)
+    lut64 = jnp.asarray(list(ids), dtype=jnp.int32)
+    return jnp.where(cid >= 0, jnp.take(lut64, jnp.maximum(cid, 0)), -1)
 
 
 def _frames_from_codons(codons: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -130,7 +153,6 @@ def encode_frames(
     """
     C = int(crop_size)
     k = frame_positions(C)
-    lut = jnp.asarray(codon_table(alphabet), dtype=jnp.int32)
 
     raw = bases[:, :C].astype(jnp.int32)
     # case folding by arithmetic (no table gathers — TPU-hostile):
@@ -154,8 +176,8 @@ def encode_frames(
         lambda row, start: jax.lax.dynamic_slice(row, (start,), (C,))
     )(buf, C - m)
 
-    fwd = _frames_from_codons(_trigram_codons(b, lut), k)
-    rev = _frames_from_codons(_trigram_codons(rb, lut), k)
+    fwd = _frames_from_codons(_trigram_codons(b, alphabet), k)
+    rev = _frames_from_codons(_trigram_codons(rb, alphabet), k)
     frames = jnp.concatenate([fwd, rev], axis=1)  # (B, 6, K)
 
     # per-window valid frame positions: P = ceil((m - 5 + offset) / 3)

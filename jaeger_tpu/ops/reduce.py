@@ -92,7 +92,7 @@ class ContigAccumulator:
                     continue
                 val = np.asarray(partials[key])[s]
                 st[key] = st.get(key, 0) + val
-        cls = np.asarray(partials["window_cls"])
+        cls = np.asarray(partials["window_cls"])[: len(window_cls_contigs)]
         for g in np.unique(window_cls_contigs):
             m = window_cls_contigs == g
             self._window_cls.setdefault(int(g), []).append(cls[m])

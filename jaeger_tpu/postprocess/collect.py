@@ -197,6 +197,78 @@ def reduce_windows(
     return data, data_full
 
 
+def data_from_device_stats(
+    stats: dict[int, dict],
+    meta: PredictionMeta,
+    fsize: int,
+    num_classes: int,
+    with_reliability: bool,
+    term_repeats: pd.DataFrame | None = None,
+) -> dict:
+    """Build the ``pred_to_dict``-shaped data dict from on-device
+    per-contig statistics (:mod:`jaeger_tpu.ops.reduce`).
+
+    The device path supports the argmax decoding mode; CRF smoothing and
+    the full-logit auxiliary outputs use :func:`reduce_windows`.
+    """
+    split_flags = np.asarray(meta.contig_end, dtype=np.int32)
+    split_indices = np.where(split_flags == 1)[0] + 1
+    headers_per_window = np.asarray(meta.headers, dtype=str)
+    contig_order = sorted(stats)
+
+    headers = np.array(
+        [h[0] for h in np.split(headers_per_window, split_indices) if len(h)]
+    )
+    lengths = np.array(
+        [s[0] for s in np.split(np.asarray(meta.seqlen, np.int32),
+                                split_indices) if len(s)]
+    )
+    a, t, g, c = (np.asarray(v, float) for v in (meta.a, meta.t, meta.g, meta.c))
+    ns_w = (fsize - (a + t + g + c)) / fsize
+    gcs_w = (g + c) / fsize
+    ns = [x for x in np.split(ns_w, split_indices) if len(x)]
+    gcs = [x for x in np.split(gcs_w, split_indices) if len(x)]
+
+    pred_sum = np.stack([stats[gid]["pred_sum"] for gid in contig_order])
+    pred_var = np.stack([stats[gid]["pred_var"] for gid in contig_order])
+    consensus = np.argmax(pred_sum, axis=1)
+    frag_pred = [stats[gid]["frag_pred"] for gid in contig_order]
+    per_class_counts = [
+        {i: int(stats[gid]["cls_counts"][i]) for i in range(num_classes)}
+        for gid in contig_order
+    ]
+    entropy = np.array([stats[gid]["entropy"] for gid in contig_order],
+                       np.float16)
+    energy = np.array([stats[gid]["energy"] for gid in contig_order],
+                      np.float16)
+    ood = (
+        np.array([stats[gid].get("reliability", np.float16(0.0))
+                  for gid in contig_order], np.float16)
+        if with_reliability else None
+    )
+    prophage_contam = (pred_sum[:, 1] < pred_var[:, 1]) & (consensus == 0)
+    host_contam = (pred_sum[:, 1] < pred_var[:, 1]) & (consensus == 1)
+
+    return {
+        "headers": headers,
+        "length": lengths,
+        "consensus": consensus,
+        "per_class_counts": per_class_counts,
+        "pred_sum": pred_sum,
+        "pred_var": pred_var,
+        "frag_pred": frag_pred,
+        "ood": ood,
+        "has_reliability": with_reliability,
+        "entropy": entropy,
+        "energy": energy,
+        "host_contam": host_contam,
+        "prophage_contam": prophage_contam,
+        "repeats": term_repeats,
+        "gc": gcs,
+        "ns": ns,
+    }
+
+
 def _frac_above(values, threshold: float = 0.5) -> float:
     arr = np.asarray(values, dtype=float)
     if arr.size == 0:

@@ -85,3 +85,30 @@ def write_fasta(records, path: str | os.PathLike, width: int = 70) -> None:
     with open(path, "w") as fh:
         for header, seq in records:
             write_fasta_entry(fh, header, seq, width)
+
+
+def split_fasta(path: str | os.PathLike, output_dir: str | os.PathLike,
+                chunks: int) -> list[Path]:
+    """Split a FASTA into ``chunks`` round-robin chunk files.
+
+    Role parity: reference ``seqops/io.py:320-368`` (pyfastx split);
+    empty chunks are removed.
+    """
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    stem = Path(path).stem
+    paths = [output_dir / f"{stem}.{i:03d}.fasta" for i in range(chunks)]
+    handles = [open(p, "w") for p in paths]
+    try:
+        for i, (header, seq) in enumerate(read_fasta(path)):
+            write_fasta_entry(handles[i % chunks], header, seq)
+    finally:
+        for fh in handles:
+            fh.close()
+    kept = []
+    for p in paths:
+        if p.stat().st_size == 0:
+            p.unlink()
+        else:
+            kept.append(p)
+    return kept
