@@ -341,6 +341,33 @@ def ood_data(input_path, output_path, method, kmer, n_shuffles,
     click.echo(summary)
 
 
+@utils.command("convert-weights")
+@click.option("-i", "--input", "saved_model_dir", required=True,
+              type=click.Path(exists=True),
+              help="Reference TF SavedModel directory (legacy WRes family).")
+@click.option("-o", "--output", "output_path", required=True)
+@click.option("--num-res-blocks", default=5, show_default=True)
+def convert_weights(saved_model_dir, output_path, num_res_blocks):
+    """Convert a reference SavedModel checkpoint to jaeger-tpu weights
+    (no TensorFlow needed)."""
+    from pathlib import Path
+
+    from flax import serialization
+
+    from jaeger_tpu.models.legacy_convert import convert_wres_checkpoint
+
+    variables = convert_wres_checkpoint(saved_model_dir,
+                                        num_res_blocks=num_res_blocks)
+    out = Path(output_path)
+    out.mkdir(parents=True, exist_ok=True)
+    (out / "params.msgpack").write_bytes(serialization.to_bytes(variables))
+    (out / "legacy.yaml").write_text(
+        "family: wres\nnum_res_blocks: %d\nsource: %s\n"
+        % (num_res_blocks, saved_model_dir)
+    )
+    click.echo(f"converted weights written to {out}")
+
+
 @utils.command("quantize")
 @click.option("-m", "--model", "model_path", required=True,
               type=click.Path(exists=True))

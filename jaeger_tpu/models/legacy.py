@@ -47,8 +47,10 @@ class _SharedConvTower(nn.Module):
             )
 
         def bn(name):
+            # Keras BatchNormalization defaults (epsilon 1e-3) so converted
+            # reference checkpoints reproduce inference outputs
             return nn.BatchNorm(
-                use_running_average=not train, momentum=0.9,
+                use_running_average=not train, momentum=0.99, epsilon=1e-3,
                 dtype=jnp.float32, param_dtype=jnp.float32, name=name,
             )
 

@@ -1,0 +1,97 @@
+"""Convert reference SavedModel checkpoints into jaeger-tpu weights.
+
+SURVEY §7 step 5: TF SavedModel -> JAX pytree, name-mapped per layer.
+Covers the legacy WRes family (the architecture of the bundled test graph
+``data/models/test/jaeger_fragment_graph`` and the ``default`` model):
+``aa`` embedding, ``block1_*``/``block2_*`` shared dilated conv tower with
+``bn_*`` batch norms, ``augdense-*``/``outdense`` heads — loaded into
+:class:`jaeger_tpu.models.legacy.WResModel` without TensorFlow
+(:mod:`jaeger_tpu.models.tf_checkpoint`).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from jaeger_tpu.models.tf_checkpoint import load_checkpoint
+
+
+def _by_suffix(tensors: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Index tensors by their trailing ``layer/attr`` name."""
+    out = {}
+    for key, value in tensors.items():
+        parts = key.split("/")
+        if len(parts) >= 2:
+            out["/".join(parts[-2:])] = value
+    return out
+
+
+def convert_wres_checkpoint(saved_model_dir: str | Path,
+                            num_res_blocks: int = 5) -> dict:
+    """SavedModel variables -> WResModel flax variables dict."""
+    t = _by_suffix(load_checkpoint(saved_model_dir))
+
+    def need(name: str) -> jnp.ndarray:
+        if name not in t:
+            raise KeyError(
+                f"tensor {name!r} missing from checkpoint; found "
+                f"{sorted(t)[:10]}..."
+            )
+        return jnp.asarray(t[name])
+
+    params: dict = {
+        "aa": {"embedding": need("aa/embeddings")},
+        "tower": {
+            "block1_0": {"kernel": need("block1_0/kernel"),
+                         "bias": need("block1_0/bias")},
+            "block1_1": {"kernel": need("block1_1/kernel"),
+                         "bias": need("block1_1/bias")},
+            "bn1_0": {"scale": need("bn_block1_1/gamma"),
+                      "bias": need("bn_block1_1/beta")},
+            "bn1_1": {"scale": need("bn_block1_2/gamma"),
+                      "bias": need("bn_block1_2/beta")},
+        },
+        "augdense-1": {"kernel": need("augdense-1/kernel"),
+                       "bias": need("augdense-1/bias")},
+        "augdense-2": {"kernel": need("augdense-2/kernel"),
+                       "bias": need("augdense-2/bias")},
+        "outdense": {"kernel": need("outdense/kernel"),
+                     "bias": need("outdense/bias")},
+    }
+    batch_stats: dict = {
+        "tower": {
+            "bn1_0": {"mean": need("bn_block1_1/moving_mean"),
+                      "var": need("bn_block1_1/moving_variance")},
+            "bn1_1": {"mean": need("bn_block1_2/moving_mean"),
+                      "var": need("bn_block1_2/moving_variance")},
+        },
+    }
+    for n in range(num_res_blocks):
+        params["tower"][f"block2_{n}_a"] = {
+            "kernel": need(f"block2_{n}1/kernel"),
+            "bias": need(f"block2_{n}1/bias"),
+        }
+        params["tower"][f"block2_{n}_b"] = {
+            "kernel": need(f"block2_{n}2/kernel"),
+            "bias": need(f"block2_{n}2/bias"),
+        }
+        params["tower"][f"bn2_{n}_a"] = {
+            "scale": need(f"bn_block2_{n}1/gamma"),
+            "bias": need(f"bn_block2_{n}1/beta"),
+        }
+        params["tower"][f"bn2_{n}_b"] = {
+            "scale": need(f"bn_block2_{n}2/gamma"),
+            "bias": need(f"bn_block2_{n}2/beta"),
+        }
+        batch_stats["tower"][f"bn2_{n}_a"] = {
+            "mean": need(f"bn_block2_{n}1/moving_mean"),
+            "var": need(f"bn_block2_{n}1/moving_variance"),
+        }
+        batch_stats["tower"][f"bn2_{n}_b"] = {
+            "mean": need(f"bn_block2_{n}2/moving_mean"),
+            "var": need(f"bn_block2_{n}2/moving_variance"),
+        }
+    return {"params": params, "batch_stats": batch_stats}

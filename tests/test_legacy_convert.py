@@ -1,0 +1,90 @@
+"""TF SavedModel -> jaeger-tpu weight conversion (no TensorFlow).
+
+Uses the reference's bundled test SavedModel
+(``data/models/test/jaeger_fragment_graph``, read-only) as the conversion
+fixture: the checkpoint parser must recover every tensor with full names,
+the converted tree must match the WResModel structure exactly, and the
+forward pass is pinned to golden logits (captured once from this
+implementation; guards converter/architecture drift).
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+GRAPH = Path(
+    "/root/reference/src/jaeger/data/models/test/jaeger_fragment_graph"
+)
+pytestmark = pytest.mark.skipif(
+    not GRAPH.exists(), reason="reference bundled SavedModel unavailable"
+)
+
+
+def test_checkpoint_parser_tensors():
+    from jaeger_tpu.models.tf_checkpoint import load_checkpoint
+
+    t = load_checkpoint(GRAPH)
+    assert len(t) == 79
+    by_suffix = {"/".join(k.split("/")[-2:]): v for k, v in t.items()}
+    assert by_suffix["aa/embeddings"].shape == (22, 4)
+    assert by_suffix["block1_0/kernel"].shape == (9, 4, 128)
+    assert by_suffix["outdense/kernel"].shape == (128, 4)
+    assert by_suffix["bn_block1_1/moving_variance"].shape == (128,)
+
+
+def test_converted_tree_matches_model():
+    import jax.tree_util as jtu
+
+    from jaeger_tpu.models.legacy import WResModel
+    from jaeger_tpu.models.legacy_convert import convert_wres_checkpoint
+
+    variables = convert_wres_checkpoint(GRAPH)
+    model = WResModel(dropout_active=False)
+    toks = jnp.ones((1, 6, 50), jnp.int32)
+    tmpl = model.init({"params": jax.random.PRNGKey(0)}, toks, train=False)
+    for coll in ("params", "batch_stats"):
+        t1 = {
+            jtu.keystr(k): v.shape
+            for k, v in jtu.tree_flatten_with_path(tmpl[coll])[0]
+        }
+        t2 = {
+            jtu.keystr(k): v.shape
+            for k, v in jtu.tree_flatten_with_path(variables[coll])[0]
+        }
+        assert t1 == t2
+
+
+GOLDEN_LOGITS = np.array(
+    [[18.91302, -45.18705, 32.38448, 55.65975],
+     [27.28505, -48.53145, 30.45763, 65.97242],
+     [21.60337, -35.82043, 20.58445, 70.72578],
+     [37.0039, -53.12393, 26.99385, 48.84635]], dtype=np.float32,
+)
+
+
+def test_converted_forward_golden():
+    from jaeger_tpu.models.legacy import WResModel, encode_amino_windows
+    from jaeger_tpu.models.legacy_convert import convert_wres_checkpoint
+    from jaeger_tpu.seqops.windows import window_batches
+
+    variables = convert_wres_checkpoint(GRAPH)
+    model = WResModel(dropout_active=False)
+    batch = next(window_batches(
+        str(GRAPH.parents[2] / "test" / "test_contigs.fasta"),
+        fragsize=2048, stride=2048,
+    ))
+    toks = encode_amino_windows(
+        jnp.asarray(batch.bases[:4]), jnp.asarray(batch.length[:4]), 2048
+    )
+    out = model.apply(variables, toks, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out["output"], np.float32), GOLDEN_LOGITS,
+        rtol=2e-4, atol=2e-3,
+    )
+    # trained model is confident
+    probs = jax.nn.softmax(np.asarray(out["output"], np.float64), axis=-1)
+    assert probs.max(axis=1).min() > 0.9
