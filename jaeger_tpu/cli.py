@@ -110,6 +110,28 @@ def predict(input_path, output_dir, model_path, fsize, stride, batch,
     click.echo(f"summary written to {table}")
 
 
+@main.command("predict-legacy")
+@click.option("-i", "--input", "input_path", required=True,
+              type=click.Path(exists=True))
+@click.option("-o", "--output", "output_dir", required=True,
+              type=click.Path())
+@click.option("-m", "--model-dir", default=None, type=click.Path(),
+              help="Directory with WRes_1024.h5 (+ OOD pickle).")
+@click.option("--fsize", default=2048, show_default=True)
+@click.option("--stride", default=2048, show_default=True)
+@click.option("--batch", default=128, show_default=True)
+@click.option("--min-len", default=None, type=int)
+def predict_legacy(input_path, output_dir, model_dir, fsize, stride, batch,
+                   min_len):
+    """Legacy 4-class predict with the bundled default WRes model."""
+    from jaeger_tpu.commands.predict_legacy import run_core
+
+    table = run_core(input_path=input_path, output_dir=output_dir,
+                     model_dir=model_dir, fsize=fsize, stride=stride,
+                     batch=batch, min_len=min_len)
+    click.echo(f"summary written to {table}")
+
+
 @main.command()
 def health() -> None:
     """Install self-test: devices, encode path, tiny model round trip."""

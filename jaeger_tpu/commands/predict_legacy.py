@@ -1,0 +1,141 @@
+"""Legacy predict workflow (the bundled ``default`` 4-class model).
+
+Parity target: reference ``commands/predict_legacy.py:34-357`` — load the
+``WRes_1024.h5`` weights into the WRes architecture, run windows through
+the model, compute the sklearn logistic-regression OOD score over the
+128-d embeddings (batch-stat + L2 normalization, reference
+``postprocess/helpers.py:530-564``), and reduce to the legacy 4-class
+summary TSV (bacteria / phage / eukarya / archaea).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from pathlib import Path
+
+import numpy as np
+
+from jaeger_tpu.postprocess import collect
+from jaeger_tpu.seqops.fasta import validate_fasta_entries
+from jaeger_tpu.seqops.windows import window_batches
+
+logger = logging.getLogger("jaeger_tpu")
+
+LEGACY_LABELS = ["bacteria", "phage", "eukarya", "archaea"]
+DEFAULT_MODEL_DIR = Path(
+    "/root/reference/src/jaeger/data/models/default"
+)
+
+
+def _load_ood(model_dir: Path):
+    """(sklearn classifier or None, batch_mean, batch_std)."""
+    import warnings
+
+    clf = None
+    pkl = model_dir / "LR_ood_4_class_default.pkl"
+    if pkl.exists():
+        try:
+            import joblib
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                clf = joblib.load(pkl)
+        except Exception as e:
+            logger.warning(f"could not load OOD model: {e}")
+    mean = std = None
+    if (model_dir / "batch_means.npy").exists():
+        mean = np.load(model_dir / "batch_means.npy")
+        std = np.load(model_dir / "batch_std.npy")
+    return clf, mean, std
+
+
+def run_core(
+    input_path: str,
+    output_dir: str,
+    model_dir: str | Path | None = None,
+    fsize: int = 2048,
+    stride: int = 2048,
+    batch: int = 128,
+    min_len: int | None = None,
+    reliability_cutoff: float = 0.5,
+) -> Path:
+    import jax
+    import jax.numpy as jnp
+
+    from jaeger_tpu.models.legacy import WResModel, encode_amino_windows
+    from jaeger_tpu.models.legacy_convert import convert_wres_h5
+
+    t0 = time.time()
+    input_path = Path(input_path)
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    min_len = min_len if min_len is not None else fsize
+    model_dir = Path(model_dir) if model_dir else DEFAULT_MODEL_DIR
+
+    validate_fasta_entries(str(input_path), min_len=min_len)
+    variables = convert_wres_h5(model_dir / "WRes_1024.h5")
+    model = WResModel(dropout_active=False)
+    clf, batch_mean, batch_std = _load_ood(model_dir)
+
+    @jax.jit
+    def fwd(variables, toks):
+        out = model.apply(variables, toks, train=False)
+        return (out["output"].astype(jnp.float32),
+                out["embedding"].astype(jnp.float32))
+
+    logits_chunks, emb_chunks, kept = [], [], []
+    for wb in window_batches(str(input_path), fragsize=fsize, stride=stride,
+                             min_len=min_len):
+        kept.append(wb)
+        for i in range(0, len(wb), batch):
+            b = wb.bases[i : i + batch]
+            ln = wb.length[i : i + batch]
+            n_valid = b.shape[0]
+            pad = batch - n_valid
+            if pad:
+                b = np.pad(b, ((0, pad), (0, 0)), constant_values=4)
+                ln = np.pad(ln, (0, pad))
+            toks = encode_amino_windows(
+                jnp.asarray(b), jnp.asarray(ln), fsize
+            )
+            lg, em = fwd(variables, toks)
+            logits_chunks.append(np.asarray(lg)[:n_valid])
+            emb_chunks.append(np.asarray(em)[:n_valid])
+    if not logits_chunks:
+        raise ValueError(f"no windows produced from {input_path}")
+    logits = np.concatenate(logits_chunks)
+    embeddings = np.concatenate(emb_chunks)
+
+    # sklearn OOD over normalized embeddings (reference helpers.py:530-564)
+    reliability = None
+    if clf is not None and batch_mean is not None:
+        feats = (embeddings - batch_mean) / batch_std
+        feats = feats / np.maximum(
+            np.linalg.norm(feats, 2, axis=1, keepdims=True), 1e-12
+        )
+        id_prob = clf.predict_proba(feats)[:, 0]
+        # express as a logit so the shared reduction's sigmoid recovers it
+        p = np.clip(id_prob, 1e-6, 1 - 1e-6)
+        reliability = np.log(p / (1 - p)).astype(np.float32)[:, None]
+
+    meta = collect.PredictionMeta.from_batches(kept)
+    data, _ = collect.reduce_windows(
+        prediction=logits, meta=meta, fsize=fsize,
+        num_classes=len(LEGACY_LABELS), reliability=reliability,
+        class_names=LEGACY_LABELS,
+    )
+    stem = input_path.stem
+    table = output_dir / f"{stem}_default_jaeger.tsv"
+    phage_table = output_dir / f"{stem}_default_phages_jaeger.tsv"
+    n = collect.write_output(
+        data, output_table_path=table, output_phage_table_path=phage_table,
+        labels=LEGACY_LABELS, indices=list(range(4)),
+        reliability_cutoff=reliability_cutoff,
+    )
+    dt = time.time() - t0
+    logger.info(
+        f"predict-legacy: {n} contigs, {logits.shape[0]} windows in "
+        f"{dt:.2f}s"
+    )
+    return table

@@ -29,10 +29,40 @@ def _by_suffix(tensors: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     return out
 
 
+def convert_wres_h5(h5_path: str | Path, num_res_blocks: int = 5) -> dict:
+    """Keras ``.h5`` weight file (e.g. the production ``WRes_1024.h5``
+    default model, reference ``data/models/default``) -> WResModel
+    variables. The first conv is named ``conv1d`` in the h5."""
+    import h5py
+
+    t: dict[str, np.ndarray] = {}
+    with h5py.File(h5_path, "r") as f:
+        def walk(group, prefix=""):
+            for key in group:
+                item = group[key]
+                if isinstance(item, h5py.Dataset):
+                    name = f"{prefix}/{key}".lstrip("/")
+                    t[name.removesuffix(":0")] = np.asarray(item)
+                else:
+                    walk(item, f"{prefix}/{key}")
+
+        walk(f)
+    # keys look like 'conv1d/conv1d/kernel'; index by trailing pair
+    suffixed = {"/".join(k.split("/")[-2:]): v for k, v in t.items()}
+    if "conv1d/kernel" in suffixed and "block1_0/kernel" not in suffixed:
+        suffixed["block1_0/kernel"] = suffixed["conv1d/kernel"]
+        suffixed["block1_0/bias"] = suffixed["conv1d/bias"]
+    return _assemble_wres(suffixed, num_res_blocks)
+
+
 def convert_wres_checkpoint(saved_model_dir: str | Path,
                             num_res_blocks: int = 5) -> dict:
     """SavedModel variables -> WResModel flax variables dict."""
     t = _by_suffix(load_checkpoint(saved_model_dir))
+    return _assemble_wres(t, num_res_blocks)
+
+
+def _assemble_wres(t: dict[str, np.ndarray], num_res_blocks: int = 5) -> dict:
 
     def need(name: str) -> jnp.ndarray:
         if name not in t:
