@@ -23,8 +23,9 @@ from jaeger_tpu.seqops.windows import window_batches
 logger = logging.getLogger("jaeger_tpu")
 
 LEGACY_LABELS = ["bacteria", "phage", "eukarya", "archaea"]
-DEFAULT_MODEL_DIR = Path(
-    "/root/reference/src/jaeger/data/models/default"
+#: bundled package copy of the reference's default model data files
+DEFAULT_MODEL_DIR = (
+    Path(__file__).resolve().parent.parent / "data" / "models" / "default"
 )
 
 

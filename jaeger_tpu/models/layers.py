@@ -120,21 +120,30 @@ class MaskedConv1D(nn.Module):
         out_mask = None
         if self.use_masking and mask is not None:
             x = apply_mask(x, mask)
-            m = mask.reshape(b * f, length, 1).astype(jnp.float32)
-            ones = jnp.ones((self.kernel_size, 1, 1), jnp.float32)
-            mc = jax.lax.conv_general_dilated(
-                m, ones, (self.strides,), pad,
-                rhs_dilation=(self.dilation_rate,),
-                dimension_numbers=("NWC", "WIO", "NWC"),
+            # valid-count under each kernel window as k shifted adds on the
+            # int mask — a 1-channel conv wastes the MXU (pads C=1 to the
+            # 128-lane tile); this is k cheap VPU adds instead.
+            mi = mask.astype(jnp.int32)
+            k_span = self.dilation_rate * (self.kernel_size - 1) + 1
+            if pad == "SAME":
+                pad_l = (k_span - 1) // 2
+                pad_r = k_span - 1 - pad_l
+                mi = jnp.pad(mi, ((0, 0), (0, 0), (pad_l, pad_r)))
+            out_len_m = (mi.shape[2] - k_span) // self.strides + 1
+            mc = sum(
+                jax.lax.slice_in_dim(
+                    mi, j * self.dilation_rate,
+                    j * self.dilation_rate + (out_len_m - 1) * self.strides + 1,
+                    stride=self.strides, axis=2,
+                )
+                for j in range(self.kernel_size)
             )
             if self.mask_mode == "any":
-                om = mc > 0
+                out_mask = mc > 0
             elif self.mask_mode == "majority":
-                om = mc >= (self.kernel_size + 1) // 2
+                out_mask = mc >= (self.kernel_size + 1) // 2
             else:
-                om = mc == float(self.kernel_size)
-            out_len = om.shape[1]
-            out_mask = om[..., 0].reshape(b, f, out_len)
+                out_mask = mc == self.kernel_size
 
         y = jax.lax.conv_general_dilated(
             x.reshape(b * f, length, c).astype(self.dtype),

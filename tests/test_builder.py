@@ -225,3 +225,25 @@ def test_poolers(pooling):
     assert out["embedding"].shape == (2, 8)
     if pooling == "gatedframe":
         assert out["gate"].shape == (2, 6)
+
+
+def test_both_input_type():
+    """translated + nucleotide dual-tower input (input_type: both)."""
+    cfg = {
+        "model": {
+            **BASE_CONFIG["model"],
+            "embedding": {
+                "use_embedding_layer": True,
+                "input_type": "both",
+                "embedding_size": 8,
+            },
+            "string_processor": {"crop_size": 40, "seq_onehot": False,
+                                 "nucleotide_crop": 125},
+        },
+        "training": {},
+    }
+    b = ModelBuilder(cfg)
+    model, variables = b.init()
+    _, crop_nt = b.crop
+    out = model.apply(variables, _inputs(2, crop_nt), train=False)
+    assert out["prediction"].shape == (2, 3)

@@ -88,3 +88,26 @@ def test_converted_forward_golden():
     # trained model is confident
     probs = jax.nn.softmax(np.asarray(out["output"], np.float64), axis=-1)
     assert probs.max(axis=1).min() > 0.9
+
+
+H5 = Path("/root/reference/src/jaeger/data/models/default/WRes_1024.h5")
+
+
+@pytest.mark.skipif(not H5.exists(), reason="default h5 unavailable")
+def test_h5_conversion_matches_model():
+    import jax.tree_util as jtu
+
+    from jaeger_tpu.models.legacy import WResModel
+    from jaeger_tpu.models.legacy_convert import convert_wres_h5
+
+    variables = convert_wres_h5(H5)
+    model = WResModel(dropout_active=False)
+    toks = jnp.ones((1, 6, 50), jnp.int32)
+    tmpl = model.init({"params": jax.random.PRNGKey(0)}, toks, train=False)
+    t1 = {jtu.keystr(k): v.shape
+          for k, v in jtu.tree_flatten_with_path(tmpl["params"])[0]}
+    t2 = {jtu.keystr(k): v.shape
+          for k, v in jtu.tree_flatten_with_path(variables["params"])[0]}
+    assert t1 == t2
+    out = model.apply(variables, toks, train=False)
+    assert np.isfinite(np.asarray(out["output"])).all()
