@@ -154,6 +154,83 @@ class LSTMModel(nn.Module):
         return {"output": out, "prediction": out}
 
 
+class Vitra(nn.Module):
+    """Legacy ViT-style classifier: conv-tower patches -> transformer
+    encoder -> global pool -> MLP head.
+
+    Parity: reference ``v1/layers.py:450-520`` — PatchEncoder is a Dense
+    projection + learned positional embedding over the tower output;
+    pre-norm-free blocks (LN -> MHA -> add -> LN -> MLP -> add).
+    """
+
+    num_classes: int = 4
+    transformer_layers: int = 4
+    num_heads: int = 4
+    projection_dim: int = 128
+    att_hidden: tuple = (128, 128)
+    mlp_hidden: tuple = (128, 128)
+    att_dropout: float = 0.1
+    mlp_dropout: float = 0.1
+    global_type: str = "max"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False):
+        tokens = inputs["translated"] if isinstance(inputs, dict) else inputs
+        emb = nn.Embed(22, 4, param_dtype=jnp.float32, dtype=self.dtype,
+                       name="aa")(tokens)
+        streams = [emb[:, i] for i in range(emb.shape[1])]
+        patches = _SharedConvTower(num_res_blocks=5, add_residual=True,
+                                   dtype=self.dtype, name="tower")(
+            streams, train)                        # (B, P, 128)
+        n_patches = patches.shape[1]
+        x = nn.Dense(self.projection_dim, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="patch_proj")(patches)
+        pos = self.param(
+            "pos_embedding", nn.initializers.normal(0.02),
+            (n_patches, self.projection_dim), jnp.float32,
+        )
+        x = x + pos.astype(x.dtype)
+
+        def mlp_block(h, units, rate, name):
+            for i, u in enumerate(units):
+                h = nn.Dense(u, dtype=self.dtype, param_dtype=jnp.float32,
+                             name=f"{name}_dense_{i}")(h)
+                h = get_activation("gelu")(h)
+                h = nn.Dropout(rate, deterministic=not train)(h)
+            return h
+
+        for layer in range(self.transformer_layers):
+            h1 = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                              name=f"ln1_{layer}")(x)
+            attn = nn.MultiHeadDotProductAttention(
+                num_heads=self.num_heads,
+                qkv_features=self.projection_dim * self.num_heads,
+                out_features=self.projection_dim,
+                dropout_rate=self.att_dropout, deterministic=not train,
+                dtype=self.dtype, param_dtype=jnp.float32,
+                name=f"mha_{layer}",
+            )(h1, h1)
+            x2 = attn + x
+            h3 = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                              name=f"ln2_{layer}")(x2)
+            h3 = mlp_block(h3, self.att_hidden, self.mlp_dropout,
+                           f"attmlp_{layer}")
+            x = h3 + x2
+
+        rep = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                           name="final_ln")(x)
+        if self.global_type == "average":
+            rep = jnp.mean(rep, axis=1)
+        else:
+            rep = jnp.max(rep, axis=1)
+        rep = nn.Dropout(0.1, deterministic=not train)(rep)
+        feats = mlp_block(rep, self.mlp_hidden, 0.5, "head")
+        logits = nn.Dense(self.num_classes, dtype=jnp.float32,
+                          param_dtype=jnp.float32, name="out")(feats)
+        return {"output": logits, "prediction": logits}
+
+
 def encode_amino_windows(bases, lengths, crop_size: int):
     """(B, >=crop) base IDs -> (B, 6, K) amino tokens for legacy models."""
     from jaeger_tpu.ops.encode import encode_frames

@@ -209,9 +209,18 @@ def window_batches(
                 seqlen, fragsize, stride, dynamic_stride, dynamic_stride_threshold
             )
             last = len(starts) - 1
+            # per-base cumulative counts: every window's composition is two
+            # O(1) lookups instead of an O(fragsize) bincount
+            cum = np.zeros((4, upper.shape[0] + 1), dtype=np.int64)
+            for bi in range(4):
+                np.cumsum(upper == bi, out=cum[bi, 1:])
             for i, index in enumerate(starts):
                 win = ids[index : index + fragsize]
-                g, c, a, t = _composition(upper[index : index + fragsize])
+                end = index + fragsize
+                a = int(cum[0, end] - cum[0, index])
+                t = int(cum[1, end] - cum[1, index])
+                g = int(cum[2, end] - cum[2, index])
+                c = int(cum[3, end] - cum[3, index])
                 buf_bases.append(win)
                 meta.append(
                     (fragsize, hidx, index, 1 if i == last else 0, i, seqlen,

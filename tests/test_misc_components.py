@@ -188,3 +188,18 @@ class TestDeviceReduce:
             assert float(stats[g]["reliability"]) == pytest.approx(
                 frac, abs=1e-3
             )
+
+
+def test_vitra_forward():
+    from jaeger_tpu.models.legacy import Vitra, encode_amino_windows
+
+    rng = np.random.default_rng(0)
+    bases = jnp.asarray(rng.integers(0, 4, (2, 155), dtype=np.uint8))
+    lengths = jnp.full((2,), 155, jnp.int32)
+    toks = encode_amino_windows(bases, lengths, 155)
+    m = Vitra(transformer_layers=2, num_heads=2)
+    v = m.init({"params": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1)}, toks, train=False)
+    out = m.apply(v, toks, train=False)
+    assert out["output"].shape == (2, 4)
+    assert np.isfinite(np.asarray(out["output"])).all()
