@@ -41,6 +41,9 @@ class CheckpointManager:
              metrics: dict | None = None) -> Path:
         path = (self.directory / f"epoch_{epoch:03d}").resolve()
         self._ckptr.save(path, variables, force=True)
+        # StandardCheckpointer saves asynchronously; finalize before the
+        # index records it so resume never races a half-written checkpoint
+        self._ckptr.wait_until_finished()
         index = [e for e in self._index() if e["epoch"] != epoch]
         index.append({
             "epoch": epoch,

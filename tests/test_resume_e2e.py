@@ -1,0 +1,98 @@
+"""Checkpoint-resume end-to-end (file-level, like the reference's
+test_checkpoint_resume): train, stop, resume from disk, continue."""
+
+import numpy as np
+import yaml
+
+
+def _write_fixture(tmp_path, rng):
+    csv = tmp_path / "train.csv"
+    pools = {0: "ATGCATGC", 1: "GGGGCCCCATGC", 2: "AAAATTTTATGC"}
+    with open(csv, "w") as fh:
+        for i in range(90):
+            label = i % 3
+            seq = "".join(rng.choice(list(pools[label]), size=100))
+            fh.write(f"{label},{seq}\n")
+    cfg = {
+        "model": {
+            "name": "resume_tiny", "seed": 1, "classifier_out_dim": 3,
+            "class_label_map": [
+                {"class": "chromosome", "label": 0},
+                {"class": "phage", "label": 1},
+                {"class": "plasmid", "label": 2},
+            ],
+            "embedding": {"use_embedding_layer": True,
+                          "input_type": "translated",
+                          "embedding_size": 8},
+            "string_processor": {"crop_size": 30, "seq_onehot": False,
+                                 "buffer_size": 100,
+                                 "classifier_labels": [0, 1, 2],
+                                 "classifier_labels_map": [0, 1, 2]},
+            "representation_learner": {
+                "hidden_layers": [
+                    {"name": "masked_conv1d",
+                     "config": {"filters": 8, "kernel_size": 3}},
+                ],
+                "pooling": "average",
+            },
+            "classifier": {
+                "hidden_layers": [{"name": "dense", "config": {"units": 3}}],
+            },
+        },
+        "training": {
+            "batch_size": 16, "classifier_epochs": 2,
+            "classifier_train_steps": 3,
+            "optimizer": "adam",
+            "optimizer_params": {"learning_rate": 0.01},
+            "loss_classifier": "categorical_crossentropy",
+            "loss_params_classifier": {"from_logits": True},
+            "fragment_classifier_data": {
+                "train": [{"class": ["a", "b", "c"],
+                           "path": [str(csv)], "label": [0, 1, 2]}],
+            },
+        },
+    }
+    cfg_path = tmp_path / "config.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg, sort_keys=False))
+    return cfg_path
+
+
+def test_resume_continues_from_checkpoint(tmp_path, rng):
+    from jaeger_tpu.commands.train import train_fragment_core
+    from jaeger_tpu.train.checkpoint import CheckpointManager
+
+    cfg_path = _write_fixture(tmp_path, rng)
+    out = tmp_path / "model"
+
+    r1 = train_fragment_core(str(cfg_path), output_dir=str(out),
+                             use_mesh=False)
+    assert (out / "params.msgpack").exists()
+    mgr = CheckpointManager(out / "checkpoints" / "classifier")
+    assert mgr.latest()["epoch"] == 1
+
+    # resume with a higher epoch target: must start at epoch 2, not 0
+    r2 = train_fragment_core(str(cfg_path), output_dir=str(out),
+                             epochs_override=4, use_mesh=False,
+                             from_last_checkpoint=True)
+    epochs_run = [h["epoch"] for h in r2["history"]["classifier"]]
+    assert epochs_run == [2, 3]
+    assert mgr.latest()["epoch"] == 3
+
+    # training-state file persisted
+    state_file = out / "checkpoints" / "classifier" / "training_state.json"
+    assert state_file.exists()
+
+
+def test_convergence_marker_skips_finished_branch(tmp_path, rng):
+    from jaeger_tpu.commands.train import train_fragment_core
+
+    cfg_path = _write_fixture(tmp_path, rng)
+    out = tmp_path / "model"
+    train_fragment_core(str(cfg_path), output_dir=str(out), use_mesh=False)
+    marker = out / "checkpoints" / "classifier" / "converged.json"
+    assert marker.exists()
+    # second run without overrides: classifier branch skipped (no new
+    # history entries)
+    r2 = train_fragment_core(str(cfg_path), output_dir=str(out),
+                             use_mesh=False)
+    assert "classifier" not in r2["history"]
