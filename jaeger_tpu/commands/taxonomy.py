@@ -108,6 +108,7 @@ class CosineIndex:
         import jax
         import jax.numpy as jnp
 
+        k = min(k, self.embeddings.shape[0])
         q = _l2_normalize(np.asarray(queries, np.float32))
 
         @jax.jit

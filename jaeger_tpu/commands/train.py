@@ -538,7 +538,6 @@ def train_fragment_core(
 def _collect_reliability_scores(model, variables, csv_path, crop_nt,
                                 batch_size):
     """Sigmoid reliability scores + ID/OOD labels over a CSV."""
-    from jaeger_tpu.dataops.reliability_generator import _predict_csv_rows  # noqa: F401
     from jaeger_tpu.seqops.windows import BASE_N, encode_ascii
 
     rows = []

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import yaml
 from flax import serialization
 
-from jaeger_tpu.models.builder import JaegerModel, ModelBuilder
+from jaeger_tpu.models.builder import ModelBuilder
 from jaeger_tpu.utils.config import load_model_config
 
 

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import serialization
 
-from jaeger_tpu.models.artifacts import load_model, save_model
+from jaeger_tpu.models.artifacts import load_model
 from jaeger_tpu.models.builder import ModelBuilder
 
 

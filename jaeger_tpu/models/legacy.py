@@ -10,17 +10,16 @@ Add-merged, globally max-pooled into dense heads. Outputs
 
 Tokens come from the on-device encoder with ``alphabet="AA"`` (21 amino
 classes + stop, +1 shift -> vocab 22, matching the reference's
-``Embedding(22, 4, mask_zero=True)``). Weight porting from the bundled
-TF ``WRes_1024.h5`` is out of scope (TF/h5py-free environment); the
-architecture is provided so the legacy family can be retrained and the
-legacy predict path exercised end-to-end.
+``Embedding(22, 4, mask_zero=True)``; token table verified identical to
+the v1 preprocessor's TRIMER_INT). Trained reference weights load via
+:mod:`jaeger_tpu.models.legacy_convert` — both the bundled test
+SavedModel and the production ``WRes_1024.h5`` default model.
 """
 
 from __future__ import annotations
 
 from typing import Any
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -2,12 +2,14 @@
 
 TPU-first redesign of the reference's string preprocessing
 (``seqops/encode.py:65-318``): the host ships raw base IDs (1 byte/base,
-see :mod:`jaeger_tpu.seqops.windows`), and the codon translation — reverse
-complement, trigram extraction, codon-LUT lookup, frame slicing, mask
-computation — runs inside the jitted model as pure gathers and static
-slices. This removes the tf.data string pipeline (the reference's
-documented host bottleneck) and cuts host->device transfer ~4-16x vs
-shipping int32 frame tokens.
+nibble-packable, see :mod:`jaeger_tpu.seqops.windows`), and the codon
+translation — case folding, reverse complement, trigram->codon mapping,
+frame slicing, mask computation — runs inside the jitted model as pure
+**arithmetic** (bit tricks; the classical codon-table order is a 2-bit
+permutation of the base IDs) plus static slices: no per-element table
+gathers, which are TPU-hostile. This removes the tf.data string pipeline
+(the reference's documented host bottleneck) and cuts host->device
+transfer ~8-32x vs shipping int32 frame tokens.
 
 Semantics parity (pinned by tests against a literal numpy oracle):
 
@@ -30,7 +32,6 @@ import numpy as np
 
 from jaeger_tpu.seqops import crop as crop_contract
 from jaeger_tpu.seqops import maps
-from jaeger_tpu.seqops.windows import MASKED_LUT, UPPER_LUT
 
 #: complement in base-ID space (A<->T, G<->C, N->N)
 _COMPLEMENT = np.array([1, 0, 3, 2, 4], dtype=np.int32)

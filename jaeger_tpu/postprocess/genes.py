@@ -14,8 +14,6 @@ from Prodigal's gene calls by a few codons.
 
 from __future__ import annotations
 
-import numpy as np
-
 _STOPS = {"TAA", "TAG", "TGA"}
 _STARTS = {"ATG", "GTG", "TTG"}
 _COMP = str.maketrans("ATGCatgc", "TACGtacg")

@@ -1,0 +1,132 @@
+"""End-to-end command tests (CPU): predict + prophage + taxonomy."""
+
+import numpy as np
+import pytest
+import yaml
+
+from jaeger_tpu.models.artifacts import save_model
+from jaeger_tpu.models.builder import ModelBuilder
+
+CONFIG = {
+    "model": {
+        "name": "e2e_tiny",
+        "seed": 3,
+        "classifier_out_dim": 3,
+        "class_label_map": [
+            {"class": "chromosome", "label": 0},
+            {"class": "phage", "label": 1},
+            {"class": "plasmid", "label": 2},
+        ],
+        "embedding": {"use_embedding_layer": True,
+                      "input_type": "translated", "embedding_size": 8},
+        "string_processor": {"crop_size": 60, "seq_onehot": False},
+        "representation_learner": {
+            "hidden_layers": [
+                {"name": "masked_conv1d",
+                 "config": {"filters": 8, "kernel_size": 3}},
+                {"name": "masked_batchnorm", "config": {"return_nmd": True}},
+                {"name": "gelu"},
+            ],
+            "pooling": "average",
+        },
+        "reliability_model": {
+            "mode": "nmd",
+            "hidden_layers": [{"name": "dense", "config": {"units": 1}}],
+        },
+        "classifier": {
+            "hidden_layers": [{"name": "dense", "config": {"units": 3}}],
+        },
+    },
+    "training": {},
+}
+
+
+@pytest.fixture(scope="module")
+def model_bundle(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("bundle")
+    b = ModelBuilder(CONFIG)
+    model, variables = b.init()
+    path = tmp / "model"
+    save_model(variables, CONFIG, path)
+    return path
+
+
+def _fasta(tmp_path, rng, lengths, name="in.fasta"):
+    p = tmp_path / name
+    with open(p, "w") as fh:
+        for i, n in enumerate(lengths):
+            seq = "".join(rng.choice(list("ATGC"), size=n))
+            fh.write(f">ctg{i}\n{seq}\n")
+    return p
+
+
+def test_predict_run_core_outputs(tmp_path, rng, model_bundle):
+    from jaeger_tpu.commands.predict import run_core
+
+    fasta = _fasta(tmp_path, rng, [1200, 800, 500])
+    table = run_core(
+        input_path=str(fasta), output_dir=str(tmp_path / "out"),
+        model_path=str(model_bundle), fsize=400, stride=400,
+        batch=16, min_len=300, scan_termini=True,
+        save_window_scores=True,
+    )
+    import pandas as pd
+
+    df = pd.read_table(table)
+    assert len(df) == 3
+    assert {"prediction", "reliability_score", "window_summary",
+            "terminal_repeats"} <= set(df.columns)
+    npz = np.load(tmp_path / "out" / "in_window_scores.npz",
+                  allow_pickle=True)
+    assert npz["predictions"].shape[0] == 3  # per-contig object arrays
+    assert sum(p.shape[0] for p in npz["predictions"]) == 6
+
+
+def test_predict_prophage_path(tmp_path, rng, model_bundle):
+    """-p path end-to-end at a small lc cutoff (segmentation + report +
+    plots run; regions may be empty for a random model)."""
+    from jaeger_tpu.commands.predict import run_core
+
+    fasta = _fasta(tmp_path, rng, [6000], name="big.fasta")
+    run_core(
+        input_path=str(fasta), output_dir=str(tmp_path / "outp"),
+        model_path=str(model_bundle), fsize=400, stride=400,
+        batch=16, scan_termini=False, prophage=True, lc=3000,
+        sensitivity=0.1, plot_type="linear",
+    )
+    pro_dir = tmp_path / "outp" / "big_prophages"
+    assert pro_dir.exists()
+    plots = list((pro_dir / "plots").glob("*.png"))
+    assert plots  # linear plot rendered
+
+
+def test_taxonomy_build_and_predict(tmp_path, rng, model_bundle):
+    from jaeger_tpu.commands.taxonomy import build_taxdb, predict_taxonomy
+
+    fasta = _fasta(tmp_path, rng, [900, 900], name="refs.fasta")
+    (tmp_path / "taxdump").mkdir()
+    (tmp_path / "taxdump" / "nodes.dmp").write_text(
+        "1\t|\t1\t|\tno rank\t|\n2\t|\t1\t|\tsuperkingdom\t|\n"
+        "3\t|\t2\t|\tspecies\t|\n"
+    )
+    (tmp_path / "taxdump" / "names.dmp").write_text(
+        "1\t|\troot\t|\t\t|\tscientific name\t|\n"
+        "2\t|\tBacteria\t|\t\t|\tscientific name\t|\n"
+        "3\t|\tE.coli\t|\t\t|\tscientific name\t|\n"
+    )
+    (tmp_path / "acc2taxid.tsv").write_text("ctg0\t3\nctg1\t3\n")
+    db = build_taxdb(
+        str(model_bundle), str(fasta), str(tmp_path / "acc2taxid.tsv"),
+        str(tmp_path / "taxdump"), str(tmp_path / "db"),
+        fsize=400, batch=8,
+    )
+    out = predict_taxonomy(
+        str(model_bundle), str(db), str(fasta),
+        str(tmp_path / "tax.tsv"), fsize=400, batch=8,
+    )
+    import pandas as pd
+
+    df = pd.read_table(out)
+    assert len(df) == 2
+    # self-query: every contig maps into the indexed lineage
+    assert set(df["name"]) <= {"E.coli", "Bacteria", "root"}
