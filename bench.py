@@ -33,9 +33,9 @@ def main() -> None:
 
     from jaeger_tpu.models.builder import ModelBuilder, load_model_config
 
-    cfg = load_model_config(
-        "/root/reference/train_config/nn_config_1500bp_nmd_merge_6_class_zeus.yaml"
-    )
+    from jaeger_tpu.models.flagship import flagship_config
+
+    cfg = flagship_config()
     builder = ModelBuilder(cfg, dtype=jnp.bfloat16)
     model, variables = builder.init(batch=1)
     _, crop_nt = builder.crop
