@@ -48,9 +48,9 @@ def main(verbose: int) -> None:
 @click.option("-i", "--input", "input_path", required=True,
               type=click.Path(exists=True))
 @click.option("-o", "--output", "output_dir", required=True, type=click.Path())
-@click.option("-m", "--model", "model_path", required=True,
-              type=click.Path(exists=True),
-              help="Path to a jaeger-tpu model bundle directory.")
+@click.option("-m", "--model", "model_path", default=None,
+              help="Model bundle path or registered model name "
+                   "(default: the bundled demo model).")
 @click.option("--fsize", default=2000, show_default=True)
 @click.option("--stride", default=2000, show_default=True)
 @click.option("--batch", default=96, show_default=True)
@@ -93,7 +93,9 @@ def predict(input_path, output_dir, model_path, fsize, stride, batch,
             window_scores, prophage, sensitivity, lc, plot_type, refine,
             refine_mode, getsequences, save_embedding, save_nmd, profile):
     """Identify phage/prophage sequences in a FASTA of contigs."""
-    from jaeger_tpu.commands.predict import run_core
+    from jaeger_tpu.commands.predict import resolve_model_path, run_core
+
+    model_path = resolve_model_path(model_path)
 
     table = run_core(
         input_path=input_path, output_dir=output_dir, model_path=model_path,

@@ -26,6 +26,28 @@ from jaeger_tpu.seqops.windows import window_batches
 
 logger = logging.getLogger("jaeger_tpu")
 
+#: bundled framework-trained demo model (synthetic codon-usage classes)
+BUNDLED_DEMO_MODEL = (
+    Path(__file__).resolve().parent.parent / "data" / "models" / "demo"
+)
+
+
+def resolve_model_path(model: str | None) -> str:
+    """Resolve a model argument: path, registered name, or the bundled
+    demo model when omitted (model discovery parity: reference
+    ``utils/misc.py:334-400``)."""
+    if model is None:
+        logger.info(
+            "no model given; using the bundled demo model "
+            "(train or register a real model for production use)"
+        )
+        return str(BUNDLED_DEMO_MODEL)
+    if Path(model).exists():
+        return model
+    from jaeger_tpu.utils.registry import AvailableModels
+
+    return AvailableModels().resolve(model)
+
 
 def _build_refined_contig_df(data_full: dict, taus: dict, mode: str = "gated",
                              min_windows: int = 3,

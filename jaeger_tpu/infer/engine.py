@@ -18,11 +18,15 @@ XLA:TPU:
 from __future__ import annotations
 
 import functools
+import logging
+import time
 from typing import Iterable
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+logger = logging.getLogger("jaeger_tpu")
 
 from jaeger_tpu.parallel import mesh as meshlib
 from jaeger_tpu.seqops.windows import WindowBatch
@@ -248,11 +252,21 @@ class InferenceEngine:
         """Stream WindowBatches; returns concatenated outputs + kept batches."""
         kept: list[WindowBatch] = []
         outs: list[dict[str, np.ndarray]] = []
+        t0 = time.time()
+        done = 0
         for batch in batches:
             if len(batch) == 0:
                 continue
             kept.append(batch)
             outs.append(self.predict_windows(batch.bases, batch.length))
+            done += len(batch)
+            # ms/step-style progress (parity: reference track_ms,
+            # utils/misc.py:27-54)
+            elapsed = time.time() - t0
+            logger.info(
+                f"inference: {done} windows "
+                f"({done / max(elapsed, 1e-9):,.0f} windows/s)"
+            )
         if not outs:
             return {}, kept
         merged = {

@@ -130,3 +130,40 @@ def test_taxonomy_build_and_predict(tmp_path, rng, model_bundle):
     assert len(df) == 2
     # self-query: every contig maps into the indexed lineage
     assert set(df["name"]) <= {"E.coli", "Bacteria", "root"}
+
+
+def test_predict_legacy_bundled(tmp_path):
+    """Legacy predict with the bundled production model (pytest-level)."""
+    from pathlib import Path
+
+    import pandas as pd
+
+    from jaeger_tpu.commands.predict_legacy import DEFAULT_MODEL_DIR, run_core
+
+    if not (DEFAULT_MODEL_DIR / "WRes_1024.h5").exists():
+        import pytest
+
+        pytest.skip("bundled default model unavailable")
+    fasta = Path(__file__).resolve().parent.parent / (
+        "jaeger_tpu/data/test/test_contigs.fasta"
+    )
+    table = run_core(str(fasta), str(tmp_path / "out"), batch=64)
+    df = pd.read_table(table)
+    assert len(df) == 9
+    assert set(df["prediction"]) <= {
+        "bacteria", "phage", "eukarya", "archaea"
+    }
+    assert df["reliability_score"].between(0, 1).all()
+
+
+def test_resolve_model_path(tmp_path):
+    from jaeger_tpu.commands.predict import (
+        BUNDLED_DEMO_MODEL, resolve_model_path,
+    )
+
+    assert resolve_model_path(None) == str(BUNDLED_DEMO_MODEL)
+    assert resolve_model_path(str(tmp_path)) == str(tmp_path)
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        resolve_model_path("no_such_model_name")
