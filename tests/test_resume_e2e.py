@@ -96,3 +96,36 @@ def test_convergence_marker_skips_finished_branch(tmp_path, rng):
     r2 = train_fragment_core(str(cfg_path), output_dir=str(out),
                              use_mesh=False)
     assert "classifier" not in r2["history"]
+
+
+def test_train_from_npz_dataset(tmp_path, rng):
+    """data_format: numpy path end-to-end: optimize-data -> train."""
+    import yaml
+
+    from jaeger_tpu.commands.train import train_fragment_core
+    from jaeger_tpu.dataops.convert import convert_dataset
+
+    csv = tmp_path / "train.csv"
+    pools = {0: "ATGCATGC", 1: "GGGGCCCCATGC", 2: "AAAATTTTATGC"}
+    with open(csv, "w") as fh:
+        for i in range(120):
+            label = i % 3
+            seq = "".join(rng.choice(list(pools[label]), size=100))
+            fh.write(f"{label},{seq}\n")
+    npz = tmp_path / "train.npz"
+    convert_dataset(str(csv), str(npz), crop_size=95, compress="fast")
+
+    cfg_path = _write_fixture(tmp_path, rng)
+    cfg = yaml.safe_load(cfg_path.read_text())
+    cfg["model"]["string_processor"]["data_format"] = "numpy"
+    cfg["model"]["string_processor"]["crop_size"] = 30
+    cfg["training"]["fragment_classifier_data"]["train"] = [
+        {"class": ["a", "b", "c"], "path": [str(npz)], "label": [0, 1, 2]}
+    ]
+    cfg_path.write_text(yaml.safe_dump(cfg, sort_keys=False))
+    result = train_fragment_core(
+        str(cfg_path), output_dir=str(tmp_path / "npz_model"),
+        use_mesh=False,
+    )
+    assert result["history"]["classifier"]
+    assert (tmp_path / "npz_model" / "params.msgpack").exists()
