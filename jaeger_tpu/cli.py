@@ -366,28 +366,61 @@ def ood_data(input_path, output_path, method, kmer, n_shuffles,
 
 
 @utils.command("convert-weights")
-@click.option("-i", "--input", "saved_model_dir", required=True,
+@click.option("-i", "--input", "input_path", required=True,
               type=click.Path(exists=True),
-              help="Reference TF SavedModel directory (legacy WRes family).")
+              help="TF SavedModel dir (wres) or Keras-3 .weights.h5 "
+                   "(modern).")
 @click.option("-o", "--output", "output_path", required=True)
+@click.option("--family", default="wres", show_default=True,
+              type=click.Choice(["wres", "modern"]))
+@click.option("-c", "--config", "config_path", default=None,
+              type=click.Path(exists=True),
+              help="project.yaml / train config for --family modern.")
 @click.option("--num-res-blocks", default=5, show_default=True)
-def convert_weights(saved_model_dir, output_path, num_res_blocks):
-    """Convert a reference SavedModel checkpoint to jaeger-tpu weights
-    (no TensorFlow needed)."""
+def convert_weights(input_path, output_path, family, config_path,
+                    num_res_blocks):
+    """Convert reference checkpoints to jaeger-tpu weights (no
+    TensorFlow needed): legacy WRes SavedModels, or modern-builder
+    Keras-3 ``.weights.h5`` files plus their project.yaml."""
     from pathlib import Path
 
     from flax import serialization
 
-    from jaeger_tpu.models.legacy_convert import convert_wres_checkpoint
-
-    variables = convert_wres_checkpoint(saved_model_dir,
-                                        num_res_blocks=num_res_blocks)
     out = Path(output_path)
+    if family == "modern":
+        if config_path is None:
+            raise click.UsageError(
+                "--family modern needs -c/--config (the project.yaml "
+                "saved next to the weights)")
+        from jaeger_tpu.models.artifacts import save_model
+        from jaeger_tpu.models.modern_convert import convert_modern_weights
+        from jaeger_tpu.utils.config import load_model_config
+
+        config = load_model_config(config_path)
+        variables = convert_modern_weights(config, input_path)
+        save_model(variables, config, out)
+        click.echo(f"converted modern bundle written to {out}")
+        return
+
+    from jaeger_tpu.models.legacy_convert import (
+        convert_wres_checkpoint, convert_wres_h5,
+    )
+
+    if Path(input_path).is_file():
+        if not str(input_path).endswith(".h5"):
+            raise click.UsageError(
+                f"{input_path}: expected a SavedModel directory or a "
+                f".h5 weights file")
+        variables = convert_wres_h5(input_path,
+                                    num_res_blocks=num_res_blocks)
+    else:
+        variables = convert_wres_checkpoint(input_path,
+                                            num_res_blocks=num_res_blocks)
     out.mkdir(parents=True, exist_ok=True)
     (out / "params.msgpack").write_bytes(serialization.to_bytes(variables))
     (out / "legacy.yaml").write_text(
         "family: wres\nnum_res_blocks: %d\nsource: %s\n"
-        % (num_res_blocks, saved_model_dir)
+        % (num_res_blocks, input_path)
     )
     click.echo(f"converted weights written to {out}")
 

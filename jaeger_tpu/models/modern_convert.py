@@ -1,0 +1,265 @@
+"""Convert *modern-builder* Keras-3 ``.weights.h5`` files to jaeger-tpu.
+
+The reference's modern export (``nnlib/builder.py:1495-1508``) writes the
+combined Jaeger model's weights with Keras 3's ``save_weights`` —
+an HDF5 file whose groups mirror the object tree (``layers/<snake-case
+class name>/vars/<i>``; variables per layer are stored trainable-first
+in creation order). The legacy TF-Keras ``.h5`` layout (named layer
+groups with ``:0`` weight datasets) also appears in older artifacts.
+
+This module loads either layout **without TensorFlow or Keras** and maps
+the tensors onto a :class:`~jaeger_tpu.models.builder.JaegerModel`
+variables tree built from the same YAML config.  Because both sides are
+generated from one config, the mapping is resolved structurally:
+
+1. every HDF5 variable group becomes ``(path, [arrays...])``;
+2. every flax sub-module becomes a *slot* with a canonical Keras
+   variable order (conv/dense: kernel,bias; batchnorm: gamma,beta,
+   moving_mean,moving_variance — ``nnlib/v2/layers.py:828-856``; DYT:
+   alpha,gamma,beta — ``:412-430``; embedding: table);
+3. slots match groups on the ordered shape signature, with layer-name
+   token overlap breaking ties (Keras layer names in the reference are
+   ``{prefix}_{layer_name}_{i}`` — ``nnlib/builder.py:1009`` — and our
+   flax names are ``{layer_name}_{i}`` under ``rep``/``classifier``/
+   ``reliability``, so the tokens line up).
+
+Keras-3 Conv1D kernels are ``(k, in, out)``, Dense kernels ``(in,
+out)`` and Embedding tables ``(vocab, dim)`` — all identical to the
+flax conventions, so no transposition is required.
+
+Validated against synthetic fixtures written in the Keras-3 layout (no
+modern ``.weights.h5`` ships inside the reference checkout; the released
+models are download-only).  An explicit ``name_map`` override resolves
+any remaining ambiguity.
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+from pathlib import Path
+
+import numpy as np
+
+logger = logging.getLogger("jaeger_tpu")
+
+# h5 paths that belong to training state, not model weights
+_SKIP_TOKENS = ("optimizer", "metrics", "iteration", "_loss",
+                "loss_scale")
+
+# canonical within-layer variable order (Keras creation order)
+_KEY_RANK = {
+    "kernel": 0, "embedding": 0, "embeddings": 0, "alpha": 0,
+    "pos_encoding": 0,
+    "bias": 5,
+    "gamma": 10, "scale": 10,
+    "beta": 11,
+    "moving_mean": 20, "mean": 20,
+    "moving_variance": 21, "var": 21,
+}
+
+
+def read_keras_weight_groups(h5_path: str | Path):
+    """Read every per-layer variable group from a Keras weights file.
+
+    Returns ``[(group_path, [np.ndarray, ...]), ...]``.  Handles both
+    the Keras-3 object-tree layout (datasets named ``0``, ``1``, ...
+    inside ``vars`` groups) and the legacy TF-Keras layout (datasets
+    named ``kernel:0`` etc. inside named layer groups).
+    """
+    import h5py
+
+    groups: list[tuple[str, list[np.ndarray]]] = []
+
+    def is_skipped(path: str) -> bool:
+        low = path.lower()
+        return any(tok in low for tok in _SKIP_TOKENS)
+
+    def walk(group, prefix: str):
+        datasets = {k: v for k, v in group.items()
+                    if isinstance(v, h5py.Dataset)}
+        if datasets and not is_skipped(prefix):
+            if all(re.fullmatch(r"\d+", k) for k in datasets):
+                # Keras-3 "vars" group: numeric creation order
+                order = sorted(datasets, key=int)
+            else:
+                # legacy layout: strip ":0", order by canonical key rank
+                def rank(k: str):
+                    base = k.removesuffix(":0").split("/")[-1]
+                    return (_KEY_RANK.get(base, 50), k)
+                order = sorted(datasets, key=rank)
+            arrays = [np.asarray(datasets[k]) for k in order]
+            path = prefix.strip("/")
+            # legacy files nest layer/layer/weight; keras-3 ends in /vars
+            groups.append((path, arrays))
+        for k, v in group.items():
+            if not isinstance(v, h5py.Dataset):
+                walk(v, f"{prefix}/{k}")
+
+    with h5py.File(h5_path, "r") as f:
+        walk(f, "")
+    return [g for g in groups if g[1]]
+
+
+def _tree_slots(variables: dict):
+    """Flatten a JaegerModel variables tree into matchable slots.
+
+    A *slot* is one flax sub-module: ``(path_tuple, [(collection, key)],
+    [shape, ...])`` with leaves in canonical Keras order (batch_stats
+    appended after params, matching Keras's trainable-then-nontrainable
+    serialization).
+    """
+    params = variables.get("params", {})
+    stats = variables.get("batch_stats", {})
+
+    slots = []
+
+    def leaf_dict(d):
+        return d and all(hasattr(v, "shape") for v in d.values())
+
+    def walk(pd, path):
+        if leaf_dict(pd):
+            keys = sorted(pd, key=lambda k: (_KEY_RANK.get(k, 50), k))
+            leaves = [("params", k) for k in keys]
+            sd = stats
+            for p in path:
+                sd = sd.get(p, {}) if isinstance(sd, dict) else {}
+            if leaf_dict(sd):
+                skeys = sorted(sd, key=lambda k: (_KEY_RANK.get(k, 50), k))
+                leaves += [("batch_stats", k) for k in skeys]
+            shapes = []
+            for coll, k in leaves:
+                src = pd if coll == "params" else sd
+                shapes.append(tuple(src[k].shape))
+            slots.append((path, leaves, shapes))
+            return
+        for k, v in pd.items():
+            if isinstance(v, dict):
+                walk(v, path + (k,))
+
+    walk(params, ())
+    return slots
+
+
+_TOKEN_RE = re.compile(r"[a-z]+|\d+")
+
+
+def _tokens(s: str) -> set:
+    return set(_TOKEN_RE.findall(s.lower()))
+
+
+def _match(slots, groups, name_map=None):
+    """Assign each slot an h5 group: shape signature first, then token
+    overlap between the flax path and the h5 path."""
+    name_map = dict(name_map or {})
+    remaining = {i: g for i, g in enumerate(groups)}
+    assignment: dict[tuple, int] = {}
+
+    # explicit overrides first
+    for path, leaves, shapes in slots:
+        key = "/".join(path)
+        if key in name_map:
+            want = name_map[key]
+            idx = next((i for i, (p, _) in remaining.items() if p == want),
+                       None)
+            if idx is None:
+                raise KeyError(
+                    f"name_map target {want!r} not found in weights file")
+            assignment[path] = idx
+            del remaining[idx]
+
+    unmatched = [s for s in slots if s[0] not in assignment]
+    # most-specific (longest shape signature) slots first: fewer
+    # candidates.  The sort is stable, so equal-arity slots keep tree
+    # traversal order == module creation order == Keras layer creation
+    # order, which the ordinal tiebreak below relies on.
+    unmatched.sort(key=lambda s: -len(s[2]))
+
+    def ordinal(h5_path: str) -> int:
+        # Keras-3 dedup counter: "dense" -> 0, "dense_1" -> 1, ...
+        last = h5_path.rstrip("/").split("/")[-1]
+        if last == "vars" and "/" in h5_path:
+            last = h5_path.rstrip("/").split("/")[-2]
+        m = re.search(r"_(\d+)$", last)
+        return int(m.group(1)) if m else 0
+
+    for path, leaves, shapes in unmatched:
+        sig = tuple(shapes)
+        cands = [i for i, (p, arrs) in remaining.items()
+                 if tuple(a.shape for a in arrs) == sig]
+        if not cands:
+            inventory = [
+                (p, [a.shape for a in arrs])
+                for p, arrs in list(remaining.values())[:8]
+            ]
+            raise KeyError(
+                f"no weight group in the h5 matches module "
+                f"{'/'.join(path)} with shapes {sig}; remaining groups: "
+                f"{inventory}"
+            )
+        if len(cands) > 1:
+            # token overlap first (layer-name layouts carry the layer
+            # kind + prefix), then the Keras creation ordinal: slots
+            # arrive in creation order, so the earliest-created
+            # remaining group of a tied shape is the right one.
+            ftok = _tokens("/".join(path))
+            cands = sorted(
+                cands,
+                key=lambda i: (-len(ftok & _tokens(remaining[i][0])),
+                               ordinal(remaining[i][0])),
+            )
+        assignment[path] = cands[0]
+        del remaining[cands[0]]
+    return assignment
+
+
+def map_weights_to_tree(variables: dict, groups, name_map=None) -> dict:
+    """Return a new variables tree with leaves replaced from *groups*."""
+    import jax
+
+    slots = _tree_slots(variables)
+    assignment = _match(slots, groups, name_map)
+
+    out = jax.tree_util.tree_map(lambda x: x, variables)  # deep-ish copy
+    n_assigned = 0
+    for path, leaves, shapes in slots:
+        _, arrays = groups[assignment[path]]
+        for (coll, key), arr in zip(leaves, arrays):
+            node = out[coll]
+            for p in path[:-1]:
+                node = node[p]
+            tgt = node[path[-1]]
+            if tuple(arr.shape) != tuple(tgt[key].shape):
+                raise ValueError(
+                    f"shape mismatch at {'/'.join(path)}/{key}: "
+                    f"{arr.shape} vs {tgt[key].shape}")
+            tgt[key] = np.asarray(arr, dtype=np.asarray(tgt[key]).dtype)
+            n_assigned += 1
+    logger.info("mapped %d tensors across %d modules", n_assigned,
+                len(slots))
+    return out
+
+
+def convert_modern_weights(config: dict, h5_path: str | Path,
+                           name_map=None) -> dict:
+    """Build a JaegerModel from *config* and fill it from *h5_path*.
+
+    ``config`` is the same project.yaml dict the reference's
+    ``DynamicModelBuilder`` consumed; the h5 is the Keras-3
+    ``<name>.weights.h5`` written next to the SavedModel
+    (``nnlib/builder.py:1508``).
+    """
+    from jaeger_tpu.models.builder import ModelBuilder
+
+    _, variables = ModelBuilder(config).init()
+    variables = {k: _to_mutable(v) for k, v in variables.items()}
+    groups = read_keras_weight_groups(h5_path)
+    if not groups:
+        raise ValueError(f"{h5_path}: no weight groups found")
+    return map_weights_to_tree(variables, groups, name_map)
+
+
+def _to_mutable(d):
+    if isinstance(d, dict) or hasattr(d, "items"):
+        return {k: _to_mutable(v) for k, v in d.items()}
+    return d
