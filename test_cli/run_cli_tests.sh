@@ -54,6 +54,13 @@ run optimize_data cli utils optimize-data -i "$WORK/frags.csv" \
     -o "$WORK/frags.npz" --crop-size 104 --compress fast
 run receptive_field cli utils receptive-field \
     -c "$REPO/tests/data/tiny_config.yaml"
+if [ -f "$REPO/jaeger_tpu/data/models/default/WRes_1024.h5" ]; then
+  run convert_weights_h5 cli utils convert-weights \
+      -i "$REPO/jaeger_tpu/data/models/default/WRes_1024.h5" \
+      -o "$WORK/wres_conv" --family wres
+else
+  skip convert_weights_h5
+fi
 
 # --- train + predict round trip ---
 if [ "${RUN_TRAIN:-1}" = "1" ]; then
