@@ -257,7 +257,9 @@ def _resolve_crop_nt(sp: dict, input_type: str = "translated") -> int:
     models consume ``crop_size`` directly in nt (reference
     ``nnlib/inference.py:470-483``).
     """
-    if "crop_size" not in sp and "crop_sizes" in sp:
+    if sp.get("crop_size") is None and sp.get("crop_sizes"):
+        # variable-length configs set crop_size: null + a crop_sizes list
+        # (scripts/create_variable_length_config.py)
         sp = dict(sp, crop_size=max(sp["crop_sizes"]))
     if input_type == "nucleotide":
         return int(sp["crop_size"])

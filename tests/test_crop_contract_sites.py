@@ -32,6 +32,10 @@ def test_config_resolution_sites():
     assert _resolve_crop_nt({"crop_size": 500}, "nucleotide") == 500
     # multi-crop lists use the max
     assert _resolve_crop_nt({"crop_sizes": [100, CODONS]}) == NT
+    # variable-length configs: crop_size explicitly null + crop_sizes
+    # (scripts/create_variable_length_config.py output)
+    assert _resolve_crop_nt({"crop_size": None,
+                             "crop_sizes": [100, CODONS]}) == NT
 
 
 def test_encoder_sites_agree(rng):
