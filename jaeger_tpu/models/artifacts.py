@@ -40,8 +40,18 @@ def save_model(variables, config: dict, path: str | Path,
 
 
 def load_model(path: str | Path, dtype=jnp.float32):
-    """Load a model bundle -> (model, variables, config, classes)."""
+    """Load a model bundle -> (model, variables, config, classes).
+
+    int8 bundles (``utils quantize`` output: ``params_int8.msgpack`` +
+    ``quantization.yaml``) load transparently — weights dequantize once
+    at load, so ``predict -m`` works on either kind.
+    """
     path = Path(path)
+    if (path / "params_int8.msgpack").exists() and not (
+            path / "params.msgpack").exists():
+        from jaeger_tpu.models.conversion import load_quantized
+
+        return load_quantized(path, dtype=dtype)
     config = load_model_config(path / "project.yaml")
     builder = ModelBuilder(config, dtype=dtype)
     model = builder.build()

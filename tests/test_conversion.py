@@ -67,6 +67,26 @@ def test_quantize_roundtrip(bundle, tmp_path):
     assert (np.argmax(out, -1) == np.argmax(ref, -1)).all()
 
 
+def test_int8_bundle_loads_via_load_model(bundle, tmp_path):
+    """predict's loader handles int8 bundles transparently."""
+    from jaeger_tpu.models.artifacts import load_model
+    from jaeger_tpu.models.conversion import quantize_bundle
+
+    path, model, variables, b = bundle
+    quantize_bundle(path, tmp_path / "q8")
+    qmodel, qvars, config, classes = load_model(tmp_path / "q8")
+    _, crop_nt = b.crop
+    rng = np.random.default_rng(1)
+    inputs = {
+        "bases": rng.integers(0, 4, size=(4, crop_nt), dtype=np.uint8),
+        "lengths": np.full(4, crop_nt, np.int32),
+    }
+    ref = np.asarray(model.apply(variables, inputs, train=False)["prediction"])
+    out = np.asarray(qmodel.apply(qvars, inputs, train=False)["prediction"])
+    assert np.max(np.abs(out - ref)) < 0.15
+    assert config["model"]["name"] == "conv_tiny"
+
+
 def test_export_stablehlo(bundle, tmp_path):
     from jaeger_tpu.models.conversion import export_stablehlo
 
