@@ -1249,6 +1249,35 @@ class HyenaBlock(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+class OneHotEmbed(nn.Module):
+    """Token embedding as a one-hot matmul instead of a gather.
+
+    Drop-in, tree-compatible replacement for ``flax.linen.Embed`` (same
+    param name ``embedding``, same ``(vocab, features)`` table): on TPU
+    a ``(B,F,L)`` gather from a small table lowers to a slow
+    dynamic-gather, while ``one_hot(tokens) @ table`` rides the MXU and
+    XLA fuses the indicator so the one-hot is never materialized.
+    Numerically exact (one nonzero per row, products of 0/1 are exact
+    in bf16). Measured 4.6x faster than the gather at V=65, E=196,
+    (2048, 6, 494) tokens (``experiments/perf_candidates.py``).
+    """
+
+    num_embeddings: int
+    features: int
+    dtype: Dtype = jnp.float32
+    embedding_init: Callable = nn.initializers.orthogonal()
+
+    @nn.compact
+    def __call__(self, tokens):
+        table = self.param(
+            "embedding", self.embedding_init,
+            (self.num_embeddings, self.features), jnp.float32,
+        )
+        onehot = jax.nn.one_hot(tokens, self.num_embeddings,
+                                dtype=self.dtype)
+        return onehot @ table.astype(self.dtype)
+
+
 class SinusoidalPositionEmbedding(nn.Module):
     """Sin/cos positional encoding over the length axis.
 

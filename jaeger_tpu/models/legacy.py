@@ -23,6 +23,7 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
+from jaeger_tpu.models import layers as L
 from jaeger_tpu.models.layers import get_activation
 
 
@@ -93,8 +94,8 @@ class WResModel(nn.Module):
     @nn.compact
     def __call__(self, inputs, train: bool = False):
         tokens = inputs["translated"] if isinstance(inputs, dict) else inputs
-        emb = nn.Embed(22, 4, param_dtype=jnp.float32, dtype=self.dtype,
-                       name="aa")(tokens)          # (B, 6, L, 4)
+        emb = L.OneHotEmbed(22, 4, dtype=self.dtype,
+                            name="aa")(tokens)          # (B, 6, L, 4)
         streams = [emb[:, i] for i in range(emb.shape[1])]
         x = _SharedConvTower(
             num_res_blocks=5, add_residual=False, dtype=self.dtype,
@@ -128,8 +129,8 @@ class LSTMModel(nn.Module):
         from jaeger_tpu.models.layers import MaskedBiLSTM
 
         tokens = inputs["translated"] if isinstance(inputs, dict) else inputs
-        emb = nn.Embed(22, 4, param_dtype=jnp.float32, dtype=self.dtype,
-                       name="aa")(tokens)
+        emb = L.OneHotEmbed(22, 4, dtype=self.dtype,
+                            name="aa")(tokens)
         streams = [emb[:, i] for i in range(emb.shape[1])]
         x = _SharedConvTower(num_res_blocks=5, add_residual=True,
                              dtype=self.dtype, name="tower")(streams, train)
@@ -176,8 +177,8 @@ class Vitra(nn.Module):
     @nn.compact
     def __call__(self, inputs, train: bool = False):
         tokens = inputs["translated"] if isinstance(inputs, dict) else inputs
-        emb = nn.Embed(22, 4, param_dtype=jnp.float32, dtype=self.dtype,
-                       name="aa")(tokens)
+        emb = L.OneHotEmbed(22, 4, dtype=self.dtype,
+                            name="aa")(tokens)
         streams = [emb[:, i] for i in range(emb.shape[1])]
         patches = _SharedConvTower(num_res_blocks=5, add_residual=True,
                                    dtype=self.dtype, name="tower")(

@@ -185,3 +185,30 @@ class TestTaxonomy:
         idx.save(tmp_path / "index.npz")
         idx2 = CosineIndex.load(tmp_path / "index.npz")
         assert idx2.embeddings.shape == (50, 16)
+
+
+def test_onehot_embed_matches_gather():
+    """OneHotEmbed == flax nn.Embed exactly (same tree, same values) in
+    f32 and bf16 — the MXU-friendly embedding swap must be invisible."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import linen as nn
+
+    from jaeger_tpu.models import layers as L
+
+    tok = jnp.asarray(np.random.default_rng(0).integers(
+        0, 65, size=(3, 6, 20)))
+    for dt in (jnp.float32, jnp.bfloat16):
+        ref = nn.Embed(65, 24, embedding_init=nn.initializers.orthogonal(),
+                       param_dtype=jnp.float32, dtype=dt)
+        v = ref.init(jax.random.PRNGKey(7), tok)
+        ours = L.OneHotEmbed(65, 24, dtype=dt)
+        v2 = ours.init(jax.random.PRNGKey(7), tok)
+        assert jax.tree_util.tree_structure(v) == (
+            jax.tree_util.tree_structure(v2))
+        y_ref = ref.apply(v, tok)
+        y_ours = ours.apply(v, tok)  # ref params into ours: same tree
+        assert y_ours.dtype == y_ref.dtype
+        np.testing.assert_array_equal(np.asarray(y_ours, np.float32),
+                                      np.asarray(y_ref, np.float32))
