@@ -82,3 +82,28 @@ def test_model_input_shape_matches_contract():
     assert inputs["bases"].shape[1] >= NT
     out = model.apply(variables, inputs, train=False)
     assert out["prediction"].shape == (1, 3)
+
+
+def test_crop_length_warning():
+    """predict warns when --fsize disagrees with the trained crop
+    (reference commands/predict.py:36-63)."""
+    from jaeger_tpu.commands.predict import crop_length_warning
+
+    cfg = {"model": {
+        "embedding": {"input_type": "translated"},
+        "string_processor": {"crop_size": 60},   # 185 nt
+    }}
+    assert crop_length_warning(cfg, 185) is None
+    too_long = crop_length_warning(cfg, 300)
+    assert "98 codon frames" in too_long and "185" in too_long
+    too_short = crop_length_warning(cfg, 100)
+    assert "zero-masked" in too_short
+
+    nt_cfg = {"model": {
+        "embedding": {"input_type": "nucleotide"},
+        "string_processor": {"crop_size": 500},
+    }}
+    assert crop_length_warning(nt_cfg, 500) is None
+    assert "500" in crop_length_warning(nt_cfg, 2000)
+    # unresolvable config: silent, never raises
+    assert crop_length_warning({"model": {}}, 2000) is None
