@@ -155,9 +155,11 @@ def health() -> None:
               help="Generate ID/OOD reliability data with the classifier.")
 @click.option("--from-last-checkpoint", is_flag=True, default=False,
               help="Resume from the most advanced branch checkpoint.")
+@click.option("-f", "--force", is_flag=True, default=False,
+              help="Train into a non-empty output directory anyway.")
 def train(config_path, output_dir, epochs, steps_per_epoch,
           self_supervised_pretraining, generate_reliability_data,
-          from_last_checkpoint):
+          from_last_checkpoint, force):
     """Train a fragment classifier from a YAML config."""
     from jaeger_tpu.commands.train import train_fragment_core
 
@@ -166,7 +168,7 @@ def train(config_path, output_dir, epochs, steps_per_epoch,
         epochs_override=epochs, steps_override=steps_per_epoch,
         self_supervised_pretraining=self_supervised_pretraining,
         generate_reliability=generate_reliability_data,
-        from_last_checkpoint=from_last_checkpoint,
+        from_last_checkpoint=from_last_checkpoint, force=force,
     )
 
 

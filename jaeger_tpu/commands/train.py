@@ -189,6 +189,41 @@ def _run_branch(
     return state, history
 
 
+#: file/dir names our own training layout writes into the output dir —
+#: re-runs over these are governed by convergence markers and resume,
+#: not the clobber guard
+_OWN_ARTIFACTS = frozenset({
+    "checkpoints", "params.msgpack", "project.yaml", "classes.yaml",
+    "reliability_data", "reliability_threshold.tsv", "history.csv",
+    "refine.yaml",
+})
+
+
+def ensure_save_path_available(path, force: bool = False,
+                               resuming: bool = False) -> None:
+    """Refuse to train into a directory holding foreign content.
+
+    Role parity: reference ``nnlib/builder.py:1431-1447``
+    (``ensure_save_path_available`` + ``--force``). Divergence: a
+    directory containing only our own training layout is allowed
+    through — convergence markers and checkpoint resume already make
+    re-runs safe and incremental — so the guard fires only for content
+    we did not write (and ``--force`` bypasses it entirely).
+    """
+    path = Path(path)
+    if force or resuming or not path.exists():
+        return
+    foreign = [c.name for c in path.iterdir()
+               if c.name not in _OWN_ARTIFACTS
+               and not c.name.endswith((".log", ".csv"))]
+    if foreign:
+        logger.warning(
+            "output directory %s already contains %s. "
+            "Use --force to overwrite.", path, sorted(foreign)[:5],
+        )
+        raise SystemExit(1)
+
+
 def train_fragment_core(
     config_path: str,
     output_dir: str | None = None,
@@ -200,6 +235,7 @@ def train_fragment_core(
     self_supervised_pretraining: bool = False,
     generate_reliability: bool | None = None,
     from_last_checkpoint: bool = False,
+    force: bool = False,
 ) -> dict:
     config = load_model_config(config_path)
     model_cfg = config.get("model", {})
@@ -218,6 +254,8 @@ def train_fragment_core(
         or train_cfg.get("model_saving", {}).get("path", "model_out")
     )
     ckpt_root = out_root / "checkpoints"
+    ensure_save_path_available(out_root, force=force,
+                               resuming=from_last_checkpoint)
     data_format = sp.get("data_format", "csv")
 
     batch_size = int(batch_override or train_cfg.get("batch_size", 64))
@@ -257,7 +295,16 @@ def train_fragment_core(
             seed=seed + epoch_seed, repeat=repeat,
         )
 
-    make_batches = npz_batches if data_format == "numpy" else csv_batches
+    _make_raw = npz_batches if data_format == "numpy" else csv_batches
+    shuffle_frames = bool(sp.get("shuffle_frames", False))
+
+    def make_batches(paths_, epoch_seed, repeat=True):
+        batches = _make_raw(paths_, epoch_seed, repeat=repeat)
+        # frame-order augmentation on training data only
+        if shuffle_frames and repeat:
+            batches = data_lib.with_frame_shuffle(
+                batches, seed=seed + 7919 * (epoch_seed + 1))
+        return batches
 
     reg_specs = tuple(builder.regularizer_specs())
     history: dict = {}

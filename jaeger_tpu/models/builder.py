@@ -327,7 +327,17 @@ class JaegerModel(nn.Module):
                     bases, lengths, crop_size=nt_crop, masking=masking
                 )
         else:
-            feats = dict(inputs)
+            feats = {k: v for k, v in inputs.items() if k != "frame_perm"}
+
+        # train-time frame-order augmentation (reference
+        # ``seqops/encode.py:175-177`` shuffle_frames): a per-example
+        # permutation of the 6 reading frames, supplied by the data
+        # pipeline as a (B, 6) int array. Absent at inference.
+        perm = inputs.get("frame_perm")
+        if perm is not None and "translated" in feats:
+            feats["translated"] = jnp.take_along_axis(
+                feats["translated"], perm[:, :, None], axis=1
+            )
 
         # --- 2. embedding section (nnlib/builder.py:844-894) ---
         if input_type in ("translated", "both"):

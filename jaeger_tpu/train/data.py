@@ -277,3 +277,23 @@ def batches_from_npz(
             yield {key: batch_feats, "labels": onehot}
         if not repeat:
             return
+
+
+def with_frame_shuffle(
+    batches: Iterator[dict[str, np.ndarray]], seed: int = 42
+) -> Iterator[dict[str, np.ndarray]]:
+    """Add a per-example random 6-frame permutation to each batch.
+
+    Train-time augmentation parity: reference ``seqops/encode.py:175-177``
+    (``shuffle_frames: true``) — each example's reading frames
+    [f1,f2,f3,r1,r2,r3] are randomly reordered. The permutation rides the
+    batch as ``frame_perm`` and is applied on device after encoding
+    (``models/builder.py``), so it works for both the raw-bases and
+    pre-encoded token paths.
+    """
+    rng = np.random.default_rng(seed)
+    for batch in batches:
+        n = next(iter(batch.values())).shape[0]
+        perm = np.tile(np.arange(6, dtype=np.int32), (n, 1))
+        perm = rng.permuted(perm, axis=1)
+        yield {**batch, "frame_perm": perm}

@@ -270,3 +270,91 @@ class TestLosses:
         params = {"rep": {"conv_0": {"kernel": jnp.ones((2, 2))}}}
         loss = regularization_loss(params, [("rep/.*kernel", "l2", 0.5)])
         assert float(loss) == pytest.approx(2.0)
+
+
+def test_frame_shuffle_augmentation(rng):
+    """frame_perm permutes encoded frames exactly; identity perm is a
+    no-op (reference shuffle_frames, seqops/encode.py:175-177)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jaeger_tpu.models.builder import ModelBuilder
+    from jaeger_tpu.train.data import with_frame_shuffle
+
+    cfg = {
+        "model": {
+            "name": "fs", "seed": 0, "classifier_out_dim": 2,
+            "embedding": {"use_embedding_layer": True,
+                          "input_type": "translated", "embedding_size": 4},
+            "string_processor": {"crop_size": 20, "seq_onehot": False},
+            "representation_learner": {
+                "hidden_layers": [{"name": "masked_conv1d",
+                                   "config": {"filters": 4,
+                                              "kernel_size": 3}}],
+                "pooling": "average",
+            },
+            "classifier": {"hidden_layers": [
+                {"name": "dense", "config": {"units": 2}}]},
+        },
+        "training": {},
+    }
+    b = ModelBuilder(cfg)
+    model, variables = b.init()
+    _, crop_nt = b.crop
+    bases = rng.integers(0, 4, size=(3, crop_nt), dtype=np.uint8)
+    lengths = np.full(3, crop_nt, np.int32)
+    base_in = {"bases": jnp.asarray(bases), "lengths": jnp.asarray(lengths)}
+
+    y0 = model.apply(variables, base_in, train=False)["prediction"]
+    ident = jnp.tile(jnp.arange(6, dtype=jnp.int32), (3, 1))
+    y1 = model.apply(variables, {**base_in, "frame_perm": ident},
+                     train=False)["prediction"]
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+
+    # device-side frame_perm == feeding host-permuted tokens (the model
+    # itself is frame-symmetric under mean pooling, so compare via the
+    # pre-encoded input path rather than output inequality)
+    from jaeger_tpu.ops.encode import encode_frames
+
+    perm_np = np.stack([[5, 4, 3, 2, 1, 0], [2, 0, 1, 4, 5, 3],
+                        [0, 1, 2, 3, 4, 5]]).astype(np.int32)
+    perm = jnp.asarray(perm_np)
+    y2 = model.apply(variables, {**base_in, "frame_perm": perm},
+                     train=False)["prediction"]
+    tokens = np.asarray(encode_frames(jnp.asarray(bases),
+                                      jnp.asarray(lengths),
+                                      crop_size=crop_nt))
+    permuted = np.take_along_axis(tokens, perm_np[:, :, None], axis=1)
+    y3 = model.apply(variables, {"translated": jnp.asarray(permuted)},
+                     train=False)["prediction"]
+    np.testing.assert_array_equal(np.asarray(y2), np.asarray(y3))
+
+    # the batch wrapper emits valid permutations
+    batches = with_frame_shuffle(
+        iter([{"translated": np.zeros((5, 6, 7)),
+               "labels": np.zeros((5, 2))}]), seed=1)
+    out = next(batches)
+    assert out["frame_perm"].shape == (5, 6)
+    assert (np.sort(out["frame_perm"], axis=1) == np.arange(6)).all()
+
+
+def test_save_path_guard(tmp_path):
+    """Foreign content blocks training; own layout, resume and force
+    pass (reference nnlib/builder.py:1431-1447)."""
+    import pytest
+
+    from jaeger_tpu.commands.train import ensure_save_path_available
+
+    d = tmp_path / "out"
+    ensure_save_path_available(d)            # missing dir: fine
+    d.mkdir()
+    ensure_save_path_available(d)            # empty: fine
+    (d / "params.msgpack").write_bytes(b"x")
+    (d / "checkpoints").mkdir()
+    ensure_save_path_available(d)            # own layout: fine
+    (d / "precious_data.h5").write_bytes(b"keep me")
+    with pytest.raises(SystemExit):
+        ensure_save_path_available(d)        # foreign content: abort
+    assert (d / "precious_data.h5").read_bytes() == b"keep me"
+    ensure_save_path_available(d, force=True)
+    ensure_save_path_available(d, resuming=True)
