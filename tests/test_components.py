@@ -212,3 +212,59 @@ def test_onehot_embed_matches_gather():
         assert y_ours.dtype == y_ref.dtype
         np.testing.assert_array_equal(np.asarray(y_ours, np.float32),
                                       np.asarray(y_ref, np.float32))
+
+
+def test_conv_mask_modes():
+    """any/majority/strict output-mask semantics of MaskedConv1D
+    (reference nnlib/v2/layers.py mask_mode; unit test_mask_mode)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from jaeger_tpu.models import layers as L
+
+    # 1 example, 1 frame, L=6, first 3 positions valid, k=3 VALID
+    # (default padding): window valid-counts are [3, 2, 1, 0]
+    x = jnp.ones((1, 1, 6, 2))
+    mask = jnp.asarray([[[1, 1, 1, 0, 0, 0]]], bool)
+    counts = {}
+    for mode in ("any", "majority", "strict"):
+        conv = L.MaskedConv1D(filters=2, kernel_size=3, mask_mode=mode)
+        v = conv.init(jax.random.PRNGKey(0), x, mask)
+        _, m = conv.apply(v, x, mask)
+        counts[mode] = int(np.asarray(m).sum())
+    assert counts["any"] == 3       # count > 0
+    assert counts["majority"] == 2  # count >= 2
+    assert counts["strict"] == 1    # count == 3
+    with pytest.raises(ValueError, match="mask_mode"):
+        conv = L.MaskedConv1D(filters=2, kernel_size=3, mask_mode="typo")
+        conv.init(jax.random.PRNGKey(0), x, mask)
+
+
+def test_resblock_norm_types():
+    """ResidualBlock builds and runs under every norm_type; the param
+    tree reflects the chosen norm (reference test_resblock_norm_type)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from jaeger_tpu.models import layers as L
+
+    x = jnp.ones((2, 1, 8, 4))
+    mask = jnp.ones((2, 1, 8), bool)
+    for norm_type, param in (("masked_batchnorm", "gamma"),
+                             ("masked_layernorm", "gamma"),
+                             ("masked_dyt", "alpha"),
+                             ("layernorm", "gamma")):
+        blk = L.ResidualBlock(filters=4, kernel_size=3, norm_type=norm_type)
+        v = blk.init(jax.random.PRNGKey(0), x, mask)
+        norm_params = [k for k in jax.tree_util.tree_leaves_with_path(
+            v["params"]) if param in str(k[0])]
+        assert norm_params, norm_type
+        out = blk.apply(v, x, mask,
+                        mutable=["batch_stats"] if "batch" in norm_type
+                        else [])
+        y = out[0] if isinstance(out, tuple) else out
+    with pytest.raises(ValueError, match="norm_type"):
+        L._make_norm("nope", "n")
