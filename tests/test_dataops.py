@@ -277,3 +277,29 @@ class TestUtilsCommands:
         n = fragment_core(str(src), str(out), fsize=2000, label=1)
         assert n == 2
         assert out.read_text().startswith("1,")
+
+
+def test_dataset_core_split_and_dedupe(tmp_path, rng):
+    """utils dataset: fragment + dedupe + 80/10/10 split
+    (reference commands/utils.py dataset_core)."""
+    from jaeger_tpu.commands.utils import dataset_core
+
+    fa = tmp_path / "g.fasta"
+    seq = "".join(rng.choice(list("ATGC"), size=6000))
+    with open(fa, "w") as fh:
+        # two identical genomes: dedupe must collapse duplicate fragments
+        fh.write(f">g1\n{seq}\n>g2\n{seq}\n")
+
+    out = tmp_path / "ds"
+    counts = dataset_core(str(fa), str(out), frag_len=1000, overlap=500,
+                          label=3, seed=1)
+    total = sum(counts.values())
+    dup = dataset_core(str(fa), str(tmp_path / "ds2"), frag_len=1000,
+                       overlap=500, dedupe=False, seed=1)
+    assert sum(dup.values()) == 2 * total  # duplicates kept without dedupe
+    # split fractions (80/10/10 of n)
+    assert counts["train"] == int(total * 0.8)
+    # rows are label,fragment with the requested label
+    first = (tmp_path / "ds_train.csv").read_text().splitlines()[0]
+    label, frag = first.split(",")
+    assert label == "3" and len(frag) == 1000
