@@ -247,3 +247,60 @@ def test_both_input_type():
     _, crop_nt = b.crop
     out = model.apply(variables, _inputs(2, crop_nt), train=False)
     assert out["prediction"].shape == (2, 3)
+
+
+def test_parallel_branches(rng):
+    """parallel_branches layer: per-branch stacks + merge modes
+    (reference nnlib/builder.py:1109-1153, test_builder_parallel_branches)."""
+    import numpy as np
+
+    from jaeger_tpu.models.builder import ModelBuilder
+
+    def cfg(merge):
+        return {
+            "model": {
+                "name": "pb", "seed": 0, "classifier_out_dim": 2,
+                "embedding": {"use_embedding_layer": True,
+                              "input_type": "translated",
+                              "embedding_size": 6},
+                "string_processor": {"crop_size": 30, "seq_onehot": False},
+                "representation_learner": {
+                    "hidden_layers": [
+                        {"name": "parallel_branches", "config": {
+                            "merge": merge,
+                            "branches": [
+                                {"hidden_layers": [
+                                    {"name": "masked_conv1d",
+                                     "config": {"filters": 4,
+                                                "kernel_size": 3,
+                                                "padding": "same"}}]},
+                                {"hidden_layers": [
+                                    {"name": "masked_conv1d",
+                                     "config": {"filters": 4,
+                                                "kernel_size": 5,
+                                                "padding": "same"}}]},
+                            ],
+                        }},
+                    ],
+                    "pooling": "average",
+                },
+                "classifier": {"hidden_layers": [
+                    {"name": "dense", "config": {"units": 2}}]},
+            },
+            "training": {},
+        }
+
+    for merge in ("concat", "sum", "average", "max"):
+        b = ModelBuilder(cfg(merge))
+        model, variables = b.init()
+        out = model.apply(variables, b.example_inputs(2), train=False)
+        assert out["prediction"].shape == (2, 2), merge
+    # branch weights are separate modules
+    params = variables["params"]["rep"]
+    assert "parallel_branches_0_branch_0" in params
+    assert "parallel_branches_0_branch_1" in params
+
+    import pytest
+
+    with pytest.raises(ValueError, match="merge"):
+        ModelBuilder(cfg("bogus")).init()
