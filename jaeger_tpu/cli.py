@@ -157,9 +157,11 @@ def health() -> None:
               help="Resume from the most advanced branch checkpoint.")
 @click.option("-f", "--force", is_flag=True, default=False,
               help="Train into a non-empty output directory anyway.")
+@click.option("--ignore-convergence", is_flag=True, default=False,
+              help="Retrain branches even if convergence markers exist.")
 def train(config_path, output_dir, epochs, steps_per_epoch,
           self_supervised_pretraining, generate_reliability_data,
-          from_last_checkpoint, force):
+          from_last_checkpoint, force, ignore_convergence):
     """Train a fragment classifier from a YAML config."""
     from jaeger_tpu.commands.train import train_fragment_core
 
@@ -169,6 +171,7 @@ def train(config_path, output_dir, epochs, steps_per_epoch,
         self_supervised_pretraining=self_supervised_pretraining,
         generate_reliability=generate_reliability_data,
         from_last_checkpoint=from_last_checkpoint, force=force,
+        ignore_convergence=ignore_convergence,
     )
 
 

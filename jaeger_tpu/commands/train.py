@@ -236,6 +236,7 @@ def train_fragment_core(
     generate_reliability: bool | None = None,
     from_last_checkpoint: bool = False,
     force: bool = False,
+    ignore_convergence: bool = False,
 ) -> dict:
     config = load_model_config(config_path)
     model_cfg = config.get("model", {})
@@ -309,6 +310,16 @@ def train_fragment_core(
     reg_specs = tuple(builder.regularizer_specs())
     history: dict = {}
     results: dict = {"model": model_cfg.get("name", "jaeger_model")}
+
+    def read_convergence_marker(branch_dir):
+        # --ignore_convergence retrains finished branches (reference
+        # commands/train.py flag of the same name)
+        if ignore_convergence:
+            return None
+        from jaeger_tpu.train.checkpoint import (
+            read_convergence_marker as _read,
+        )
+        return _read(branch_dir)
 
     # === 1. PROJECTION (self-supervised ArcFace pretraining) ===
     proj_cfg = model_cfg.get("projection")

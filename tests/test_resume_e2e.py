@@ -129,3 +129,20 @@ def test_train_from_npz_dataset(tmp_path, rng):
     )
     assert result["history"]["classifier"]
     assert (tmp_path / "npz_model" / "params.msgpack").exists()
+
+
+def test_ignore_convergence_retrains(tmp_path, rng):
+    """--ignore-convergence retrains a branch the marker says is done."""
+    from jaeger_tpu.commands.train import train_fragment_core
+
+    cfg_path = _write_fixture(tmp_path, rng)
+    out = tmp_path / "model"
+    train_fragment_core(str(cfg_path), output_dir=str(out), use_mesh=False)
+    # normal rerun: skipped
+    r = train_fragment_core(str(cfg_path), output_dir=str(out),
+                            use_mesh=False)
+    assert "classifier" not in r["history"]
+    # with the flag: trains again
+    r2 = train_fragment_core(str(cfg_path), output_dir=str(out),
+                             use_mesh=False, ignore_convergence=True)
+    assert r2["history"]["classifier"]
