@@ -159,9 +159,14 @@ def health() -> None:
               help="Train into a non-empty output directory anyway.")
 @click.option("--ignore-convergence", is_flag=True, default=False,
               help="Retrain branches even if convergence markers exist.")
+@click.option("--only-classification-head", "--only-heads",
+              "only_classification_head", is_flag=True, default=False,
+              help="Freeze the representation learner; fine-tune heads "
+                   "only.")
 def train(config_path, output_dir, epochs, steps_per_epoch,
           self_supervised_pretraining, generate_reliability_data,
-          from_last_checkpoint, force, ignore_convergence):
+          from_last_checkpoint, force, ignore_convergence,
+          only_classification_head):
     """Train a fragment classifier from a YAML config."""
     from jaeger_tpu.commands.train import train_fragment_core
 
@@ -172,6 +177,7 @@ def train(config_path, output_dir, epochs, steps_per_epoch,
         generate_reliability=generate_reliability_data,
         from_last_checkpoint=from_last_checkpoint, force=force,
         ignore_convergence=ignore_convergence,
+        only_classification_head=only_classification_head,
     )
 
 

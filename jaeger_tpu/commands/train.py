@@ -237,6 +237,7 @@ def train_fragment_core(
     from_last_checkpoint: bool = False,
     force: bool = False,
     ignore_convergence: bool = False,
+    only_classification_head: bool = False,
 ) -> dict:
     config = load_model_config(config_path)
     model_cfg = config.get("model", {})
@@ -439,6 +440,14 @@ def train_fragment_core(
                         train_cfg, "classifier_class_weights", num_classes
                     ),
                     reg_specs=reg_specs,
+                    # head-only fine-tuning freezes the representation
+                    # learner (reference commands/train.py:846-856,
+                    # --only_classification_head / --only_heads)
+                    frozen_prefixes=(
+                        ("embedding", "translated_embedding", "rep",
+                         "rep_branch", "projection")
+                        if only_classification_head else ()
+                    ),
                 ),
             ),
             donate_argnums=(0,),

@@ -146,3 +146,39 @@ def test_ignore_convergence_retrains(tmp_path, rng):
     r2 = train_fragment_core(str(cfg_path), output_dir=str(out),
                              use_mesh=False, ignore_convergence=True)
     assert r2["history"]["classifier"]
+
+
+def test_head_only_freezes_rep(tmp_path, rng):
+    """--only-classification-head: rep/embedding params stay at their
+    initial values while the classifier head still trains."""
+    import numpy as np
+
+    from flax import serialization
+
+    from jaeger_tpu.commands.train import train_fragment_core
+    from jaeger_tpu.models.artifacts import load_model
+    from jaeger_tpu.models.builder import ModelBuilder
+    import yaml
+
+    cfg_path = _write_fixture(tmp_path, rng)
+    cfg = yaml.safe_load(cfg_path.read_text())
+    b = ModelBuilder(cfg)
+    _, init_vars = b.init()
+
+    out = tmp_path / "headonly"
+    train_fragment_core(str(cfg_path), output_dir=str(out),
+                        use_mesh=False, only_classification_head=True)
+    _, trained, _, _ = load_model(out)
+
+    def leaf(tree, *path):
+        for p in path:
+            tree = tree[p]
+        return np.asarray(tree)
+
+    np.testing.assert_array_equal(
+        leaf(init_vars["params"], "rep", "masked_conv1d_0", "kernel"),
+        leaf(trained["params"], "rep", "masked_conv1d_0", "kernel"))
+    # classifier head DID move
+    assert not np.array_equal(
+        leaf(init_vars["params"], "classifier", "dense_0", "kernel"),
+        leaf(trained["params"], "classifier", "dense_0", "kernel"))
