@@ -595,10 +595,23 @@ def train_fragment_core(
         sum(x.size for x in jax.tree.leaves(variables["params"]))
     )
 
+    trained_this_run = bool(history) or any(
+        start_epochs.values()  # a resume restored trained weights
+    )
     if save:
-        save_model(variables, config, out_root)
-        results["model_path"] = str(out_root)
-        logger.info(f"model saved to {out_root}")
+        if not trained_this_run and (out_root / "params.msgpack").exists():
+            # every branch was convergence-skipped: `variables` still
+            # holds fresh init — re-saving would clobber the trained
+            # bundle with random weights
+            results["model_path"] = str(out_root)
+            logger.info(
+                "all branches already converged; existing model at "
+                f"{out_root} left untouched"
+            )
+        else:
+            save_model(variables, config, out_root)
+            results["model_path"] = str(out_root)
+            logger.info(f"model saved to {out_root}")
     return results
 
 

@@ -182,3 +182,19 @@ def test_head_only_freezes_rep(tmp_path, rng):
     assert not np.array_equal(
         leaf(init_vars["params"], "classifier", "dense_0", "kernel"),
         leaf(trained["params"], "classifier", "dense_0", "kernel"))
+
+
+def test_converged_rerun_preserves_trained_bundle(tmp_path, rng):
+    """A rerun whose branches are all convergence-skipped must not
+    overwrite the trained params with fresh init."""
+    import hashlib
+
+    from jaeger_tpu.commands.train import train_fragment_core
+
+    cfg_path = _write_fixture(tmp_path, rng)
+    out = tmp_path / "model"
+    train_fragment_core(str(cfg_path), output_dir=str(out), use_mesh=False)
+    before = hashlib.sha1((out / "params.msgpack").read_bytes()).hexdigest()
+    train_fragment_core(str(cfg_path), output_dir=str(out), use_mesh=False)
+    after = hashlib.sha1((out / "params.msgpack").read_bytes()).hexdigest()
+    assert before == after
