@@ -87,11 +87,14 @@ def main(verbose: int) -> None:
 @click.option("--save-nmd", is_flag=True, default=False)
 @click.option("--profile", is_flag=True, default=False,
               help="Write a jax.profiler trace of the inference loop.")
+@click.option("-f", "--overwrite", is_flag=True, default=False,
+              help="Overwrite an existing output summary.")
 def predict(input_path, output_dir, model_path, fsize, stride, batch,
             min_len, dustmask, dynamic_stride, precision, crf_switch_cost,
             crf_prior, reliability_cutoff, phage_score, no_termini,
             window_scores, prophage, sensitivity, lc, plot_type, refine,
-            refine_mode, getsequences, save_embedding, save_nmd, profile):
+            refine_mode, getsequences, save_embedding, save_nmd, profile,
+            overwrite):
     """Identify phage/prophage sequences in a FASTA of contigs."""
     from jaeger_tpu.commands.predict import resolve_model_path, run_core
 
@@ -107,7 +110,7 @@ def predict(input_path, output_dir, model_path, fsize, stride, batch,
         prophage=prophage, sensitivity=sensitivity, lc=lc,
         plot_type=plot_type, refine=refine, refine_mode=refine_mode,
         getsequences=getsequences, save_embedding=save_embedding,
-        save_nmd=save_nmd, profile=profile,
+        save_nmd=save_nmd, profile=profile, overwrite=overwrite,
     )
     click.echo(f"summary written to {table}")
 

@@ -161,11 +161,21 @@ def run_core(
     save_embedding: bool = False,
     save_nmd: bool = False,
     profile: bool = False,
+    overwrite: bool = False,
 ) -> Path:
     t0 = time.time()
     input_path = Path(input_path)
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
+    existing = output_dir / f"{input_path.stem}_default_jaeger.tsv"
+    if existing.exists() and not overwrite:
+        # reference commands/predict.py:574-577: refuse to overwrite a
+        # previous run's summary unless -f/--overwrite is passed
+        logger.error(
+            f"output file {existing} exists; pass -f/--overwrite to "
+            f"replace it"
+        )
+        raise SystemExit(1)
     min_len = min_len if min_len is not None else fsize
 
     validate_fasta_entries(str(input_path), min_len=min_len)

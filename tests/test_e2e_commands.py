@@ -167,3 +167,20 @@ def test_resolve_model_path(tmp_path):
 
     with pytest.raises(FileNotFoundError):
         resolve_model_path("no_such_model_name")
+
+
+def test_predict_overwrite_guard(tmp_path, rng, model_bundle):
+    """Second run into the same output dir refuses without overwrite
+    (reference commands/predict.py:574-577)."""
+    import pytest
+
+    from jaeger_tpu.commands.predict import run_core
+
+    fasta = _fasta(tmp_path, rng, [600], name="ow.fasta")
+    kwargs = dict(input_path=str(fasta), output_dir=str(tmp_path / "o"),
+                  model_path=str(model_bundle), fsize=400, stride=400,
+                  batch=8, scan_termini=False)
+    run_core(**kwargs)
+    with pytest.raises(SystemExit):
+        run_core(**kwargs)
+    run_core(**kwargs, overwrite=True)
