@@ -63,6 +63,9 @@ def main(verbose: int) -> None:
               help="Enable CRF (Viterbi) window smoothing with this cost.")
 @click.option("--crf-prior", default="biological", show_default=True,
               type=click.Choice(["biological", "uniform"]))
+@click.option("--crf-transition-matrix", default=None,
+              type=click.Path(exists=True),
+              help="JSON file of per-class-pair transition costs.")
 @click.option("--reliability-cutoff", default=0.5, show_default=True)
 @click.option("--phage-score", default=1.0, show_default=True)
 @click.option("--no-termini", is_flag=True, default=False,
@@ -91,7 +94,8 @@ def main(verbose: int) -> None:
               help="Overwrite an existing output summary.")
 def predict(input_path, output_dir, model_path, fsize, stride, batch,
             min_len, dustmask, dynamic_stride, precision, crf_switch_cost,
-            crf_prior, reliability_cutoff, phage_score, no_termini,
+            crf_prior, crf_transition_matrix, reliability_cutoff,
+            phage_score, no_termini,
             window_scores, prophage, sensitivity, lc, plot_type, refine,
             refine_mode, getsequences, save_embedding, save_nmd, profile,
             overwrite):
@@ -105,6 +109,10 @@ def predict(input_path, output_dir, model_path, fsize, stride, batch,
         fsize=fsize, stride=stride, batch=batch, min_len=min_len,
         dustmask=dustmask, dynamic_stride=dynamic_stride, precision=precision,
         crf_switch_cost=crf_switch_cost, crf_prior=crf_prior,
+        crf_transition_matrix=(
+            __import__("json").load(open(crf_transition_matrix))
+            if crf_transition_matrix else None
+        ),
         reliability_cutoff=reliability_cutoff, phage_score=phage_score,
         scan_termini=not no_termini, save_window_scores=window_scores,
         prophage=prophage, sensitivity=sensitivity, lc=lc,

@@ -146,6 +146,7 @@ def run_core(
     mesh=None,
     crf_switch_cost: float | None = None,
     crf_prior: str = "biological",
+    crf_transition_matrix: dict | None = None,
     reliability_cutoff: float = 0.5,
     phage_score: float = 1.0,
     scan_termini: bool = True,
@@ -262,6 +263,7 @@ def run_core(
             class_names=labels,
             crf_switch_cost=crf_switch_cost,
             crf_prior=crf_prior,
+            crf_transition_matrix=crf_transition_matrix,
             term_repeats=term_repeats,
         )
     else:
