@@ -244,7 +244,15 @@ def train_fragment_core(
     train_cfg = config.get("training", {})
     sp = model_cfg.get("string_processor", {})
 
-    builder = ModelBuilder(config)
+    # mixed-precision policy (reference commands/train.py:61-63,635-647:
+    # mixed_bfloat16 global policy): compute in bf16, params stay f32
+    # (our layers force f32 islands for norm statistics internally)
+    policy = str(train_cfg.get("mixed_precision", "") or "").lower()
+    compute_dtype = (
+        jnp.bfloat16 if policy in ("bfloat16", "mixed_bfloat16", "bf16")
+        else jnp.float32
+    )
+    builder = ModelBuilder(config, dtype=compute_dtype)
     model, variables = builder.init()
     codons, crop_nt = builder.crop
     num_classes = int(model_cfg.get("classifier_out_dim", 3))

@@ -358,3 +358,28 @@ def test_save_path_guard(tmp_path):
     assert (d / "precious_data.h5").read_bytes() == b"keep me"
     ensure_save_path_available(d, force=True)
     ensure_save_path_available(d, resuming=True)
+
+
+def test_mixed_precision_training(tmp_path, rng):
+    """training.mixed_precision: bfloat16 trains with bf16 compute and
+    f32 params (reference mixed_bfloat16 policy)."""
+    import numpy as np
+    import yaml
+
+    from jaeger_tpu.commands.train import train_fragment_core
+    from jaeger_tpu.models.artifacts import load_model
+
+    from tests.test_resume_e2e import _write_fixture
+
+    cfg_path = _write_fixture(tmp_path, rng)
+    cfg = yaml.safe_load(cfg_path.read_text())
+    cfg["training"]["mixed_precision"] = "bfloat16"
+    cfg_path.write_text(yaml.safe_dump(cfg, sort_keys=False))
+    out = tmp_path / "bf16_model"
+    r = train_fragment_core(str(cfg_path), output_dir=str(out),
+                            use_mesh=False)
+    assert r["history"]["classifier"]
+    assert np.isfinite(r["history"]["classifier"][-1]["loss"])
+    _, variables, _, _ = load_model(out)
+    leaf = variables["params"]["classifier"]["dense_0"]["kernel"]
+    assert np.asarray(leaf).dtype == np.float32  # params stay f32
