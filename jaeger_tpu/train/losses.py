@@ -15,7 +15,14 @@ from flax import linen as nn
 
 
 def categorical_crossentropy(labels_onehot, logits, from_logits=True,
-                             class_weights=None):
+                             class_weights=None, label_smoothing=0.0):
+    if label_smoothing:
+        # Keras CategoricalCrossentropy(label_smoothing=s) semantics:
+        # y <- y*(1-s) + s/k
+        k = labels_onehot.shape[-1]
+        labels_onehot = (
+            labels_onehot * (1.0 - label_smoothing) + label_smoothing / k
+        )
     if from_logits:
         logp = jax.nn.log_softmax(logits, axis=-1)
     else:

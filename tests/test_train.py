@@ -383,3 +383,22 @@ def test_mixed_precision_training(tmp_path, rng):
     _, variables, _, _ = load_model(out)
     leaf = variables["params"]["classifier"]["dense_0"]["kernel"]
     assert np.asarray(leaf).dtype == np.float32  # params stay f32
+
+
+def test_label_smoothing():
+    """Keras CategoricalCrossentropy(label_smoothing) semantics."""
+    import numpy as np
+
+    from jaeger_tpu.train.losses import categorical_crossentropy
+
+    y = jnp.asarray(np.eye(3, dtype=np.float32)[[0, 1]])
+    logits = jnp.asarray([[4.0, 0.0, 0.0], [0.0, 4.0, 0.0]])
+    plain = float(categorical_crossentropy(y, logits))
+    smooth = float(categorical_crossentropy(y, logits,
+                                            label_smoothing=0.1))
+    assert smooth > plain  # smoothing penalizes confident logits
+    # hand value: y' = [0.9333.., 0.0333.., 0.0333..]
+    logp = jax.nn.log_softmax(logits, -1)
+    ys = y * 0.9 + 0.1 / 3
+    expect = float(-(ys * logp).sum(-1).mean())
+    assert smooth == pytest.approx(expect, rel=1e-6)
