@@ -304,3 +304,22 @@ def test_parallel_branches(rng):
 
     with pytest.raises(ValueError, match="merge"):
         ModelBuilder(cfg("bogus")).init()
+
+
+def test_bundled_templates_build():
+    """Every shipped train_config template builds and runs forward."""
+    from pathlib import Path
+
+    from jaeger_tpu.models.builder import ModelBuilder
+    from jaeger_tpu.utils.config import load_model_config
+
+    root = Path(__file__).resolve().parent.parent / "train_config"
+    templates = sorted(root.glob("*.yaml"))
+    assert templates, "no templates shipped"
+    for path in templates:
+        cfg = load_model_config(path)
+        b = ModelBuilder(cfg)
+        model, variables = b.init()
+        out = model.apply(variables, b.example_inputs(1), train=False)
+        assert out["prediction"].shape[-1] == int(
+            cfg["model"]["classifier_out_dim"]), path.name
