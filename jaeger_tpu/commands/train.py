@@ -224,6 +224,67 @@ def ensure_save_path_available(path, force: bool = False,
         raise SystemExit(1)
 
 
+def _apply_frequency_biases(config, variables, train_paths, train_cfg, sp):
+    """Initialize configured dense biases from training label counts.
+
+    Parity: reference ``nnlib/builder.py:1040-1072`` — a layer config
+    with ``bias_initializer: calculate_from_data`` gets its bias set to
+    the class-frequency log-prior of the last training file (softmax
+    kind, or sigmoid when the branch loss is binary).
+    """
+    import jax
+
+    from jaeger_tpu.train.data import class_frequency_bias
+
+    model_cfg = config.get("model", {})
+    targets = []  # (branch params key, lname, kind, label_map)
+    for branch, loss_key, map_kind in (
+        ("classifier", "loss_classifier", "classifier"),
+        ("reliability_model", "loss_reliability", "reliability"),
+    ):
+        bcfg = model_cfg.get(branch) or {}
+        for i, entry in enumerate(bcfg.get("hidden_layers", [])):
+            init = str((entry.get("config") or {}).get(
+                "bias_initializer", ""))
+            if "calculate_from" not in init:
+                continue
+            loss_name = str(train_cfg.get(loss_key, "") or "")
+            kind = "sigmoid" if "binary" in loss_name else "softmax"
+            key = "classifier" if branch == "classifier" else "reliability"
+            lmap = sp.get(f"{map_kind}_labels_map") or []
+            targets.append((key, f"{entry.get('name')}_{i}", kind, lmap))
+    if not targets or not train_paths:
+        return variables
+
+    variables = jax.tree_util.tree_map(lambda x: x, variables)
+
+    def to_mutable(d):
+        return {k: to_mutable(v) for k, v in d.items()} if hasattr(
+            d, "items") else d
+
+    variables = to_mutable(variables)
+    for key, lname, kind, lmap in targets:
+        node = variables["params"].get(key, {}).get(lname)
+        if node is None or "bias" not in node:
+            logger.warning(f"bias_initializer target {key}/{lname} "
+                           f"not found; skipping")
+            continue
+        bias = class_frequency_bias(train_paths[-1], kind=kind,
+                                    label_map=list(lmap))
+        want = np.asarray(node["bias"]).shape[0]
+        if bias.shape[0] != want:
+            bias = np.resize(bias, want) if want % bias.shape[0] == 0 \
+                else None
+        if bias is None:
+            logger.warning(
+                f"class-frequency bias length mismatch for {key}/{lname}")
+            continue
+        node["bias"] = jnp.asarray(bias, jnp.float32)
+        logger.info(f"initialized {key}/{lname} bias from label "
+                    f"frequencies of {train_paths[-1]}")
+    return variables
+
+
 def train_fragment_core(
     config_path: str,
     output_dir: str | None = None,
@@ -290,6 +351,10 @@ def train_fragment_core(
     train_paths = paths.get("train", {}).get("paths", [])
     val_paths = paths.get("validation", {}).get("paths", [])
     label_map = _label_map(sp)
+
+    variables = _apply_frequency_biases(
+        config, variables, train_paths, train_cfg, sp
+    )
 
     def csv_batches(paths_, epoch_seed, repeat=True):
         return data_lib.batches_from_csv(

@@ -297,3 +297,45 @@ def with_frame_shuffle(
         perm = np.tile(np.arange(6, dtype=np.int32), (n, 1))
         perm = rng.permuted(perm, axis=1)
         yield {**batch, "frame_perm": perm}
+
+
+def class_frequency_bias(path: str | Path, kind: str = "softmax",
+                         label_map: list | None = None) -> np.ndarray:
+    """Final-layer bias from training label frequencies.
+
+    Parity: reference ``nnlib/builder.py:896-950`` (``_get_bias``) —
+    softmax: ``log(f / sum f)``; sigmoid: ``log(p/(1-p))`` over
+    {negative, positive} counts. Accepts a ``label,sequence`` CSV or a
+    converter NPZ; ``label_map`` (old-label -> new-label list) merges
+    counts like the reference's ``_correct_label_map``.
+    """
+    path = str(path)
+    if path.endswith(".npz"):
+        data = load_npz_dataset(path)
+        labels = np.asarray(data["labels"]).reshape(-1).astype(np.int64)
+        uniq, counts_arr = np.unique(labels, return_counts=True)
+        counts = {int(k): int(v) for k, v in zip(uniq, counts_arr)}
+    else:
+        counts = {}
+        with open(path) as fh:
+            for line in fh:
+                first = line.split(",", 1)[0]
+                try:
+                    counts[int(first)] = counts.get(int(first), 0) + 1
+                except ValueError:
+                    continue
+    if label_map:
+        merged = {i: 0 for i in range(max(label_map) + 1)}
+        for k, v in counts.items():
+            if k < len(label_map):
+                merged[label_map[k]] += v
+        counts = merged
+    freq = np.array([counts.get(i, 0) for i in range(max(counts) + 1)],
+                    dtype=np.float64)
+    freq = np.maximum(freq, 1e-12)
+    if kind == "sigmoid":
+        if freq.size != 2:
+            raise ValueError("sigmoid bias needs {negative, positive} counts")
+        p = freq[1] / freq.sum()
+        return np.array([np.log(p / (1 - p))], dtype=np.float32)
+    return np.log(freq / freq.sum()).astype(np.float32)

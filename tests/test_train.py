@@ -402,3 +402,52 @@ def test_label_smoothing():
     ys = y * 0.9 + 0.1 / 3
     expect = float(-(ys * logp).sum(-1).mean())
     assert smooth == pytest.approx(expect, rel=1e-6)
+
+
+def test_class_frequency_bias_init(tmp_path, rng):
+    """bias_initializer: calculate_from_data sets the head bias to the
+    label-frequency log-prior (reference nnlib/builder.py:896-950)."""
+    import numpy as np
+    import yaml
+
+    from jaeger_tpu.commands.train import train_fragment_core
+    from jaeger_tpu.train.data import class_frequency_bias
+
+    from tests.test_resume_e2e import _write_fixture
+
+    cfg_path = _write_fixture(tmp_path, rng)
+    cfg = yaml.safe_load(cfg_path.read_text())
+    cfg["model"]["classifier"]["hidden_layers"][-1]["config"][
+        "bias_initializer"] = "calculate_from_data"
+    cfg["training"]["classifier_epochs"] = 0  # init only, no training
+    cfg_path.write_text(yaml.safe_dump(cfg, sort_keys=False))
+
+    # imbalanced data: 60/20/10
+    csv = tmp_path / "train.csv"
+    lines = csv.read_text().splitlines()
+    rows = [ln for ln in lines if ln[0] == "0"][:30]
+    rows += [ln for ln in lines if ln[0] == "1"][:20]
+    rows += [ln for ln in lines if ln[0] == "2"][:10]
+    csv.write_text("\n".join(rows) + "\n")
+
+    expect = class_frequency_bias(csv, kind="softmax",
+                                  label_map=[0, 1, 2])
+    np.testing.assert_allclose(
+        expect, np.log(np.array([30, 20, 10]) / 60), rtol=1e-6)
+
+    out = tmp_path / "bias_model"
+    r = train_fragment_core(str(cfg_path), output_dir=str(out),
+                            use_mesh=False, save=False)
+    # with 0 epochs the saved-state path is skipped; check via a fresh
+    # run's variables by re-invoking the private hook
+    from jaeger_tpu.commands.train import _apply_frequency_biases
+    from jaeger_tpu.models.builder import ModelBuilder
+
+    b = ModelBuilder(cfg)
+    _, variables = b.init()
+    v2 = _apply_frequency_biases(
+        cfg, variables, [str(csv)], cfg["training"],
+        cfg["model"]["string_processor"])
+    np.testing.assert_allclose(
+        np.asarray(v2["params"]["classifier"]["dense_0"]["bias"]),
+        expect, rtol=1e-6)
