@@ -224,7 +224,8 @@ def ensure_save_path_available(path, force: bool = False,
         raise SystemExit(1)
 
 
-def _apply_frequency_biases(config, variables, train_paths, train_cfg, sp):
+def _apply_frequency_biases(config, variables, train_paths, train_cfg, sp,
+                            reliability_paths=None, branches=None):
     """Initialize configured dense biases from training label counts.
 
     Parity: reference ``nnlib/builder.py:1040-1072`` — a layer config
@@ -237,11 +238,20 @@ def _apply_frequency_biases(config, variables, train_paths, train_cfg, sp):
     from jaeger_tpu.train.data import class_frequency_bias
 
     model_cfg = config.get("model", {})
-    targets = []  # (branch params key, lname, kind, label_map)
+    targets = []  # (branch params key, lname, kind, label_map, paths)
     for branch, loss_key, map_kind in (
         ("classifier", "loss_classifier", "classifier"),
         ("reliability_model", "loss_reliability", "reliability"),
     ):
+        if branches is not None and branch not in branches:
+            continue
+        # reliability biases come from the reliability dataset's label
+        # frequencies (reference _set_reliability_bias), not the
+        # fragment data
+        branch_paths = (
+            reliability_paths if branch == "reliability_model"
+            else train_paths
+        ) or []
         bcfg = model_cfg.get(branch) or {}
         for i, entry in enumerate(bcfg.get("hidden_layers", [])):
             init = str((entry.get("config") or {}).get(
@@ -252,8 +262,11 @@ def _apply_frequency_biases(config, variables, train_paths, train_cfg, sp):
             kind = "sigmoid" if "binary" in loss_name else "softmax"
             key = "classifier" if branch == "classifier" else "reliability"
             lmap = sp.get(f"{map_kind}_labels_map") or []
-            targets.append((key, f"{entry.get('name')}_{i}", kind, lmap))
-    if not targets or not train_paths:
+            if not branch_paths:
+                continue
+            targets.append((key, f"{entry.get('name')}_{i}", kind, lmap,
+                            branch_paths))
+    if not targets:
         return variables
 
     variables = jax.tree_util.tree_map(lambda x: x, variables)
@@ -263,13 +276,13 @@ def _apply_frequency_biases(config, variables, train_paths, train_cfg, sp):
             d, "items") else d
 
     variables = to_mutable(variables)
-    for key, lname, kind, lmap in targets:
+    for key, lname, kind, lmap, branch_paths in targets:
         node = variables["params"].get(key, {}).get(lname)
         if node is None or "bias" not in node:
             logger.warning(f"bias_initializer target {key}/{lname} "
                            f"not found; skipping")
             continue
-        bias = class_frequency_bias(train_paths[-1], kind=kind,
+        bias = class_frequency_bias(branch_paths[-1], kind=kind,
                                     label_map=list(lmap))
         want = np.asarray(node["bias"]).shape[0]
         if bias.shape[0] != want:
@@ -281,7 +294,7 @@ def _apply_frequency_biases(config, variables, train_paths, train_cfg, sp):
             continue
         node["bias"] = jnp.asarray(bias, jnp.float32)
         logger.info(f"initialized {key}/{lname} bias from label "
-                    f"frequencies of {train_paths[-1]}")
+                    f"frequencies of {branch_paths[-1]}")
     return variables
 
 
@@ -353,7 +366,8 @@ def train_fragment_core(
     label_map = _label_map(sp)
 
     variables = _apply_frequency_biases(
-        config, variables, train_paths, train_cfg, sp
+        config, variables, train_paths, train_cfg, sp,
+        branches=("classifier",),
     )
 
     def csv_batches(paths_, epoch_seed, repeat=True):
@@ -573,6 +587,14 @@ def train_fragment_core(
             )
         rel_train = rel_paths.get("train", {}).get("paths", [])
         rel_val = rel_paths.get("validation", {}).get("paths", [])
+        # (re)apply the reliability head's frequency bias now that its
+        # data exists — covers --generate_reliability_data runs
+        # (reference _set_reliability_bias, nnlib/builder.py:952-990)
+        variables = _apply_frequency_biases(
+            config, variables, train_paths, train_cfg, sp,
+            reliability_paths=rel_train,
+            branches=("reliability_model",),
+        )
         if rel_train:
             logger.info("training reliability branch (rep+classifier frozen)")
             tx = make_optimizer(
