@@ -90,3 +90,43 @@ def test_benchmark_sweep_discovery(tmp_path, rng):
     name, bdir, val = found[0]
     assert name == "experiment_tiny_200bp_trans"
     assert val.name == "val_shuffled_translated_200.npz"
+
+
+def test_plot_benchmark_results_renders(tmp_path):
+    """plot_benchmark_results writes figures from a sweep CSV."""
+    import importlib.util
+    from pathlib import Path
+
+    import numpy as np
+
+    spec = importlib.util.spec_from_file_location(
+        "pbr",
+        Path(__file__).resolve().parent.parent
+        / "scripts" / "plot_benchmark_results.py",
+    )
+    pbr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pbr)
+
+    import pandas as pd
+
+    cm_path = tmp_path / "exp_cm.npy"
+    np.save(cm_path, np.array([[5, 1], [2, 7]]))
+    metrics = pd.DataFrame([
+        {"overall_accuracy": 0.8, "macro_f1": 0.75, "f1_class_0": 0.7,
+         "f1_class_1": 0.8, "length_bp": "500", "input_type": "translated",
+         "experiment": "exp", "cm_path": str(cm_path)},
+        {"overall_accuracy": 0.9, "macro_f1": 0.85, "f1_class_0": 0.9,
+         "f1_class_1": 0.8, "length_bp": "1000",
+         "input_type": "translated", "experiment": "exp2",
+         "cm_path": str(cm_path)},
+    ])
+    out = tmp_path / "figs"
+    out.mkdir()
+    pbr.plot_f1_per_class(metrics, out)
+    pbr.plot_accuracy_vs_length(metrics, out)
+    pbr.plot_confusions(metrics, out)
+    names = {p.name for p in out.glob("*.png")}
+    assert "f1_per_class_bar.png" in names
+    assert "accuracy_vs_length.png" in names
+    assert "exp_cm.png" in names
+    assert all(p.stat().st_size > 1000 for p in out.glob("*.png"))
