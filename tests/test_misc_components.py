@@ -203,3 +203,32 @@ def test_vitra_forward():
     out = m.apply(v, toks, train=False)
     assert out["output"].shape == (2, 4)
     assert np.isfinite(np.asarray(out["output"])).all()
+
+
+def test_wheel_packages_data_and_native_source(tmp_path):
+    """Wheel build includes bundled data, models, and the C++ source
+    (role parity: reference test_pyproject wheel-content checks)."""
+    import subprocess
+    import sys
+    import zipfile
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    res = subprocess.run(
+        [sys.executable, "-m", "pip", "wheel", "--no-deps",
+         "--no-build-isolation", "-w", str(tmp_path), str(repo)],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    whl = next(tmp_path.glob("jaeger_tpu-*.whl"))
+    names = set(zipfile.ZipFile(whl).namelist())
+    for probe in (
+        "jaeger_tpu/data/test/test_contigs.fasta",
+        "jaeger_tpu/data/models/demo/params.msgpack",
+        "jaeger_tpu/data/models/default/WRes_1024.h5",
+        "jaeger_tpu/native/jaeger_host.cpp",
+        "jaeger_tpu/cli.py",
+    ):
+        assert probe in names, probe
+    # the prebuilt .so must NOT ship (rebuilt per host)
+    assert not any(n.endswith(".so") for n in names)
