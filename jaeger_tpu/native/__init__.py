@@ -22,11 +22,24 @@ _LIB: ctypes.CDLL | None = None
 _TRIED = False
 
 
-def _build() -> bool:
+def _cache_so() -> Path:
+    """Per-user fallback build location for read-only installs
+    (site-packages from a wheel is often not writable)."""
+    import hashlib
+    import os
+
+    root = Path(os.environ.get("XDG_CACHE_HOME",
+                               Path.home() / ".cache")) / "jaeger_tpu"
+    tag = hashlib.sha1(_SRC.read_bytes()).hexdigest()[:12]
+    return root / f"libjaeger_host-{tag}.so"
+
+
+def _build(target: Path) -> bool:
     try:
+        target.parent.mkdir(parents=True, exist_ok=True)
         cmd = [
             "g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
-            str(_SRC), "-o", str(_SO), "-lz",
+            str(_SRC), "-o", str(target), "-lz",
         ]
         result = subprocess.run(cmd, capture_output=True, text=True,
                                 timeout=120)
@@ -44,11 +57,16 @@ def _load() -> ctypes.CDLL | None:
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
-        if not _build():
-            return None
+    so = _SO
+    if not so.exists() or so.stat().st_mtime < _SRC.stat().st_mtime:
+        if not _build(so):
+            # read-only install: retry in the user cache (content-hashed,
+            # so a new source version rebuilds automatically)
+            so = _cache_so()
+            if not so.exists() and not _build(so):
+                return None
     try:
-        lib = ctypes.CDLL(str(_SO))
+        lib = ctypes.CDLL(str(so))
     except OSError as e:
         logger.debug(f"native load failed: {e}")
         return None

@@ -100,3 +100,32 @@ def test_composition_speed_sanity(random_dna):
     t0 = time.time()
     native.dust_intervals_native(s)
     assert time.time() - t0 < 2.0
+
+
+def test_cache_fallback_when_package_dir_unwritable(monkeypatch, tmp_path):
+    """Read-only installs build the native lib into the user cache."""
+    import importlib
+
+    import jaeger_tpu.native as n
+
+    n = importlib.reload(n)
+    real_build = n._build
+    calls = []
+
+    def fake_build(target):
+        calls.append(target)
+        if target == n._SO:          # package dir "unwritable"
+            return False
+        return real_build(target)
+
+    monkeypatch.setattr(n, "_build", fake_build)
+    monkeypatch.setattr(n, "_SO", tmp_path / "never_exists.so")
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "cache"))
+    # force a fresh load
+    monkeypatch.setattr(n, "_LIB", None)
+    monkeypatch.setattr(n, "_TRIED", False)
+    lib = n._load()
+    assert lib is not None
+    cached = list((tmp_path / "cache" / "jaeger_tpu").glob("*.so"))
+    assert len(cached) == 1
+    importlib.reload(n)  # restore pristine module state for other tests
