@@ -536,13 +536,27 @@ def list_models(registry):
 
 
 @main.command()
-@click.argument("url")
+@click.argument("url", required=False)
 @click.option("-d", "--dest", default="models", show_default=True)
 @click.option("--registry", default=None, type=click.Path())
-def download(url, dest, registry):
-    """Download and register a model archive (requires network access)."""
-    from jaeger_tpu.utils.registry import download_models
+@click.option("--list", "list_catalog", is_flag=True, default=False,
+              help="List downloadable models from the published catalog.")
+def download(url, dest, registry, list_catalog):
+    """Download and register a model archive (requires network access).
 
+    With --list, query the CKAN model catalog instead (reference
+    commands/downloads.py)."""
+    from jaeger_tpu.utils.registry import download_models, list_model_catalog
+
+    if list_catalog:
+        try:
+            for name, link in sorted(list_model_catalog().items()):
+                click.echo(f"{name}\t{link}")
+        except (ConnectionError, ValueError) as e:
+            raise click.ClickException(str(e))
+        return
+    if not url:
+        raise click.UsageError("provide a URL, or --list for the catalog")
     try:
         registered = download_models(url, dest, registry)
         click.echo(f"registered {len(registered)} model(s)")

@@ -121,3 +121,50 @@ def download_models(url: str, dest_dir: str | Path,
             add_to_registry(bundle.parent, registry_path)
             registered.append(str(bundle.parent))
     return registered
+
+
+#: CKAN catalog the reference publishes models through
+#: (``commands/downloads.py:7-8``)
+CKAN_API_URL = (
+    "https://ckan.fdm.uni-greifswald.de/api/3/action/package_search"
+)
+CKAN_QUERY = "jaeger"
+
+
+def list_model_catalog(api_url: str = CKAN_API_URL,
+                       query: str = CKAN_QUERY,
+                       timeout: float = 15.0) -> dict[str, str]:
+    """Query the CKAN catalog for downloadable model archives.
+
+    Parity: reference ``commands/downloads.py:12-49``
+    (``list_ckan_model_download_links``) — returns {model_name: url}.
+    Raises ``ConnectionError`` with a readable message when the network
+    is unreachable (air-gapped clusters).
+    """
+    import json
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    full = f"{api_url}?{urllib.parse.urlencode({'q': query})}"
+    try:
+        with urllib.request.urlopen(full, timeout=timeout) as resp:  # noqa: S310
+            result = json.load(resp)
+    except (urllib.error.URLError, OSError, TimeoutError) as e:
+        raise ConnectionError(
+            f"model catalog unreachable ({e}); on air-gapped systems "
+            f"download archives elsewhere and pass their path/URL to "
+            f"`jaeger-tpu download`"
+        ) from e
+    if not result.get("success", False):
+        raise ValueError("catalog API returned an unsuccessful response")
+    links: dict[str, str] = {}
+    for dataset in result.get("result", {}).get("results", []):
+        for res in dataset.get("resources", []):
+            name = res.get("name") or res.get("id", "model")
+            url = res.get("url")
+            if url:
+                links[str(name)] = str(url)
+    if not links:
+        raise ValueError(f"no models found for query {query!r}")
+    return links

@@ -232,3 +232,47 @@ def test_wheel_packages_data_and_native_source(tmp_path):
         assert probe in names, probe
     # the prebuilt .so must NOT ship (rebuilt per host)
     assert not any(n.endswith(".so") for n in names)
+
+
+def test_model_catalog_parsing(monkeypatch):
+    """CKAN catalog response -> {name: url} (reference downloads.py)."""
+    import io
+    import json
+    import urllib.request
+
+    import pytest
+
+    from jaeger_tpu.utils import registry
+
+    payload = {
+        "success": True,
+        "result": {"results": [
+            {"resources": [
+                {"name": "jaeger_1.4M_fragment", "url": "https://x/a.tar.gz"},
+                {"name": "jaeger_1.9M_fragment", "url": "https://x/b.tar.gz"},
+                {"id": "no-url-resource"},
+            ]},
+        ]},
+    }
+
+    class FakeResp(io.BytesIO):
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def fake_urlopen(url, timeout=None):
+        assert "package_search" in url and "q=jaeger" in url
+        return FakeResp(json.dumps(payload).encode())
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    links = registry.list_model_catalog()
+    assert links == {"jaeger_1.4M_fragment": "https://x/a.tar.gz",
+                     "jaeger_1.9M_fragment": "https://x/b.tar.gz"}
+
+    monkeypatch.setattr(
+        urllib.request, "urlopen",
+        lambda *a, **k: (_ for _ in ()).throw(OSError("no network")))
+    with pytest.raises(ConnectionError, match="air-gapped"):
+        registry.list_model_catalog()
