@@ -168,7 +168,9 @@ def run_core(
     input_path = Path(input_path)
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
-    existing = output_dir / f"{input_path.stem}_default_jaeger.tsv"
+    from jaeger_tpu.seqops.fasta import fasta_stem
+
+    existing = output_dir / f"{fasta_stem(input_path)}_default_jaeger.tsv"
     if existing.exists() and not overwrite:
         # reference commands/predict.py:574-577: refuse to overwrite a
         # previous run's summary unless -f/--overwrite is passed
@@ -300,7 +302,8 @@ def run_core(
         else:
             logger.warning(f"no refinement calibration at {refine_path}")
 
-    stem = input_path.stem
+    from jaeger_tpu.seqops.fasta import fasta_stem
+    stem = fasta_stem(input_path)
     table = output_dir / f"{stem}_default_jaeger.tsv"
     phage_table = output_dir / f"{stem}_default_phages_jaeger.tsv"
     n = collect.write_output(

@@ -126,7 +126,8 @@ def run_core(
         num_classes=len(LEGACY_LABELS), reliability=reliability,
         class_names=LEGACY_LABELS,
     )
-    stem = input_path.stem
+    from jaeger_tpu.seqops.fasta import fasta_stem
+    stem = fasta_stem(input_path)
     table = output_dir / f"{stem}_default_jaeger.tsv"
     phage_table = output_dir / f"{stem}_default_phages_jaeger.tsv"
     n = collect.write_output(

@@ -112,3 +112,16 @@ def split_fasta(path: str | os.PathLike, output_dir: str | os.PathLike,
         else:
             kept.append(p)
     return kept
+
+
+def fasta_stem(path) -> str:
+    """Base name with FASTA extensions stripped (handles ``.fasta.gz``)."""
+    from pathlib import Path
+
+    name = Path(path).name
+    if name.endswith(".gz"):
+        name = name[:-3]
+    for ext in (".fasta", ".fa", ".fna", ".ffn", ".frn"):
+        if name.endswith(ext):
+            return name[: -len(ext)]
+    return Path(name).stem

@@ -184,3 +184,27 @@ def test_predict_overwrite_guard(tmp_path, rng, model_bundle):
     with pytest.raises(SystemExit):
         run_core(**kwargs)
     run_core(**kwargs, overwrite=True)
+
+
+def test_predict_gzip_matches_plain(tmp_path, rng, model_bundle):
+    """Gzipped FASTA input: same predictions, clean output stem."""
+    import gzip
+
+    import pandas as pd
+
+    from jaeger_tpu.commands.predict import run_core
+
+    fasta = _fasta(tmp_path, rng, [900, 600], name="gz.fasta")
+    gz = tmp_path / "gz.fasta.gz"
+    gz.write_bytes(gzip.compress(fasta.read_bytes()))
+
+    t1 = run_core(input_path=str(fasta), output_dir=str(tmp_path / "a"),
+                  model_path=str(model_bundle), fsize=400, stride=400,
+                  batch=8, scan_termini=False)
+    t2 = run_core(input_path=str(gz), output_dir=str(tmp_path / "b"),
+                  model_path=str(model_bundle), fsize=400, stride=400,
+                  batch=8, scan_termini=False)
+    assert t2.name == "gz_default_jaeger.tsv"  # .fasta.gz fully stripped
+    a = pd.read_table(t1).drop(columns=["terminal_repeats"], errors="ignore")
+    b = pd.read_table(t2).drop(columns=["terminal_repeats"], errors="ignore")
+    pd.testing.assert_frame_equal(a, b)
