@@ -46,7 +46,7 @@ def main(verbose: int) -> None:
 
 @main.command()
 @click.option("-i", "--input", "input_path", required=True,
-              type=click.Path(exists=True))
+              type=click.Path(exists=True, dir_okay=False))
 @click.option("-o", "--output", "output_dir", required=True, type=click.Path())
 @click.option("-m", "--model", "model_path", default=None,
               help="Model bundle path or registered model name "
@@ -125,7 +125,7 @@ def predict(input_path, output_dir, model_path, fsize, stride, batch,
 
 @main.command("predict-legacy")
 @click.option("-i", "--input", "input_path", required=True,
-              type=click.Path(exists=True))
+              type=click.Path(exists=True, dir_okay=False))
 @click.option("-o", "--output", "output_dir", required=True,
               type=click.Path())
 @click.option("-m", "--model-dir", default=None, type=click.Path(),
@@ -248,7 +248,7 @@ def utils() -> None:
 
 @utils.command("optimize-data")
 @click.option("-i", "--input", "input_path", required=True,
-              type=click.Path(exists=True))
+              type=click.Path(exists=True, dir_okay=False))
 @click.option("-o", "--output", "output_path", required=True,
               type=click.Path())
 @click.option("--format", "fmt", default="translated", show_default=True,
@@ -281,7 +281,7 @@ def optimize_data(input_path, output_path, fmt, crop_size, stride, one_hot,
 
 @utils.command()
 @click.option("-i", "--input", "input_path", required=True,
-              type=click.Path(exists=True))
+              type=click.Path(exists=True, dir_okay=False))
 @click.option("-o", "--output", "output_path", required=True)
 @click.option("--fsize", default=2000, show_default=True)
 @click.option("--stride", default=None, type=int)
@@ -298,7 +298,7 @@ def fragment(input_path, output_path, fsize, stride, min_len, label):
 
 @utils.command()
 @click.option("-i", "--input", "input_path", required=True,
-              type=click.Path(exists=True))
+              type=click.Path(exists=True, dir_okay=False))
 @click.option("-o", "--output", "output_path", required=True)
 @click.option("--minperc", default=0.0, show_default=True)
 @click.option("--maxperc", default=1.0, show_default=True)
@@ -316,7 +316,7 @@ def mask(input_path, output_path, minperc, maxperc, step, mutate):
 
 @utils.command()
 @click.option("-i", "--input", "input_path", required=True,
-              type=click.Path(exists=True))
+              type=click.Path(exists=True, dir_okay=False))
 @click.option("-o", "--output", "output_path", required=True)
 @click.option("--itype", required=True,
               type=click.Choice(["CSV", "FASTA"], case_sensitive=False))
@@ -330,7 +330,7 @@ def convert(input_path, output_path, itype):
 
 @utils.command()
 @click.option("-i", "--input", "input_path", required=True,
-              type=click.Path(exists=True))
+              type=click.Path(exists=True, dir_okay=False))
 def stats(input_path):
     """Summary statistics for a prediction TSV."""
     import json
@@ -342,7 +342,7 @@ def stats(input_path):
 
 @utils.command("split")
 @click.option("-i", "--input", "input_path", required=True,
-              type=click.Path(exists=True))
+              type=click.Path(exists=True, dir_okay=False))
 @click.option("-o", "--output", "output_path", required=True)
 @click.option("--minlen", default=2000, show_default=True)
 @click.option("--maxlen", default=5000, show_default=True)
@@ -365,7 +365,7 @@ def split_cmd(input_path, output_path, minlen, maxlen, overlap, coverage,
 
 @utils.command("ood-data")
 @click.option("-i", "--input", "input_path", required=True,
-              type=click.Path(exists=True))
+              type=click.Path(exists=True, dir_okay=False))
 @click.option("-o", "--output", "output_path", required=True)
 @click.option("--method", default="dinuc", show_default=True,
               type=click.Choice(["dinuc", "kmer", "random"]))
@@ -569,7 +569,7 @@ def download(url, dest, registry, list_catalog):
 
 @utils.command("dataset")
 @click.option("-i", "--input", "input_path", required=True,
-              type=click.Path(exists=True))
+              type=click.Path(exists=True, dir_okay=False))
 @click.option("-o", "--out-prefix", "out_prefix", required=True)
 @click.option("--frag-len", default=2048, show_default=True)
 @click.option("--overlap", default=1024, show_default=True)
