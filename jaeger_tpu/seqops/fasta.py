@@ -68,7 +68,14 @@ def validate_fasta_entries(path: str | os.PathLike, min_len: int = 2048) -> int:
     Parity with reference ``seqops/io.py:296-312`` — raises when every
     record is shorter than ``min_len``; returns the total record count.
     """
-    total, above = count_fasta(path, min_len)
+    try:
+        total, above = count_fasta(path, min_len)
+    except UnicodeDecodeError as e:
+        raise ValueError(
+            f"{path} is not a FASTA file (binary/non-ASCII content)"
+        ) from e
+    if total == 0:
+        raise ValueError(f"{path} contains no FASTA records")
     if above == 0:
         raise ValueError(f"all records in {path} are < {min_len}bp")
     return total
