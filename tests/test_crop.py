@@ -42,3 +42,32 @@ def test_resolve_crop():
         crop.resolve_crop({"crop_size": -1})
     with pytest.raises(ValueError):
         crop.resolve_crop({"crop_size": 10, "crop_units": "bogus"})
+
+
+def test_fasta_validation_errors(tmp_path):
+    """Non-FASTA inputs fail with specific messages; fasta_stem strips
+    compound extensions."""
+    import pytest
+
+    from jaeger_tpu.seqops.fasta import fasta_stem, validate_fasta_entries
+
+    binary = tmp_path / "x.bin"
+    binary.write_bytes(bytes(range(200, 256)) * 10)
+    with pytest.raises(ValueError, match="not a FASTA"):
+        validate_fasta_entries(binary, min_len=10)
+
+    headerless = tmp_path / "x.txt"
+    headerless.write_text("no header\nACGT\n")
+    with pytest.raises(ValueError, match="no FASTA records"):
+        validate_fasta_entries(headerless, min_len=10)
+
+    short = tmp_path / "s.fasta"
+    short.write_text(">a\nACGT\n")
+    with pytest.raises(ValueError, match="< 100bp"):
+        validate_fasta_entries(short, min_len=100)
+
+    assert fasta_stem("dir/in.fasta.gz") == "in"
+    assert fasta_stem("in.fa") == "in"
+    assert fasta_stem("in.fna.gz") == "in"
+    assert fasta_stem("reads.txt") == "reads"
+    assert fasta_stem("v1.2.fasta") == "v1.2"
