@@ -208,3 +208,43 @@ def test_predict_gzip_matches_plain(tmp_path, rng, model_bundle):
     a = pd.read_table(t1).drop(columns=["terminal_repeats"], errors="ignore")
     b = pd.read_table(t2).drop(columns=["terminal_repeats"], errors="ignore")
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_sharded_predict_matches_single(tmp_path, rng, model_bundle):
+    """Two-host contig-sharded predict (the slurm recipe flow) merges to
+    the same rows as a single-host run."""
+    import shutil
+
+    import pandas as pd
+
+    from jaeger_tpu.commands.predict import run_core
+    from jaeger_tpu.parallel.multihost import (
+        filter_contigs_for_host, merge_output_shards, shard_path,
+    )
+    from jaeger_tpu.seqops.fasta import read_fasta, write_fasta
+
+    fasta = _fasta(tmp_path, rng, [900, 700, 650, 1200], name="mh.fasta")
+    single = run_core(input_path=str(fasta), output_dir=str(tmp_path / "s"),
+                      model_path=str(model_bundle), fsize=400, stride=400,
+                      batch=8, scan_termini=False)
+
+    n_hosts = 2
+    base = tmp_path / "m" / "mh_default_jaeger.tsv"
+    (tmp_path / "m").mkdir()
+    for host in range(n_hosts):
+        part = tmp_path / f"part{host}.fasta"
+        records = list(
+            filter_contigs_for_host(read_fasta(fasta), host, n_hosts))
+        if not records:
+            continue  # a host may own no contigs; merge skips its shard
+        write_fasta(records, part)
+        out = run_core(input_path=str(part),
+                       output_dir=str(tmp_path / f"h{host}"),
+                       model_path=str(model_bundle), fsize=400, stride=400,
+                       batch=8, scan_termini=False)
+        shutil.copy(out, shard_path(base, host))
+    merged = merge_output_shards(base, n_hosts)
+
+    a = pd.read_table(single).sort_values("contig_id").reset_index(drop=True)
+    b = pd.read_table(merged).sort_values("contig_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
