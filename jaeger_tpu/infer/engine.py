@@ -226,7 +226,13 @@ class InferenceEngine:
                     ln = np.pad(ln, (0, pad))
                     contig = np.pad(contig, (0, pad),
                                     constant_values=contig[-1])
-                seg_local = (contig - contig[0]).astype(np.int32)
+                # Densify segment ids: global contig indices have gaps
+                # (sub-min_len contigs consume header slots, windows.py),
+                # so ``contig - contig[0]`` can exceed num_segments=bs and
+                # segment_sum would silently drop those windows. Unique
+                # ids per device batch are always <= bs.
+                uniq, seg_local = np.unique(contig, return_inverse=True)
+                seg_local = seg_local.astype(np.int32)
                 valid = np.zeros(bs, bool)
                 valid[:n_valid] = True
                 fn = self._get_reduced_fn((bs, b.shape[1]),
@@ -236,7 +242,8 @@ class InferenceEngine:
                 )
                 partial = fn(self.variables, payload, jnp.asarray(ln),
                              jnp.asarray(seg_local), jnp.asarray(valid))
-                seg_to_contig = np.arange(bs, dtype=np.int64) + contig[0]
+                seg_to_contig = np.full(bs, uniq[-1], dtype=np.int64)
+                seg_to_contig[: uniq.size] = uniq
                 in_flight.append(
                     (partial, seg_to_contig, contig[:n_valid])
                 )

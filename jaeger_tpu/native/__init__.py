@@ -151,9 +151,14 @@ def dust_intervals_native(seq: str, window: int = 64,
         raise RuntimeError("native library unavailable")
     raw = seq.encode("ascii")
     cap = max(1024, len(seq) // 16)
-    buf = (ctypes.c_long * (cap * 2))()
-    n = lib.jt_sdust(raw, len(raw), window, threshold, buf, cap)
-    return [(buf[2 * i], buf[2 * i + 1]) for i in range(n)]
+    while True:
+        buf = (ctypes.c_long * (cap * 2))()
+        # returns the TOTAL interval count; > cap means the buffer was
+        # too small and only cap pairs were written — retry larger
+        n = lib.jt_sdust(raw, len(raw), window, threshold, buf, cap)
+        if n <= cap:
+            return [(buf[2 * i], buf[2 * i + 1]) for i in range(n)]
+        cap = n
 
 
 def dust_mask_native(seq: str, window: int = 64, threshold: int = 20) -> str:

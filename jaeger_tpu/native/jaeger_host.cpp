@@ -242,10 +242,9 @@ static void sdust_run(const uint8_t* codes, long n, int W, int T,
     }
 }
 
-// Fills out with (start, end) half-open pairs; returns interval count
-// (clamped to cap pairs).
-long jt_sdust(const char* seq, long len, int window, int threshold,
-              long* out, long cap) {
+// All (start, end) half-open pairs for a sequence, uncapped.
+static void sdust_all(const char* seq, long len, int window, int threshold,
+                      std::vector<long>& intervals) {
     static int8_t BCODE[256];
     static bool binit = [] {
         memset(BCODE, -1, sizeof(BCODE));
@@ -257,7 +256,6 @@ long jt_sdust(const char* seq, long len, int window, int threshold,
     }();
     (void)binit;
 
-    std::vector<long> intervals;
     std::vector<uint8_t> codes;
     long run_start = -1;
     for (long pos = 0; pos <= len; ++pos) {
@@ -274,16 +272,27 @@ long jt_sdust(const char* seq, long len, int window, int threshold,
             codes.push_back((uint8_t)code);
         }
     }
+}
+
+// Fills out with (start, end) half-open pairs; returns the TOTAL interval
+// count (may exceed cap; only cap pairs are written — callers retry with
+// a bigger buffer when the return value is > cap).
+long jt_sdust(const char* seq, long len, int window, int threshold,
+              long* out, long cap) {
+    std::vector<long> intervals;
+    sdust_all(seq, len, window, threshold, intervals);
     long n_pairs = (long)intervals.size() / 2;
-    if (n_pairs > cap) n_pairs = cap;
-    memcpy(out, intervals.data(), n_pairs * 2 * sizeof(long));
+    long n_copy = n_pairs > cap ? cap : n_pairs;
+    memcpy(out, intervals.data(), n_copy * 2 * sizeof(long));
     return n_pairs;
 }
 
-// Soft-mask in place: lowercase masked ranges. Returns interval count.
+// Soft-mask in place: lowercase masked ranges (uncapped — parity with the
+// pure-Python dust_mask fallback). Returns interval count.
 long jt_dust_mask(char* seq, long len, int window, int threshold) {
-    std::vector<long> iv(2048 * 2);
-    long n = jt_sdust(seq, len, window, threshold, iv.data(), 2048);
+    std::vector<long> iv;
+    sdust_all(seq, len, window, threshold, iv);
+    long n = (long)iv.size() / 2;
     for (long i = 0; i < n; ++i) {
         for (long p = iv[2 * i]; p < iv[2 * i + 1]; ++p) {
             char c = seq[p];

@@ -132,6 +132,13 @@ def reduce_windows(
         prophage_contam = (pred_sum[:, 1] < pred_var[:, 1]) & (consensus == 0)
         host_contam = (pred_sum[:, 1] < pred_var[:, 1]) & (consensus == 1)
     else:
+        # Intentional divergence from the reference (collect.py:360):
+        # the reference feeds RAW logits into binary_entropy, whose
+        # [eps, 1-eps] clip treats them as probabilities — any logit
+        # outside (0, 1) collapses to ~0 entropy. We apply sigmoid first
+        # so the column is the actual Bernoulli entropy of the window
+        # probability. Pinned by tests/test_postprocess.py
+        # (test_binary_entropy_uses_sigmoid_probabilities).
         entropy_pred = [H.binary_entropy(H.sigmoid(p)) for p in predictions]
         energy_pred = [H.energy(p) for p in predictions]
         consensus = np.array([H.sigmoid(p) for p in pred_sum])

@@ -115,3 +115,55 @@ def test_fast_path_matches_full(tmp_path, rng):
     df1, df2 = pd.read_table(t1), pd.read_table(t2)
     assert list(df1["prediction"]) == list(df2["prediction"])
     assert list(df1["window_summary"]) == list(df2["window_summary"])
+
+
+def test_fast_path_contig_id_gaps_exceeding_batch(tmp_path, rng):
+    """Regression: global contig indices with gaps wider than batch_size.
+
+    Sub-min_len contigs still consume header slots (windows.py), so the
+    contig-id span inside one device batch can exceed num_segments when
+    many short contigs sit between two windowed ones. The old
+    ``contig - contig[0]`` segment ids silently dropped those windows.
+    """
+    p = tmp_path / "gappy.fasta"
+    with open(p, "w") as fh:
+        seq = "".join(rng.choice(list("ATGC"), size=900))
+        fh.write(f">first\n{seq}\n")
+        for i in range(20):  # 20 skipped contigs > batch_size=8
+            fh.write(f">tiny{i}\n{'ATGC' * 10}\n")
+        seq = "".join(rng.choice(list("ATGC"), size=1300))
+        fh.write(f">last\n{seq}\n")
+    fasta = str(p)
+
+    b = ModelBuilder(CONFIG)
+    model, variables = b.init()
+    engine = InferenceEngine(model, variables, batch_size=8)
+
+    full_out, kept_full = engine.predict_batches(
+        window_batches(fasta, fragsize=400, stride=400, min_len=300)
+    )
+    meta_full = collect.PredictionMeta.from_batches(kept_full)
+    data_full, _ = collect.reduce_windows(
+        full_out["prediction"], meta_full, fsize=400, num_classes=3,
+        reliability=full_out.get("reliability"),
+        class_names=["chromosome", "phage", "plasmid"],
+    )
+
+    stats, kept_fast = engine.predict_batches_reduced(
+        window_batches(fasta, fragsize=400, stride=400, min_len=300),
+        num_classes=3, with_reliability=True,
+    )
+    meta_fast = collect.PredictionMeta.from_batches(kept_fast)
+    data_fast = collect.data_from_device_stats(
+        stats, meta_fast, fsize=400, num_classes=3, with_reliability=True,
+    )
+
+    np.testing.assert_array_equal(data_fast["headers"],
+                                  data_full["headers"])
+    assert list(data_fast["headers"]) == ["first", "last"]
+    np.testing.assert_array_equal(data_fast["consensus"],
+                                  data_full["consensus"])
+    assert data_fast["per_class_counts"] == data_full["per_class_counts"]
+    for fp_fast, fp_full in zip(data_fast["frag_pred"],
+                                data_full["frag_pred"]):
+        np.testing.assert_array_equal(fp_fast, fp_full)

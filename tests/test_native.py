@@ -70,6 +70,31 @@ def test_dust_matches_python(random_dna):
         assert native.dust_mask_native(s) == dust_mask(s)
 
 
+def test_dust_many_intervals_no_truncation(random_dna):
+    """Regression: >2048 dust intervals must not be silently truncated.
+
+    The native jt_dust_mask used a fixed 2048-interval buffer; long
+    low-complexity contigs were left partially unmasked vs the Python
+    fallback. Parity is pinned on a sequence with ~2200 intervals.
+    """
+    rng = np.random.default_rng(7)
+    parts = []
+    for _ in range(2200):
+        parts.append("A" * 40)
+        parts.append(
+            "".join(rng.choice(list("ACGT"), size=24))
+            + "N"  # N splits runs so each poly-A is its own interval
+        )
+    s = "".join(parts)
+    iv = native.dust_intervals_native(s)
+    assert len(iv) > 2048
+    masked = native.dust_mask_native(s)
+    # every interval must actually be lowercased, including those past
+    # the old 2048 cap
+    for start, end in iv:
+        assert masked[start:end].islower()
+
+
 def test_sw_matches_python(random_dna):
     from jaeger_tpu.postprocess.sw import smith_waterman
 

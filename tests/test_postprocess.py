@@ -114,6 +114,27 @@ class TestReduce:
         )
         assert data["consensus"][0] == 1.0
 
+    def test_binary_entropy_uses_sigmoid_probabilities(self):
+        """Pins the documented divergence: binary entropy is computed on
+        sigmoid(logit), not on the raw logit (which the reference clips
+        to [eps, 1-eps] as if it were a probability)."""
+        meta = self._meta([2])
+        logits = np.array([[0.0], [-3.0]], dtype=np.float32)
+        data, _ = collect.reduce_windows(
+            logits, meta, fsize=2000, num_classes=2,
+            class_names=["host", "phage"],
+        )
+        from jaeger_tpu.postprocess import helpers as H
+
+        p = H.sigmoid(logits)
+        expected = np.mean(-(p * np.log2(p) + (1 - p) * np.log2(1 - p)))
+        np.testing.assert_allclose(
+            float(data["entropy"][0]), expected, rtol=1e-3
+        )
+        # a logit of 0.0 is p=0.5 -> entropy 1 bit; the reference's
+        # raw-logit form clips both logits to eps and would give ~0
+        assert float(data["entropy"][0]) > 0.5
+
 
 class TestCPD:
     def test_detects_step(self):
