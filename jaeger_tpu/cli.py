@@ -59,6 +59,9 @@ def main(verbose: int) -> None:
 @click.option("--dynamic-stride", is_flag=True, default=False)
 @click.option("--precision", default="bfloat16", show_default=True,
               type=click.Choice(["bfloat16", "float32", "bf16", "fp32"]))
+@click.option("--devices", default="auto", show_default=True,
+              help="Data-parallel device count: 'auto' uses every local "
+                   "device, an integer caps it (1 disables the mesh).")
 @click.option("--crf-switch-cost", default=None, type=float,
               help="Enable CRF (Viterbi) window smoothing with this cost.")
 @click.option("--crf-prior", default="biological", show_default=True,
@@ -93,7 +96,8 @@ def main(verbose: int) -> None:
 @click.option("-f", "--overwrite", is_flag=True, default=False,
               help="Overwrite an existing output summary.")
 def predict(input_path, output_dir, model_path, fsize, stride, batch,
-            min_len, dustmask, dynamic_stride, precision, crf_switch_cost,
+            min_len, dustmask, dynamic_stride, precision, devices,
+            crf_switch_cost,
             crf_prior, crf_transition_matrix, reliability_cutoff,
             phage_score, no_termini,
             window_scores, prophage, sensitivity, lc, plot_type, refine,
@@ -108,6 +112,7 @@ def predict(input_path, output_dir, model_path, fsize, stride, batch,
         input_path=input_path, output_dir=output_dir, model_path=model_path,
         fsize=fsize, stride=stride, batch=batch, min_len=min_len,
         dustmask=dustmask, dynamic_stride=dynamic_stride, precision=precision,
+        devices=("auto" if devices == "auto" else int(devices)),
         crf_switch_cost=crf_switch_cost, crf_prior=crf_prior,
         crf_transition_matrix=(
             __import__("json").load(open(crf_transition_matrix))

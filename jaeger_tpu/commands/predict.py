@@ -144,6 +144,7 @@ def run_core(
     dynamic_stride: bool = False,
     precision: str = "bfloat16",
     mesh=None,
+    devices: int | str = "auto",
     crf_switch_cost: float | None = None,
     crf_prior: str = "biological",
     crf_transition_matrix: dict | None = None,
@@ -204,6 +205,25 @@ def run_core(
     term_repeats = None
     if scan_termini:
         term_repeats = scan_for_terminal_repeats(str(input_path))
+
+    # --- device strategy (parity: reference predict.py:656-664 picks
+    # MirroredStrategy when >1 GPU) — auto-construct a 1-D data mesh over
+    # all local devices; batch is padded to a device multiple by the
+    # engine and results are identical to single-device (pinned by
+    # tests/test_e2e_commands.py on the 8-device CPU mesh) ---
+    if mesh is None and devices != 1 and devices != "1":
+        import jax
+
+        n_avail = len(jax.devices())
+        want = (
+            n_avail if devices in ("auto", None)
+            else max(1, min(int(devices), n_avail))
+        )
+        if want > 1:
+            from jaeger_tpu.parallel import mesh as meshlib
+
+            mesh = meshlib.data_mesh(want)
+            logger.info(f"data-parallel inference over {want} devices")
 
     wanted = ["prediction", "reliability"]
     if save_embedding:

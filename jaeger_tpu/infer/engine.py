@@ -183,7 +183,20 @@ class InferenceEngine:
                     ),
                 )
 
-            fn = jax.jit(forward_reduced)
+            jit_kwargs = {}
+            if self.mesh is not None:
+                # batch-sharded inputs, replicated params; the segment
+                # scatter-add over the sharded batch lowers to a per-shard
+                # partial + all-reduce under SPMD
+                jit_kwargs["in_shardings"] = (
+                    self._replicated,
+                    self._data_sharding,
+                    self._data_sharding,
+                    self._data_sharding,
+                    self._data_sharding,
+                )
+                jit_kwargs["out_shardings"] = self._replicated
+            fn = jax.jit(forward_reduced, **jit_kwargs)
             self._compiled[key] = fn
         return fn
 

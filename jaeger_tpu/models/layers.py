@@ -42,6 +42,7 @@ def get_activation(name: str | None) -> Callable[[jnp.ndarray], jnp.ndarray]:
         return lambda x: x
     table = {
         "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+        "gelu_tanh": lambda x: jax.nn.gelu(x, approximate=True),
         "relu": jax.nn.relu,
         "sigmoid": jax.nn.sigmoid,
         "softmax": jax.nn.softmax,

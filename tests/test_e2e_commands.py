@@ -210,6 +210,40 @@ def test_predict_gzip_matches_plain(tmp_path, rng, model_bundle):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_predict_mesh_auto_matches_single_device(tmp_path, rng,
+                                                 model_bundle):
+    """`jaeger predict` auto-constructs a data mesh over all local
+    devices (8 virtual CPU devices here); the TSV must be byte-identical
+    to a single-device run, on both the device-reduced default path and
+    the full-logit (CRF) path. Reference behavior parity:
+    commands/predict.py:656-664 strategy auto-selection."""
+    import jax
+
+    from jaeger_tpu.commands.predict import run_core
+
+    assert len(jax.devices()) == 8  # conftest virtual mesh
+    fasta = _fasta(tmp_path, rng, [1200, 800, 500, 950, 410], name="dp.fasta")
+
+    kwargs = dict(model_path=str(model_bundle), fsize=400, stride=400,
+                  batch=16, min_len=300, scan_termini=False)
+    t_single = run_core(input_path=str(fasta),
+                        output_dir=str(tmp_path / "one"),
+                        devices=1, **kwargs)
+    t_mesh = run_core(input_path=str(fasta),
+                      output_dir=str(tmp_path / "mesh"),
+                      devices="auto", **kwargs)
+    assert t_single.read_bytes() == t_mesh.read_bytes()
+
+    # full-logit path (CRF forces it)
+    t_single_f = run_core(input_path=str(fasta),
+                          output_dir=str(tmp_path / "onef"),
+                          devices=1, crf_switch_cost=0.5, **kwargs)
+    t_mesh_f = run_core(input_path=str(fasta),
+                        output_dir=str(tmp_path / "meshf"),
+                        devices="auto", crf_switch_cost=0.5, **kwargs)
+    assert t_single_f.read_bytes() == t_mesh_f.read_bytes()
+
+
 def test_sharded_predict_matches_single(tmp_path, rng, model_bundle):
     """Two-host contig-sharded predict (the slurm recipe flow) merges to
     the same rows as a single-host run."""
