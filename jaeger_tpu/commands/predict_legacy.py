@@ -75,7 +75,20 @@ def run_core(
     model_dir = Path(model_dir) if model_dir else DEFAULT_MODEL_DIR
 
     validate_fasta_entries(str(input_path), min_len=min_len)
-    variables = convert_wres_h5(model_dir / "WRes_1024.h5")
+    if (model_dir / "WRes_1024.h5").exists():
+        variables = convert_wres_h5(model_dir / "WRes_1024.h5")
+    elif (model_dir / "saved_model.pb").exists() or (
+        model_dir / "variables"
+    ).exists():
+        # a reference TF SavedModel dir (e.g. the bundled test
+        # jaeger_fragment_graph) — converted in-memory, no TensorFlow
+        from jaeger_tpu.models.legacy_convert import convert_wres_checkpoint
+
+        variables = convert_wres_checkpoint(model_dir)
+    else:
+        raise FileNotFoundError(
+            f"no WRes_1024.h5 or TF SavedModel under {model_dir}"
+        )
     model = WResModel(dropout_active=False)
     clf, batch_mean, batch_std = _load_ood(model_dir)
 

@@ -90,6 +90,25 @@ def test_converted_forward_golden():
     assert probs.max(axis=1).min() > 0.9
 
 
+def test_end_to_end_golden_tsv(tmp_path):
+    """The converted bundled reference SavedModel driven through the
+    predict command on test_contigs.fasta must reproduce the committed
+    TSV byte-for-byte — pins stats, float formatting, window_summary
+    run-length strings and column order in one shot (reference writer:
+    postprocess/collect.py:561-640)."""
+    from jaeger_tpu.commands.predict_legacy import run_core
+
+    table = run_core(
+        str(GRAPH.parents[2] / "test" / "test_contigs.fasta"),
+        str(tmp_path), model_dir=GRAPH,
+    )
+    golden = (
+        Path(__file__).parent / "fixtures"
+        / "golden_wres_graph_test_contigs.tsv"
+    )
+    assert table.read_bytes() == golden.read_bytes()
+
+
 H5 = Path("/root/reference/src/jaeger/data/models/default/WRes_1024.h5")
 
 
