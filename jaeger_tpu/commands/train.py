@@ -379,6 +379,22 @@ def train_fragment_core(
         )
 
     def npz_batches(paths_, epoch_seed, repeat=True):
+        # runtime-crop path (reference loaders.py:505-530): engaged when
+        # the config requests crops over full-length stored records;
+        # validation uses its own crop settings (train.py:199-226 parity)
+        val = not repeat
+        crop_sizes = sp.get(
+            "validation_crop_sizes" if val else "crop_sizes"
+        ) or sp.get("crop_sizes")
+        if crop_sizes:
+            return data_lib.cropped_batches_from_npz(
+                paths_[0], batch_size=batch_size, num_classes=num_classes,
+                crop_sizes=crop_sizes,
+                strides=sp.get("validation_strides" if val else "strides"),
+                overlap=sp.get("validation_overlap" if val else "overlap"),
+                crop_mode=sp.get("crop_mode", "all"),
+                seed=seed + epoch_seed, repeat=repeat,
+            )
         return data_lib.batches_from_npz(
             paths_[0], batch_size=batch_size, num_classes=num_classes,
             seed=seed + epoch_seed, repeat=repeat,

@@ -36,12 +36,26 @@ Dtype = Any
 # ---------------------------------------------------------------------------
 
 
+def _gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """GELU with dtype-aware approximation.
+
+    f32 uses the exact erf form (tf.keras parity for converted weights).
+    bf16 uses the tanh approximation: its error (<1e-3 relative) is below
+    bf16 rounding (~8e-3 relative), while erf on TPU costs ~2x the whole
+    conv tower (chip ablation, experiments/tower_breakdown.py: exact GELU
+    290 ms/2048 windows vs 142 ms tanh-approx on the flagship forward).
+    Pinned by tests/test_components.py::test_gelu_bf16_approx_within_rounding.
+    """
+    return jax.nn.gelu(x, approximate=(x.dtype == jnp.bfloat16))
+
+
 def get_activation(name: str | None) -> Callable[[jnp.ndarray], jnp.ndarray]:
-    """Resolve an activation by Keras name (exact GELU, like tf.keras)."""
+    """Resolve an activation by Keras name (exact GELU in f32)."""
     if name is None or name == "linear":
         return lambda x: x
     table = {
-        "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+        "gelu": _gelu,
+        "gelu_exact": lambda x: jax.nn.gelu(x, approximate=False),
         "gelu_tanh": lambda x: jax.nn.gelu(x, approximate=True),
         "relu": jax.nn.relu,
         "sigmoid": jax.nn.sigmoid,

@@ -279,6 +279,137 @@ def batches_from_npz(
             return
 
 
+def resolve_strides(crop_sizes: list[int], strides: list[int] | None,
+                    overlap: float | None) -> list[int]:
+    """Per-crop strides from explicit strides or overlap fraction.
+
+    Parity: reference ``data/loaders.py:417-432``.
+    """
+    if strides is not None:
+        if len(strides) != len(crop_sizes):
+            raise ValueError(
+                f"strides ({len(strides)}) must match crop_sizes "
+                f"({len(crop_sizes)})"
+            )
+        return [int(s) for s in strides]
+    if overlap is not None:
+        return [max(1, int(cs * (1 - overlap))) for cs in crop_sizes]
+    return [int(cs) for cs in crop_sizes]
+
+
+def cropped_batches_from_npz(
+    path: str | Path,
+    batch_size: int,
+    num_classes: int,
+    crop_sizes: list[int],
+    strides: list[int] | None = None,
+    overlap: float | None = None,
+    crop_mode: str = "all",
+    seed: int = 42,
+    repeat: bool = True,
+    key: str = "translated",
+) -> Iterator[dict[str, np.ndarray]]:
+    """Runtime-crop batches from full-length NPZ records.
+
+    Parity: reference ``data/loaders.py:505-530`` crop modes over stored
+    full-length token arrays (``crop_sizes`` in token units — codon
+    frames for translated records):
+
+    - ``all``: every record fans out to every (crop_size x sliding-start)
+      variant per epoch — epoch size grows by the variant count;
+    - ``sample``: one uniformly sampled variant per record per epoch;
+    - ``range``: one crop of uniform length in [min, max] crop size at a
+      uniform start per record per epoch.
+
+    Output shapes are static: (batch, frames, max(crop_sizes)), shorter
+    crops zero-padded (token 0 is the mask/pad id).
+    """
+    from jaeger_tpu.dataops.convert import _crop_starts
+
+    if crop_mode not in ("all", "sample", "range"):
+        raise ValueError(
+            f"invalid crop_mode {crop_mode!r} (use 'all', 'sample' or "
+            f"'range')"
+        )
+    crop_sizes = [int(c) for c in crop_sizes]
+    strides_r = resolve_strides(crop_sizes, strides, overlap)
+    k_max = max(crop_sizes)
+
+    data = load_npz_dataset(path, key)
+    feats = data[key]
+    labels = np.asarray(data["labels"]).astype(np.int64).reshape(-1)
+    ragged = feats.dtype == object
+    n = feats.shape[0]
+    lengths = (
+        np.array([feats[i].shape[-1] for i in range(n)], dtype=np.int64)
+        if ragged
+        else np.full(n, feats.shape[-1], dtype=np.int64)
+    )
+
+    # fast path: fixed-length records no longer than the single crop
+    # produce exactly one identity variant each — use the vectorized
+    # loader instead of the per-record copy loop
+    if (
+        not ragged
+        and len(set(crop_sizes)) == 1
+        and int(lengths.max(initial=0)) <= k_max
+    ):
+        yield from batches_from_npz(
+            path, batch_size=batch_size, num_classes=num_classes,
+            seed=seed, repeat=repeat, key=key,
+        )
+        return
+
+    rng = np.random.default_rng(seed)
+
+    def record_variants(i: int) -> list[tuple[int, int, int]]:
+        ln = int(lengths[i])
+        if crop_mode == "sample":
+            variants = [
+                (cs, start)
+                for cs, st in zip(crop_sizes, strides_r)
+                for start in _crop_starts(ln, cs, st)
+            ]
+            cs, start = variants[int(rng.integers(len(variants)))]
+            return [(i, start, min(cs, ln - start))]
+        if crop_mode == "range":
+            lo, hi = min(crop_sizes), max(crop_sizes)
+            cs = min(int(rng.integers(lo, hi + 1)), ln)
+            start = (
+                int(rng.integers(0, ln - cs + 1)) if ln > cs else 0
+            )
+            return [(i, start, cs)]
+        return [
+            (i, start, min(cs, ln - start))
+            for cs, st in zip(crop_sizes, strides_r)
+            for start in _crop_starts(ln, cs, st)
+        ]
+
+    while True:
+        variants: list[tuple[int, int, int]] = []
+        for i in rng.permutation(n):
+            variants.extend(record_variants(int(i)))
+        order = rng.permutation(len(variants))
+        for b0 in range(0, len(order) - batch_size + 1, batch_size):
+            idx = order[b0 : b0 + batch_size]
+            first = feats[variants[idx[0]][0]]
+            out = np.zeros(
+                (batch_size,) + first.shape[:-1] + (k_max,),
+                dtype=first.dtype if not ragged else np.int32,
+            )
+            lab = np.zeros(batch_size, np.int64)
+            for j, v in enumerate(idx):
+                i, start, ln = variants[v]
+                crop = feats[i][..., start : start + ln]
+                out[j, ..., :ln] = crop
+                lab[j] = labels[i]
+            onehot = np.zeros((batch_size, num_classes), dtype=np.float32)
+            onehot[np.arange(batch_size), lab] = 1.0
+            yield {key: out, "labels": onehot}
+        if not repeat:
+            return
+
+
 def with_frame_shuffle(
     batches: Iterator[dict[str, np.ndarray]], seed: int = 42
 ) -> Iterator[dict[str, np.ndarray]]:

@@ -268,3 +268,28 @@ def test_resblock_norm_types():
         y = out[0] if isinstance(out, tuple) else out
     with pytest.raises(ValueError, match="norm_type"):
         L._make_norm("nope", "n")
+
+
+def test_gelu_bf16_approx_within_rounding():
+    """'gelu' is erf-exact in f32 and tanh-approximate in bf16, where the
+    approximation error stays below bf16 rounding of the exact value
+    (documented perf divergence, models/layers.py::_gelu)."""
+    import jax
+    import jax.numpy as jnp
+
+    from jaeger_tpu.models.layers import get_activation
+
+    g = get_activation("gelu")
+    x = jnp.linspace(-6.0, 6.0, 4097, dtype=jnp.float32)
+    exact = jax.nn.gelu(x, approximate=False)
+
+    # f32 path: exact erf form
+    np.testing.assert_array_equal(np.asarray(g(x)), np.asarray(exact))
+
+    # bf16 path: approximate, with error at the bf16 noise scale
+    y = np.asarray(g(x.astype(jnp.bfloat16)).astype(jnp.float32))
+    err = np.abs(y - np.asarray(exact))
+    # bf16 has ~3 significant decimal digits; on |gelu|<=6 that is ~0.05
+    # worst-case absolute; the observed combined (approx + rounding)
+    # error must stay within it
+    assert err.max() < 0.05
