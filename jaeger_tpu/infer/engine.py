@@ -64,22 +64,44 @@ class InferenceEngine:
             self.variables = jax.device_put(variables, self._replicated)
         self._compiled: dict = {}
 
-    def _forward(self, variables, bases, lengths):
+    def _dense_batch(self, bases: np.ndarray, lengths: np.ndarray) -> bool:
+        """True when the maskless program is exact for this batch: every
+        window fills the model's crop with unambiguous uppercase bases
+        (IDs 0-3; 4=N, 5-8=soft-masked) — the mask would be all-true, so
+        skipping it saves the mask-propagation elementwise work."""
+        crop = getattr(self.model, "crop_nt", None)
+        if crop is None or bases.shape[1] < crop:
+            return False
+        if lengths.size == 0 or int(lengths.min()) < crop:
+            return False
+        window = bases[:, :crop]
+        if getattr(self.model, "masking_enabled", True):
+            # soft-masked IDs (5-8) encode to masked tokens: exclude them
+            return bool(window.max() < 4)
+        # masking off: lowercase encodes as its uppercase base; only true
+        # Ns (ID 4) produce masked tokens
+        return bool(not (window == 4).any())
+
+    def _forward(self, variables, bases, lengths, dense: bool = False):
+        kwargs = {"assume_dense": True} if dense else {}
         out = self.model.apply(
-            variables, {"bases": bases, "lengths": lengths}, train=False
+            variables, {"bases": bases, "lengths": lengths}, train=False,
+            **kwargs,
         )
         if self.output_keys is not None:
             out = {k: v for k, v in out.items() if k in self.output_keys}
         return {k: v.astype(jnp.float32) for k, v in out.items()}
 
-    def _forward_packed(self, variables, packed, lengths, length: int):
+    def _forward_packed(self, variables, packed, lengths, length: int,
+                        dense: bool = False):
         from jaeger_tpu.ops.encode import unpack_bases
 
         bases = unpack_bases(packed, length)
-        return self._forward(variables, bases, lengths)
+        return self._forward(variables, bases, lengths, dense)
 
-    def _get_fn(self, shape: tuple):
-        fn = self._compiled.get(shape)
+    def _get_fn(self, shape: tuple, dense: bool = False):
+        key = (shape, dense)
+        fn = self._compiled.get(key)
         if fn is None:
             jit_kwargs = {}
             if self.mesh is not None:
@@ -90,12 +112,14 @@ class InferenceEngine:
                 )
             if self.pack_transfer:
                 fn = jax.jit(
-                    functools.partial(self._forward_packed, length=shape[1]),
+                    functools.partial(self._forward_packed, length=shape[1],
+                                      dense=dense),
                     **jit_kwargs,
                 )
             else:
-                fn = jax.jit(self._forward, **jit_kwargs)
-            self._compiled[shape] = fn
+                fn = jax.jit(functools.partial(self._forward, dense=dense),
+                             **jit_kwargs)
+            self._compiled[key] = fn
         return fn
 
     def predict_windows(
@@ -125,11 +149,15 @@ class InferenceEngine:
             b = bases[i : i + bs]
             ln = lengths[i : i + bs]
             valid = b.shape[0]
+            # dense predicate on the valid rows only: padded rows' outputs
+            # are trimmed, and per-example compute at inference means they
+            # cannot contaminate valid rows
+            dense = self._dense_batch(b, ln)
             pad = bs - valid
             if pad:
                 b = np.pad(b, ((0, pad), (0, 0)), constant_values=4)
                 ln = np.pad(ln, (0, pad), constant_values=0)
-            fn = self._get_fn((bs, b.shape[1]))
+            fn = self._get_fn((bs, b.shape[1]), dense)
             if self.pack_transfer:
                 from jaeger_tpu.ops.encode import pack_bases
 
@@ -155,14 +183,16 @@ class InferenceEngine:
     # per window instead of full logit matrices (ops/reduce.py)
     # ------------------------------------------------------------------
 
-    def _get_reduced_fn(self, shape: tuple, with_reliability: bool):
-        key = ("reduced", shape, with_reliability)
+    def _get_reduced_fn(self, shape: tuple, with_reliability: bool,
+                        dense: bool = False):
+        key = ("reduced", shape, with_reliability, dense)
         fn = self._compiled.get(key)
         if fn is None:
             from jaeger_tpu.ops.encode import unpack_bases
             from jaeger_tpu.ops.reduce import contig_partials
 
             bs = shape[0]
+            apply_kwargs = {"assume_dense": True} if dense else {}
 
             def forward_reduced(variables, payload, lengths, seg_ids, valid):
                 if self.pack_transfer:
@@ -171,7 +201,7 @@ class InferenceEngine:
                     bases = payload
                 out = self.model.apply(
                     variables, {"bases": bases, "lengths": lengths},
-                    train=False,
+                    train=False, **apply_kwargs,
                 )
                 return contig_partials(
                     out["prediction"].astype(jnp.float32),
@@ -233,6 +263,7 @@ class InferenceEngine:
                 ln = batch.length[i : i + bs]
                 contig = batch.contig[i : i + bs].astype(np.int64)
                 n_valid = b.shape[0]
+                dense = self._dense_batch(b, ln)
                 pad = bs - n_valid
                 if pad:
                     b = np.pad(b, ((0, pad), (0, 0)), constant_values=4)
@@ -249,7 +280,7 @@ class InferenceEngine:
                 valid = np.zeros(bs, bool)
                 valid[:n_valid] = True
                 fn = self._get_reduced_fn((bs, b.shape[1]),
-                                          with_reliability)
+                                          with_reliability, dense)
                 payload = jnp.asarray(
                     pack_bases(b) if self.pack_transfer else b
                 )

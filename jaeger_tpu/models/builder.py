@@ -296,9 +296,26 @@ class JaegerModel(nn.Module):
         )
         return _resolve_crop_nt(self._string_processor(), input_type)
 
+    @property
+    def masking_enabled(self) -> bool:
+        """Whether soft-masked (lowercase) bases encode as masked tokens
+        (string_processor ``masking``); False means they encode as their
+        uppercase base, so the engine's dense predicate may admit them."""
+        return bool(self._string_processor().get("masking", False))
+
     @nn.compact
     def __call__(self, inputs: dict, train: bool = False,
-                 with_projection: bool = False):
+                 with_projection: bool = False,
+                 assume_dense: bool = False):
+        """``assume_dense=True`` skips mask construction entirely (mask
+        is None through every layer) — valid ONLY when the caller
+        guarantees every window fills the full crop with unambiguous
+        bases (no padding, no Ns, no soft-masked bases), in which case
+        the mask would be all-true and masking is an identity. The
+        inference engine checks that predicate per device batch; the
+        maskless program saves the mask-propagation elementwise work
+        (~30% of the flagship forward, experiments/floor_probe.py).
+        """
         cfg = self.config
         emb_cfg = cfg.get("embedding", {})
         sp = self._string_processor()
@@ -342,7 +359,7 @@ class JaegerModel(nn.Module):
         # --- 2. embedding section (nnlib/builder.py:844-894) ---
         if input_type in ("translated", "both"):
             tokens = feats["translated"]
-            mask = tokens != 0
+            mask = None if assume_dense else (tokens != 0)
             emb_size = emb_cfg.get("embedding_size", 4)
             _, ids = maps.resolve_alphabet(sp.get("codon", "CODON"))
             depth = maps.alphabet_depth(ids)
@@ -367,7 +384,7 @@ class JaegerModel(nn.Module):
                 x = jax.nn.one_hot(tokens - 1, depth, dtype=self.dtype)
         elif input_type == "nucleotide":
             x = feats["nucleotide"].astype(self.dtype)
-            mask = jnp.any(x != 0, axis=-1)
+            mask = None if assume_dense else jnp.any(x != 0, axis=-1)
         else:
             raise ValueError(f"invalid input_type {input_type!r}")
 

@@ -31,10 +31,25 @@ class EnsembleModel:
         self.models = models
         self.method = method
 
+    @property
+    def masking_enabled(self):
+        return any(
+            getattr(m, "masking_enabled", True) for m in self.models
+        )
+
+    @property
+    def crop_nt(self):
+        """Largest member crop (None when unknown) — the engine's dense
+        fast-path predicate must hold for every member."""
+        crops = [getattr(m, "crop_nt", None) for m in self.models]
+        if not crops or any(c is None for c in crops):
+            return None
+        return max(crops)
+
     def apply(self, variables, inputs, train: bool = False, **kwargs):
         member_vars = variables["members"]
         outs = [
-            m.apply(v, inputs, train=train)
+            m.apply(v, inputs, train=train, **kwargs)
             for m, v in zip(self.models, member_vars)
         ]
         preds = [o["prediction"] for o in outs]

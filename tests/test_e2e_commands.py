@@ -229,10 +229,11 @@ def test_predict_mesh_auto_matches_single_device(tmp_path, rng,
     t_single = run_core(input_path=str(fasta),
                         output_dir=str(tmp_path / "one"),
                         devices=1, **kwargs)
-    t_mesh = run_core(input_path=str(fasta),
-                      output_dir=str(tmp_path / "mesh"),
-                      devices="auto", **kwargs)
-    assert t_single.read_bytes() == t_mesh.read_bytes()
+    for width in (2, 4, 8):
+        t_mesh = run_core(input_path=str(fasta),
+                          output_dir=str(tmp_path / f"mesh{width}"),
+                          devices=width, **kwargs)
+        assert t_single.read_bytes() == t_mesh.read_bytes(), width
 
     # full-logit path (CRF forces it)
     t_single_f = run_core(input_path=str(fasta),
