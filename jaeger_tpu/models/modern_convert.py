@@ -56,6 +56,10 @@ _KEY_RANK = {
     "beta": 11,
     "moving_mean": 20, "mean": 20,
     "moving_variance": 21, "var": 21,
+    # BiLSTM leaf order = Keras Bidirectional serialization order:
+    # forward cell (kernel, recurrent, bias) then backward cell
+    "fwd_kernel": 0, "fwd_recurrent": 1, "fwd_bias": 2,
+    "bwd_kernel": 3, "bwd_recurrent": 4, "bwd_bias": 5,
 }
 
 
@@ -98,7 +102,41 @@ def read_keras_weight_groups(h5_path: str | Path):
 
     with h5py.File(h5_path, "r") as f:
         walk(f, "")
-    return [g for g in groups if g[1]]
+    groups = [g for g in groups if g[1]]
+    return _merge_bidirectional_cells(groups)
+
+
+def _merge_bidirectional_cells(groups):
+    """Collapse Keras Bidirectional-LSTM cell groups into one group.
+
+    Keras serializes an LSTM wrapper as two nested cells
+    (``<lstm>/.../forward_layer/cell/vars`` + ``backward_layer/cell``),
+    while the flax MaskedBiLSTM is a single module with fwd_*/bwd_*
+    leaves — merge forward then backward arrays under the wrapper path
+    (forward-first matches the fwd_*/bwd_* leaf ranks)."""
+    fwd = {}
+    bwd = {}
+    rest = []
+    order: list[str] = []
+    for path, arrays in groups:
+        if "/forward_layer/cell" in path:
+            root = path.split("/forward_layer/cell")[0]
+            fwd[root] = arrays
+            if root not in order:
+                order.append(root)
+        elif "/backward_layer/cell" in path:
+            root = path.split("/backward_layer/cell")[0]
+            bwd[root] = arrays
+            if root not in order:
+                order.append(root)
+        else:
+            rest.append((path, arrays))
+    for root in order:
+        if root in fwd and root in bwd:
+            rest.append((root, fwd[root] + bwd[root]))
+        else:  # unidirectional wrapper: keep whichever side exists
+            rest.append((root, fwd.get(root) or bwd.get(root)))
+    return rest
 
 
 def _tree_slots(variables: dict):
@@ -113,13 +151,20 @@ def _tree_slots(variables: dict):
     stats = variables.get("batch_stats", {})
 
     slots = []
+    seen_paths = set()
 
     def leaf_dict(d):
         return d and all(hasattr(v, "shape") for v in d.values())
 
     def walk(pd, path):
-        if leaf_dict(pd):
-            keys = sorted(pd, key=lambda k: (_KEY_RANK.get(k, 50), k))
+        # direct array leaves at this level (a module may hold leaf
+        # params AND sub-modules — e.g. HyenaFilter's alphas/biases next
+        # to its FFN Dense children; skipping mixed dicts silently
+        # dropped those leaves, found against a real reference file)
+        direct = {k: v for k, v in pd.items() if hasattr(v, "shape")}
+        if direct:
+            seen_paths.add(path)
+            keys = sorted(direct, key=lambda k: (_KEY_RANK.get(k, 50), k))
             leaves = [("params", k) for k in keys]
             sd = stats
             for p in path:
@@ -129,22 +174,77 @@ def _tree_slots(variables: dict):
                 leaves += [("batch_stats", k) for k in skeys]
             shapes = []
             for coll, k in leaves:
-                src = pd if coll == "params" else sd
+                src = direct if coll == "params" else sd
                 shapes.append(tuple(src[k].shape))
             slots.append((path, leaves, shapes))
-            return
         for k, v in pd.items():
             if isinstance(v, dict):
                 walk(v, path + (k,))
 
     walk(params, ())
-    return slots
+
+    # modules that exist ONLY in batch_stats (e.g. NMDLayer's moving
+    # mean) have no params leaf-dict and would otherwise be skipped —
+    # Keras still serializes their variables as a group
+    def walk_stats(sd, path):
+        if leaf_dict(sd):
+            if path in seen_paths:
+                return
+            keys = sorted(sd, key=lambda k: (_KEY_RANK.get(k, 50), k))
+            slots.append((
+                path,
+                [("batch_stats", k) for k in keys],
+                [tuple(sd[k].shape) for k in keys],
+            ))
+            return
+        for k, v in sd.items():
+            if isinstance(v, dict):
+                walk_stats(v, path + (k,))
+
+    walk_stats(stats, ())
+    return _merge_multiscale_branches(slots)
 
 
-_TOKEN_RE = re.compile(r"[a-z]+|\d+")
+def _merge_multiscale_branches(slots):
+    """Merge per-branch conv slots of a MultiScaleConv1D into one slot.
+
+    Keras serializes the reference MultiScaleConv1D as ONE variable
+    group (branch kernels/biases in creation order) while our flax
+    module nests a MaskedConv1D per branch — merge ``branch_<i>``
+    sub-slots under their ``multi_scale*`` parent, branch order
+    preserved."""
+    merged: dict[tuple, list] = {}
+    out = []
+    for path, leaves, shapes in slots:
+        if (len(path) >= 2 and re.fullmatch(r"branch_\d+", path[-1])
+                and "multi_scale" in path[-2]):
+            parent = path[:-1]
+            merged.setdefault(parent, []).append((path, leaves, shapes))
+        else:
+            out.append((path, leaves, shapes))
+    for parent, subs in merged.items():
+        subs.sort(key=lambda s: int(s[0][-1].split("_")[-1]))
+        leaves = [
+            (coll, (sub_path[-1], key))
+            for sub_path, sub_leaves, _ in subs
+            for coll, key in sub_leaves
+        ]
+        shapes = [sh for _, _, sub_shapes in subs for sh in sub_shapes]
+        out.append((parent, leaves, shapes))
+    return out
+
+
+_TOKEN_RE = re.compile(r"[a-z]+")
 
 
 def _tokens(s: str) -> set:
+    """Alphabetic name tokens only. Numeric suffixes are deliberately
+    excluded from overlap scoring: Keras dedup counters count per class
+    (masked_dyt, masked_dyt_1, ...) while flax layer names count every
+    config entry (masked_dyt_2, masked_dyt_6, ...), so matching digits
+    pairs the WRONG layers (found against a real reference-generated
+    weights file). Ordering among same-shape candidates comes from the
+    Keras creation ordinal instead."""
     return set(_TOKEN_RE.findall(s.lower()))
 
 
@@ -175,18 +275,40 @@ def _match(slots, groups, name_map=None):
     # order, which the ordinal tiebreak below relies on.
     unmatched.sort(key=lambda s: -len(s[2]))
 
-    def ordinal(h5_path: str) -> int:
-        # Keras-3 dedup counter: "dense" -> 0, "dense_1" -> 1, ...
-        last = h5_path.rstrip("/").split("/")[-1]
-        if last == "vars" and "/" in h5_path:
-            last = h5_path.rstrip("/").split("/")[-2]
-        m = re.search(r"_(\d+)$", last)
-        return int(m.group(1)) if m else 0
+    def ordinal(h5_path: str) -> tuple:
+        # Creation-order key from every path component's trailing digits:
+        # Keras-3 dedup counters ("dense" -> 0, "dense_1" -> 1) and
+        # numbered sublayers ("bn1", "conv2"). A full-path tuple orders
+        # nested layouts (stack_2/blocks/residual_block_1/bn1) correctly
+        # even past 10 where alphabetical h5 iteration breaks.
+        parts = [p for p in h5_path.rstrip("/").split("/") if p != "vars"]
+        key = []
+        for p in parts:
+            m = re.search(r"(\d+)$", p)
+            key.append(int(m.group(1)) if m else 0)
+        return tuple(key)
 
     for path, leaves, shapes in unmatched:
         sig = tuple(shapes)
         cands = [i for i, (p, arrs) in remaining.items()
                  if tuple(a.shape for a in arrs) == sig]
+        if not cands:
+            # prefix fallback: a Keras group may carry extra variables
+            # our module does not track (e.g. HyenaFilter's constant
+            # pos_encoding) — trainable-first ordering puts them last,
+            # so consuming the leading len(sig) arrays is safe
+            cands = [
+                i for i, (p, arrs) in remaining.items()
+                if len(arrs) > len(sig)
+                and tuple(a.shape for a in arrs[: len(sig)]) == sig
+            ]
+            if cands:
+                logger.info(
+                    "module %s: using the first %d of %d arrays from "
+                    "group %s (extra untracked variables ignored)",
+                    "/".join(map(str, path)), len(sig),
+                    len(remaining[cands[0]][1]), remaining[cands[0]][0],
+                )
         if not cands:
             inventory = [
                 (p, [a.shape for a in arrs])
@@ -210,6 +332,12 @@ def _match(slots, groups, name_map=None):
             )
         assignment[path] = cands[0]
         del remaining[cands[0]]
+    if remaining:
+        logger.warning(
+            "%d weight group(s) in the h5 were not consumed: %s",
+            len(remaining),
+            [p for p, _ in remaining.values()][:8],
+        )
     return assignment
 
 
@@ -226,14 +354,18 @@ def map_weights_to_tree(variables: dict, groups, name_map=None) -> dict:
         _, arrays = groups[assignment[path]]
         for (coll, key), arr in zip(leaves, arrays):
             node = out[coll]
-            for p in path[:-1]:
+            for p in path:
                 node = node[p]
-            tgt = node[path[-1]]
-            if tuple(arr.shape) != tuple(tgt[key].shape):
+            # merged slots (multiscale branches) carry (sub_module, key)
+            sub = key if isinstance(key, tuple) else (key,)
+            tgt, leaf = node, sub[-1]
+            for p in sub[:-1]:
+                tgt = tgt[p]
+            if tuple(arr.shape) != tuple(tgt[leaf].shape):
                 raise ValueError(
-                    f"shape mismatch at {'/'.join(path)}/{key}: "
-                    f"{arr.shape} vs {tgt[key].shape}")
-            tgt[key] = np.asarray(arr, dtype=np.asarray(tgt[key]).dtype)
+                    f"shape mismatch at {'/'.join(path)}/{leaf}: "
+                    f"{arr.shape} vs {tgt[leaf].shape}")
+            tgt[leaf] = np.asarray(arr, dtype=np.asarray(tgt[leaf]).dtype)
             n_assigned += 1
     logger.info("mapped %d tensors across %d modules", n_assigned,
                 len(slots))

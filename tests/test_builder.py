@@ -323,3 +323,39 @@ def test_bundled_templates_build():
         out = model.apply(variables, b.example_inputs(1), train=False)
         assert out["prediction"].shape[-1] == int(
             cfg["model"]["classifier_out_dim"]), path.name
+
+
+def test_all_parseable_reference_configs_build():
+    """Every parseable reference train_config YAML builds and initializes
+    through our builder (schema parity, VERDICT r1 #6). The two excluded
+    files (nn_config.yaml, nn_config_baseline.yaml) contain a literal
+    YAML syntax error in the reference itself (doubled quote on
+    data_dir) and are unparseable by any YAML loader."""
+    from pathlib import Path
+
+    import jax
+    import pytest
+
+    from jaeger_tpu.models.builder import ModelBuilder
+    from jaeger_tpu.utils.config import load_model_config
+
+    ref = Path("/root/reference/train_config")
+    if not ref.exists():
+        pytest.skip("reference tree unavailable")
+    broken = {"nn_config.yaml", "nn_config_baseline.yaml"}
+    names = sorted(p.name for p in ref.glob("*.yaml"))
+    assert len(names) == 11
+    built = []
+    for name in names:
+        if name in broken:
+            with pytest.raises(Exception, match="while parsing|scann"):
+                load_model_config(ref / name)
+            continue
+        cfg = load_model_config(ref / name)
+        model, variables = ModelBuilder(cfg).init(batch=1)
+        n_params = sum(
+            x.size for x in jax.tree.leaves(variables.get("params", {}))
+        )
+        assert n_params > 1000, name
+        built.append(name)
+    assert len(built) == 9
