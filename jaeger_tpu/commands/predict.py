@@ -132,6 +132,30 @@ def _build_refined_contig_df(data_full: dict, taus: dict, mode: str = "gated",
     )
 
 
+def _maybe_merge_shards(output_dir: Path, stem: str,
+                        num_hosts: int) -> Path | None:
+    """Merge per-host TSV shards when every host's shard exists.
+
+    Whichever host finishes last performs the merge (concurrent merges
+    are tolerated and produce identical output). Returns the merged
+    table path, or None if shards are still outstanding."""
+    from jaeger_tpu.parallel import multihost as mh
+
+    base = output_dir / f"{stem}_default_jaeger.tsv"
+    if not all(
+        mh.shard_path(base, h).exists() for h in range(num_hosts)
+    ):
+        return None
+    merged = mh.merge_output_shards(base, num_hosts)
+    phage_base = output_dir / f"{stem}_default_phages_jaeger.tsv"
+    if any(
+        mh.shard_path(phage_base, h).exists() for h in range(num_hosts)
+    ):
+        mh.merge_output_shards(phage_base, num_hosts)
+    logger.info(f"all {num_hosts} shards present; merged to {merged}")
+    return merged
+
+
 def run_core(
     input_path: str,
     output_dir: str,
@@ -145,6 +169,8 @@ def run_core(
     precision: str = "bfloat16",
     mesh=None,
     devices: int | str = "auto",
+    num_hosts: int = 1,
+    host_id: int | None = None,
     crf_switch_cost: float | None = None,
     crf_prior: str = "biological",
     crf_transition_matrix: dict | None = None,
@@ -170,6 +196,29 @@ def run_core(
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     from jaeger_tpu.seqops.fasta import fasta_stem
+
+    # --- multi-host contig sharding (the framework's scale-out product
+    # path; the reference has none — SURVEY §2.6). Each host keeps the
+    # contigs a deterministic hash assigns it, writes a TSV shard, and
+    # whichever host finishes last merges (slurm-array friendly). ---
+    contig_filter = None
+    if num_hosts > 1:
+        from jaeger_tpu.parallel import multihost as mh
+
+        if host_id is None:
+            import jax
+
+            host_id = jax.process_index()
+        if not (0 <= host_id < num_hosts):
+            raise ValueError(
+                f"host_id {host_id} out of range for {num_hosts} hosts")
+        contig_filter = (
+            lambda h: mh.contig_owner(h, num_hosts) == host_id
+        )
+        logger.info(
+            f"multi-host predict: host {host_id}/{num_hosts} "
+            f"(deterministic contig sharding)"
+        )
 
     existing = output_dir / f"{fasta_stem(input_path)}_default_jaeger.tsv"
     if existing.exists() and not overwrite:
@@ -238,6 +287,7 @@ def run_core(
     batches = window_batches(
         str(input_path), fragsize=fsize, stride=stride, min_len=min_len,
         dustmask=dustmask, dynamic_stride=dynamic_stride,
+        contig_filter=contig_filter,
     )
     # The device-reduced fast path fetches per-contig partials + one int8
     # class per window instead of full logits — used whenever no consumer
@@ -268,6 +318,18 @@ def run_core(
     else:
         result, kept = run_engine()
     if not result:
+        if num_hosts > 1:
+            # this host owned no windowable contigs: write an empty
+            # shard so shard accounting completes, merge if last
+            from jaeger_tpu.parallel import multihost as mh
+
+            stem0 = fasta_stem(input_path)
+            base = output_dir / f"{stem0}_default_jaeger.tsv"
+            mh.shard_path(base, host_id).touch()
+            _maybe_merge_shards(output_dir, stem0, num_hosts)
+            logger.info(
+                f"host {host_id} owned no contigs; empty shard written")
+            return base
         raise ValueError(f"no windows produced from {input_path}")
     meta = collect.PredictionMeta.from_batches(kept)
 
@@ -322,10 +384,14 @@ def run_core(
         else:
             logger.warning(f"no refinement calibration at {refine_path}")
 
-    from jaeger_tpu.seqops.fasta import fasta_stem
     stem = fasta_stem(input_path)
     table = output_dir / f"{stem}_default_jaeger.tsv"
     phage_table = output_dir / f"{stem}_default_phages_jaeger.tsv"
+    if num_hosts > 1:
+        from jaeger_tpu.parallel import multihost as mh
+
+        table = mh.shard_path(table, host_id)
+        phage_table = mh.shard_path(phage_table, host_id)
     n = collect.write_output(
         data,
         output_table_path=table,
@@ -396,6 +462,8 @@ def run_core(
         else:
             logger.info("no prophage regions found")
 
+    # per-host suffix keeps aux outputs from clobbering across hosts
+    aux_suffix = f".host{host_id:03d}" if num_hosts > 1 else ""
     if save_window_scores:
         preds_obj = np.empty(len(data_full["predictions"]), dtype=object)
         preds_obj[:] = data_full["predictions"]
@@ -404,7 +472,7 @@ def run_core(
         skews_obj = np.empty(len(data_full["gc_skews"]), dtype=object)
         skews_obj[:] = data_full["gc_skews"]
         np.savez(
-            output_dir / f"{stem}_window_scores.npz",
+            output_dir / f"{stem}_window_scores{aux_suffix}.npz",
             headers=data_full["headers"],
             lengths=data_full["lengths"],
             predictions=preds_obj,
@@ -413,13 +481,13 @@ def run_core(
         )
     if save_embedding and "embedding" in outputs:
         np.savez_compressed(
-            output_dir / f"{stem}_embeddings.npz",
+            output_dir / f"{stem}_embeddings{aux_suffix}.npz",
             embedding=np.asarray(outputs["embedding"]),
             headers=np.asarray(meta.headers, dtype=str),
         )
     if save_nmd and "nmd" in outputs:
         np.savez_compressed(
-            output_dir / f"{stem}_nmd.npz",
+            output_dir / f"{stem}_nmd{aux_suffix}.npz",
             nmd=np.asarray(outputs["nmd"]),
             headers=np.asarray(meta.headers, dtype=str),
         )
@@ -439,4 +507,8 @@ def run_core(
         )
     except ImportError:
         pass
+    if num_hosts > 1:
+        merged = _maybe_merge_shards(output_dir, stem, num_hosts)
+        if merged is not None:
+            return merged
     return table

@@ -43,9 +43,16 @@ def shard_path(base: str | Path, host_id: int) -> Path:
 
 def merge_output_shards(base: str | Path, num_hosts: int,
                         delete: bool = True) -> Path:
-    """Merge per-host TSV shards into the final table (header from shard 0)."""
+    """Merge per-host TSV shards into the final table.
+
+    The header comes from the first non-empty shard (a host that owned
+    zero contigs writes an empty shard so completion is detectable).
+    Written via a temp file + rename, and shard deletion tolerates
+    concurrent merges (two hosts finishing simultaneously both produce
+    the same merged file)."""
     base = Path(base)
-    with open(base, "w") as out:
+    tmp = base.with_name(base.name + ".merging")
+    with open(tmp, "w") as out:
         wrote_header = False
         for host in range(num_hosts):
             p = shard_path(base, host)
@@ -58,8 +65,10 @@ def merge_output_shards(base: str | Path, num_hosts: int,
                             continue
                         wrote_header = True
                     out.write(line)
-            if delete:
-                p.unlink()
+    tmp.replace(base)
+    if delete:
+        for host in range(num_hosts):
+            shard_path(base, host).unlink(missing_ok=True)
     return base
 
 

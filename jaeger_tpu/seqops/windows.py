@@ -157,13 +157,16 @@ def window_batches(
     dynamic_stride_threshold: float = 10.0,
     min_len: int | None = None,
     max_len: int | None = None,
+    contig_filter=None,
 ) -> Iterator[WindowBatch]:
     """Stream windows from a FASTA file in batches.
 
     Contigs >= ``fragsize`` produce sliding windows (reference
     ``io.py:112-133``); contigs in ``[min_len, fragsize)`` produce one
     whole-contig window (``io.py:134-145``) whose ``length < fragsize`` —
-    the downstream encoder masks the tail.
+    the downstream encoder masks the tail. ``contig_filter(header)``
+    drops non-matching contigs before windowing (multi-host contig
+    sharding, parallel/multihost.py).
     """
     if min_len is None:
         min_len = fragsize
@@ -200,6 +203,8 @@ def window_batches(
         iter_contigs(path, dustmask=dustmask)
     ):
         if max_len is not None and seqlen > max_len:
+            continue
+        if contig_filter is not None and not contig_filter(header):
             continue
         headers.append(header)
         hidx = len(headers) - 1

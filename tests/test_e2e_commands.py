@@ -245,6 +245,55 @@ def test_predict_mesh_auto_matches_single_device(tmp_path, rng,
     assert t_single_f.read_bytes() == t_mesh_f.read_bytes()
 
 
+def test_multihost_predict_cli_two_processes(tmp_path, rng, model_bundle):
+    """The --num-hosts/--host-id product path: two REAL CLI processes
+    run concurrently on the same FASTA, each writes its shard, the last
+    to finish merges — rows identical to a single-host run."""
+    import os
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    from jaeger_tpu.commands.predict import run_core
+    from jaeger_tpu.parallel.multihost import contig_owner
+
+    fasta = _fasta(tmp_path, rng, [900, 700, 650, 1200, 480, 820],
+                   name="mh2.fasta")
+    owners = {contig_owner(f"ctg{i}", 2) for i in range(6)}
+    assert owners == {0, 1}  # both hosts own contigs
+
+    single = run_core(input_path=str(fasta), output_dir=str(tmp_path / "s"),
+                      model_path=str(model_bundle), fsize=400, stride=400,
+                      min_len=400, batch=8, scan_termini=False, devices=1)
+
+    out = tmp_path / "m"
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "PYTHONPATH": "/root/repo"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "jaeger_tpu.cli", "predict",
+             "-i", str(fasta), "-o", str(out),
+             "-m", str(model_bundle), "--fsize", "400", "--stride", "400",
+             "--min-len", "400",
+             "--batch", "8", "--no-termini", "--devices", "1",
+             "--num-hosts", "2", "--host-id", str(h)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for h in range(2)
+    ]
+    logs = [p.communicate()[0].decode() for p in procs]
+    assert all(p.returncode == 0 for p in procs), logs
+
+    merged = out / "mh2_default_jaeger.tsv"
+    assert merged.exists(), logs
+    assert not list(out.glob("*.shard*"))  # shards cleaned up
+
+    a = pd.read_table(single).sort_values("contig_id").reset_index(drop=True)
+    b = pd.read_table(merged).sort_values("contig_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_sharded_predict_matches_single(tmp_path, rng, model_bundle):
     """Two-host contig-sharded predict (the slurm recipe flow) merges to
     the same rows as a single-host run."""
