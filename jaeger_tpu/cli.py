@@ -62,6 +62,9 @@ def main(verbose: int) -> None:
 @click.option("--devices", default="auto", show_default=True,
               help="Data-parallel device count: 'auto' uses every local "
                    "device, an integer caps it (1 disables the mesh).")
+@click.option("--workers", default=4, show_default=True,
+              help="Host threads for the windowing pipeline (FASTA read "
+                   "+ DUST + encode), like the reference's worker knob.")
 @click.option("--num-hosts", default=1, show_default=True,
               help="Shard contigs deterministically across N independent "
                    "host processes; each writes a TSV shard and the last "
@@ -104,7 +107,7 @@ def main(verbose: int) -> None:
               help="Overwrite an existing output summary.")
 def predict(input_path, output_dir, model_path, fsize, stride, batch,
             min_len, dustmask, dynamic_stride, precision, devices,
-            num_hosts, host_id,
+            workers, num_hosts, host_id,
             crf_switch_cost,
             crf_prior, crf_transition_matrix, reliability_cutoff,
             phage_score, no_termini,
@@ -121,7 +124,7 @@ def predict(input_path, output_dir, model_path, fsize, stride, batch,
         fsize=fsize, stride=stride, batch=batch, min_len=min_len,
         dustmask=dustmask, dynamic_stride=dynamic_stride, precision=precision,
         devices=("auto" if devices == "auto" else int(devices)),
-        num_hosts=num_hosts, host_id=host_id,
+        num_hosts=num_hosts, host_id=host_id, workers=workers,
         crf_switch_cost=crf_switch_cost, crf_prior=crf_prior,
         crf_transition_matrix=(
             __import__("json").load(open(crf_transition_matrix))

@@ -171,6 +171,7 @@ def run_core(
     devices: int | str = "auto",
     num_hosts: int = 1,
     host_id: int | None = None,
+    workers: int = 4,
     crf_switch_cost: float | None = None,
     crf_prior: str = "biological",
     crf_transition_matrix: dict | None = None,
@@ -287,7 +288,7 @@ def run_core(
     batches = window_batches(
         str(input_path), fragsize=fsize, stride=stride, min_len=min_len,
         dustmask=dustmask, dynamic_stride=dynamic_stride,
-        contig_filter=contig_filter,
+        contig_filter=contig_filter, workers=workers,
     )
     # The device-reduced fast path fetches per-contig partials + one int8
     # class per window instead of full logits — used whenever no consumer

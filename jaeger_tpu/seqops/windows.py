@@ -147,6 +147,53 @@ def iter_contigs(
         yield header, encode_ascii(sequence), seqlen
 
 
+def _contig_rows(header, seq, fragsize, stride, dynamic_stride,
+                 dynamic_stride_threshold, min_len, dustmask,
+                 replace_comma=True):
+    """Per-contig heavy work: uppercase + DUST + encode + window slicing
+    + composition. Runs on worker threads under ``workers > 1`` (the
+    native dust masker and numpy release the GIL); returns
+    ``(header, [(win_bases, meta_without_hidx), ...])``.
+    """
+    seqlen = len(seq)
+    sequence = seq.strip().upper()
+    if dustmask:
+        sequence = dust_mask(sequence, window_size=64, score_threshold=20)
+    if replace_comma:
+        header = header.strip().replace(",", "___")
+    ids = encode_ascii(sequence)
+    upper = UPPER_LUT[ids]
+    rows: list[tuple[np.ndarray, tuple]] = []
+    if seqlen >= fragsize:
+        starts = window_indices(
+            seqlen, fragsize, stride, dynamic_stride,
+            dynamic_stride_threshold
+        )
+        last = len(starts) - 1
+        # per-base cumulative counts: every window's composition is two
+        # O(1) lookups instead of an O(fragsize) bincount
+        cum = np.zeros((4, upper.shape[0] + 1), dtype=np.int64)
+        for bi in range(4):
+            np.cumsum(upper == bi, out=cum[bi, 1:])
+        for i, index in enumerate(starts):
+            end = index + fragsize
+            a = int(cum[0, end] - cum[0, index])
+            t = int(cum[1, end] - cum[1, index])
+            g = int(cum[2, end] - cum[2, index])
+            c = int(cum[3, end] - cum[3, index])
+            rows.append((
+                ids[index:end],
+                (fragsize, index, 1 if i == last else 0, i, seqlen,
+                 g, c, a, t, _gc_skew(g, c)),
+            ))
+    elif seqlen >= min_len:
+        g, c, a, t = _composition(upper)
+        rows.append((
+            ids, (seqlen, 0, 1, 0, seqlen, g, c, a, t, _gc_skew(g, c))
+        ))
+    return header, rows
+
+
 def window_batches(
     path: str,
     fragsize: int,
@@ -158,6 +205,7 @@ def window_batches(
     min_len: int | None = None,
     max_len: int | None = None,
     contig_filter=None,
+    workers: int = 0,
 ) -> Iterator[WindowBatch]:
     """Stream windows from a FASTA file in batches.
 
@@ -167,13 +215,19 @@ def window_batches(
     the downstream encoder masks the tail. ``contig_filter(header)``
     drops non-matching contigs before windowing (multi-host contig
     sharding, parallel/multihost.py).
+
+    ``workers > 1`` pipelines the per-contig work (DUST + encode +
+    slicing) over a thread pool, in submission order so window/batch
+    contents are IDENTICAL to the serial path (pinned by tests).
+    Host-pipeline parallelism parity: the reference's tf.data AUTOTUNE
+    maps (``commands/predict.py:219-245``).
     """
     if min_len is None:
         min_len = fragsize
 
     cap = fragsize
     buf_bases: list[np.ndarray] = []
-    meta: list[tuple[int, int, int, int, int, int, int, int, int, float]] = []
+    meta: list[tuple] = []
     headers: list[str] = []
 
     def flush() -> WindowBatch:
@@ -194,54 +248,63 @@ def window_batches(
             c=cols[:, 7].astype(np.int32),
             a=cols[:, 8].astype(np.int32),
             t=cols[:, 9].astype(np.int32),
-            gc_skew=cols[:, 10].astype(np.float32) if cols.shape[1] > 10 else cols[:, -1].astype(np.float32),
+            gc_skew=cols[:, 10].astype(np.float32),
             headers=list(headers),
         )
         return batch
 
-    for contig_idx, (header, ids, seqlen) in enumerate(
-        iter_contigs(path, dustmask=dustmask)
-    ):
-        if max_len is not None and seqlen > max_len:
-            continue
-        if contig_filter is not None and not contig_filter(header):
+    def raw_records():
+        for header, seq in _fasta_source(path):
+            if max_len is not None and len(seq) > max_len:
+                continue
+            if contig_filter is not None and not contig_filter(
+                header.strip().replace(",", "___")
+            ):
+                continue
+            yield header, seq
+
+    def processed():
+        if workers and workers > 1:
+            # ordered bounded pipeline: contigs submit in file order and
+            # results consume FIFO, so output is byte-identical to serial
+            import collections
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                pending = collections.deque()
+                src = raw_records()
+                for header, seq in src:
+                    pending.append(ex.submit(
+                        _contig_rows, header, seq, fragsize, stride,
+                        dynamic_stride, dynamic_stride_threshold,
+                        min_len, dustmask,
+                    ))
+                    if len(pending) >= workers * 2:
+                        yield pending.popleft().result()
+                while pending:
+                    yield pending.popleft().result()
+        else:
+            for header, seq in raw_records():
+                yield _contig_rows(
+                    header, seq, fragsize, stride, dynamic_stride,
+                    dynamic_stride_threshold, min_len, dustmask,
+                )
+
+    for header, rows in processed():
+        if not rows:
+            # sub-min_len contigs still consume a header slot (parity
+            # with the reference's global contig indexing)
+            headers.append(header)
             continue
         headers.append(header)
         hidx = len(headers) - 1
-        upper = UPPER_LUT[ids]
-        if seqlen >= fragsize:
-            starts = window_indices(
-                seqlen, fragsize, stride, dynamic_stride, dynamic_stride_threshold
-            )
-            last = len(starts) - 1
-            # per-base cumulative counts: every window's composition is two
-            # O(1) lookups instead of an O(fragsize) bincount
-            cum = np.zeros((4, upper.shape[0] + 1), dtype=np.int64)
-            for bi in range(4):
-                np.cumsum(upper == bi, out=cum[bi, 1:])
-            for i, index in enumerate(starts):
-                win = ids[index : index + fragsize]
-                end = index + fragsize
-                a = int(cum[0, end] - cum[0, index])
-                t = int(cum[1, end] - cum[1, index])
-                g = int(cum[2, end] - cum[2, index])
-                c = int(cum[3, end] - cum[3, index])
-                buf_bases.append(win)
-                meta.append(
-                    (fragsize, hidx, index, 1 if i == last else 0, i, seqlen,
-                     g, c, a, t, _gc_skew(g, c))
-                )
-                if len(buf_bases) >= batch_capacity:
-                    yield flush()
-                    buf_bases, meta = [], []
-                    # keep headers: contig indices refer into the shared list
-        elif seqlen >= min_len:
-            g, c, a, t = _composition(upper)
-            buf_bases.append(ids)
-            meta.append((seqlen, hidx, 0, 1, 0, seqlen, g, c, a, t, _gc_skew(g, c)))
+        for win, m in rows:
+            buf_bases.append(win)
+            meta.append((m[0], hidx) + m[1:])
             if len(buf_bases) >= batch_capacity:
                 yield flush()
                 buf_bases, meta = [], []
+                # keep headers: contig indices refer into the shared list
 
     if buf_bases:
         yield flush()
