@@ -282,8 +282,11 @@ def utils() -> None:
 @click.option("--balance-classes", is_flag=True, default=False)
 @click.option("--shard-size", default=None, type=int,
               help="Stream output as class-balanced shards of this size.")
+@click.option("--workers", default=4, show_default=True,
+              help="Thread workers for shard/chunk materialization.")
 def optimize_data(input_path, output_path, fmt, crop_size, stride, one_hot,
-                  codon_map, compress, no_pad, balance_classes, shard_size):
+                  codon_map, compress, no_pad, balance_classes, shard_size,
+                  workers):
     """Convert a label,sequence CSV to a preprocessed NPZ dataset."""
     from jaeger_tpu.commands.utils import optimize_data_core
 
@@ -292,6 +295,7 @@ def optimize_data(input_path, output_path, fmt, crop_size, stride, one_hot,
         crop_size=list(crop_size), stride=stride, one_hot=one_hot,
         codon_map=codon_map, compress=compress, pad=not no_pad,
         balance_classes=balance_classes, shard_size=shard_size,
+        workers=workers,
     )
     click.echo(summary)
 

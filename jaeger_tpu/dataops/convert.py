@@ -274,12 +274,16 @@ def convert_dataset(
     balance_classes: bool = False,
     shuffle_seed: int = 42,
     shard_size: int | None = None,
+    workers: int = 0,
 ) -> dict:
     """Convert a ``label,sequence`` CSV into an NPZ dataset.
 
     ``shard_size`` switches to the streaming sharded layout (one
     ``<key>_NNNNN.npy`` group per shard + ``_jaeger_manifest``), replacing
     the reference's RAM-budget dispatch with an explicit knob.
+    ``workers > 1`` materializes shards/chunks on a thread pool (the
+    numpy encode kernels release the GIL) — host-pipeline parity with
+    the reference's converter multiprocessing (``convert.py:17-19``).
     Returns a summary dict (counts per class, shapes).
     """
     fmt = format.lower()
@@ -371,15 +375,26 @@ def convert_dataset(
             json.dumps(nmap or _DEFAULT_NUCLEOTIDE_MAP)
         )
 
+    def materialize_many(chunks: list[np.ndarray]) -> list[dict]:
+        if workers and workers > 1 and len(chunks) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                return list(ex.map(materialize, chunks))
+        return [materialize(c) for c in chunks]
+
     if shard_size:
+        chunks = [
+            order[lo : lo + shard_size]
+            for lo in range(0, len(order), shard_size)
+        ]
         shards = []
         payload: dict = {}
-        for shard_i, lo in enumerate(range(0, len(order), shard_size)):
-            rows = order[lo : lo + shard_size]
-            data = materialize(rows)
+        for shard_i, data in enumerate(materialize_many(chunks)):
             for key, arr in data.items():
                 payload[f"{key}_{shard_i:05d}"] = arr
-            shards.append({"index": shard_i, "rows": len(rows)})
+            shards.append({"index": shard_i,
+                           "rows": len(chunks[shard_i])})
         manifest = {
             "version": 1, "shards": shards,
             "keys": sorted({k.rsplit("_", 1)[0] for k in payload}),
@@ -388,7 +403,18 @@ def convert_dataset(
         payload.update(meta)
         save_npz(output_path, payload, compress)
     else:
-        data = materialize(order)
+        if workers and workers > 1 and len(order) > 4096:
+            chunk = -(-len(order) // workers)
+            parts = materialize_many([
+                order[lo : lo + chunk]
+                for lo in range(0, len(order), chunk)
+            ])
+            data = {
+                k: np.concatenate([p[k] for p in parts])
+                for k in parts[0]
+            }
+        else:
+            data = materialize(order)
         data.update(meta)
         save_npz(output_path, data, compress)
 

@@ -303,3 +303,34 @@ def test_dataset_core_split_and_dedupe(tmp_path, rng):
     first = (tmp_path / "ds_train.csv").read_text().splitlines()[0]
     label, frag = first.split(",")
     assert label == "3" and len(frag) == 1000
+
+
+def test_convert_workers_identical(tmp_path, random_dna):
+    """Parallel shard/chunk materialization is byte-identical to serial."""
+    import numpy as np
+
+    from jaeger_tpu.dataops.convert import convert_dataset
+
+    rng = np.random.default_rng(5)
+    csv = tmp_path / "in.csv"
+    with open(csv, "w") as fh:
+        for i in range(450):  # >4096 crop rows, so the unsharded chunk gate engages
+            fh.write(f"{i % 3},{random_dna(int(rng.integers(600, 1800)))}\n")
+
+    for kwargs in (
+        {"shard_size": 64},
+        {},  # unsharded chunked path (forced past the 4096 gate below)
+    ):
+        a = tmp_path / "a.npz"
+        b = tmp_path / "b.npz"
+        common = dict(format="translated", crop_size=[150, 200],
+                      stride=150, balance_classes=True, **kwargs)
+        convert_dataset(str(csv), str(a), workers=0, **common)
+        convert_dataset(str(csv), str(b), workers=4, **common)
+        da, db = np.load(a, allow_pickle=True), np.load(b, allow_pickle=True)
+        assert set(da.files) == set(db.files)
+        for k in da.files:
+            if k.startswith("_") or k.endswith("_map"):
+                assert str(da[k]) == str(db[k])
+            else:
+                np.testing.assert_array_equal(da[k], db[k], err_msg=k)
