@@ -242,3 +242,42 @@ class TestGenes:
         # max extension caps movement
         capped = refine_boundary(inside, genes, "left", max_extension=5)
         assert capped == 55
+
+    def test_rbs_start_selection(self):
+        """Prodigal-style start choice: a strong Shine-Dalgarno site
+        outweighs a slightly longer upstream extension."""
+        from jaeger_tpu.postprocess.genes import find_genes
+
+        body = "GCT" * 40 + "TAA"
+        # early ATG with no RBS; 7 codons later a second ATG preceded by
+        # a perfect AGGAGG at spacer 6 — the RBS (+3.0) outweighs the
+        # 7-codon length advantage (+2.1)
+        seq = (
+            "C" * 30
+            + "ATG" + "CAC" * 2                      # early start, no RBS
+            + "AGGAGG" + "CCCCCC"                    # SD + spacer, in-frame
+            + "ATG" + body
+            + "C" * 30
+        )
+        genes = find_genes(seq)
+        late_start = seq.index("ATG" + body)
+        assert any(s == late_start for s, e in genes), genes
+
+    def test_overlap_conflict_resolution(self):
+        """The DP keeps the strong gene and drops a conflicting weak
+        candidate (old maximal-ORF mode returned both)."""
+        from jaeger_tpu.postprocess.genes import _select, find_genes
+
+        strong = (0, 300, 10.0)
+        weak_far = (250, 400, 2.0)     # 50 nt overlap: allowed
+        weak_near = (200, 400, 2.0)    # 100 nt overlap: conflict
+        assert _select([strong, weak_far]) == [(0, 300), (250, 400)]
+        assert _select([strong, weak_near]) == [(0, 300)]
+        # negative-score candidates never selected
+        assert _select([(0, 300, -1.0)]) == []
+
+        # mode='orf' retains the permissive superset
+        gene = "ATG" + "GCT" * 40 + "TAA"
+        seq = "C" * 30 + gene + "C" * 30
+        sup = find_genes(seq, mode="orf")
+        assert any(s == 30 for s, e in sup)
