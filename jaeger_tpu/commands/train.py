@@ -597,9 +597,18 @@ def train_fragment_core(
                 generate_reliability_data,
             )
 
+            # knobs from training.reliability_data_generation (reference
+            # YAML schema: synthetic_ood_multiplier, inference_batch_size,
+            # perturbations — flagship config parity)
+            gen_cfg = train_cfg.get("reliability_data_generation", {}) or {}
             rel_paths = generate_reliability_data(
                 model, variables, train_paths[0],
                 str(out_root / "reliability_data"), crop_nt,
+                synthetic_ood_multiplier=float(
+                    gen_cfg.get("synthetic_ood_multiplier", 1.0)),
+                batch_size=int(
+                    gen_cfg.get("inference_batch_size", 512)),
+                perturbations=gen_cfg.get("perturbations"),
             )
         rel_train = rel_paths.get("train", {}).get("paths", [])
         rel_val = rel_paths.get("validation", {}).get("paths", [])

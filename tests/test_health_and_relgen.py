@@ -54,3 +54,109 @@ def test_reliability_generator_outputs(tmp_path, rng):
     again = generate_reliability_data(
         model, variables, str(csv), str(tmp_path / "rel"), crop_nt)
     assert again["train"]["paths"] == paths["train"]["paths"]
+
+
+def test_normalize_perturbations_reference_schema():
+    """The flagship YAML's perturbation config normalizes into specs
+    (reference synthetic_perturbations.py:37-140 schema)."""
+    from jaeger_tpu.dataops.reliability_generator import (
+        normalize_perturbations,
+    )
+
+    cfg = {  # the shipped flagship config's block
+        "shuffle": {"enabled": True, "mode": "dinuc"},
+        "subseq_repeat": {"enabled": True, "window_fraction": 0.25},
+        "tandem_repeat": {"enabled": True,
+                          "motif_length_range": [3, 10],
+                          "window_fraction": 0.25, "num_repeats": 20},
+        "mix": True,
+    }
+    specs = normalize_perturbations(cfg)
+    names = [s["name"] for s in specs]
+    assert names == ["shuffle", "subseq_repeat", "tandem_repeat", "mix"]
+    assert specs[2]["kwargs"]["num_repeats"] == 20
+
+    # mode lists, kmer kwargs, opt-in n_stretch, disabling
+    specs = normalize_perturbations({
+        "shuffle": {"mode": ["random", "kmer"], "k": 4},
+        "subseq_repeat": False, "tandem_repeat": False,
+        "n_stretch": {"n_fraction_range": [0.2, 0.4]},
+    })
+    assert [s["name"] for s in specs] == ["shuffle", "shuffle", "n_stretch"]
+    assert specs[1]["kwargs"] == {"k": 4}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="no perturbations"):
+        normalize_perturbations({"shuffle": False, "subseq_repeat": False,
+                                 "tandem_repeat": False})
+    with pytest.raises(ValueError, match="shuffle mode"):
+        normalize_perturbations({"shuffle": {"mode": "bogus"}})
+
+
+def test_generate_synthetic_with_config(random_dna):
+    from jaeger_tpu.dataops.reliability_generator import (
+        generate_synthetic_sequences,
+    )
+
+    rows = [(0, random_dna(300)) for _ in range(10)]
+    out = generate_synthetic_sequences(
+        rows, 20, seed=1,
+        perturbations={"shuffle": {"mode": "dinuc"},
+                       "subseq_repeat": False, "tandem_repeat": False,
+                       "mix": {"n_segments": 3}},
+    )
+    assert len(out) == 20
+    assert all(set(s) <= set("ACGTN") for s in out)
+
+
+def test_reliability_generator_chunked_streaming(tmp_path, rng):
+    """chunk_size smaller than the CSV exercises the streaming path;
+    output counts match the single-chunk run's ID/OOD labeling."""
+    import numpy as np
+
+    from jaeger_tpu.dataops.reliability_generator import (
+        generate_reliability_data,
+    )
+    from jaeger_tpu.models.builder import ModelBuilder
+
+    cfg = {
+        "model": {
+            "name": "rg", "seed": 0, "classifier_out_dim": 3,
+            "class_label_map": [
+                {"class": "a", "label": 0}, {"class": "b", "label": 1},
+                {"class": "c", "label": 2}],
+            "embedding": {"use_embedding_layer": True,
+                          "input_type": "translated",
+                          "embedding_size": 4},
+            "string_processor": {"crop_size": 40, "seq_onehot": False},
+            "representation_learner": {
+                "hidden_layers": [
+                    {"name": "masked_conv1d",
+                     "config": {"filters": 4, "kernel_size": 3}}],
+                "pooling": "average"},
+            "classifier": {"hidden_layers": [
+                {"name": "dense", "config": {"units": 3}}]},
+        },
+        "training": {},
+    }
+    b = ModelBuilder(cfg)
+    model, variables = b.init()
+    _, crop_nt = b.crop
+    csv = tmp_path / "raw.csv"
+    with open(csv, "w") as fh:
+        for i in range(60):
+            seq = "".join(rng.choice(list("ACGT"), size=150))
+            fh.write(f"{i % 3},{seq}\n")
+
+    paths = generate_reliability_data(
+        model, variables, str(csv), str(tmp_path / "out"), crop_nt,
+        id_threshold=0.0, synthetic_ood_threshold=0.0,
+        chunk_size=16, seed=3, batch_size=8,
+    )
+    train = open(paths["train"]["paths"][0]).read().splitlines()
+    val = open(paths["validation"]["paths"][0]).read().splitlines()
+    # threshold 0 keeps every real row + every synthetic row
+    assert len(train) + len(val) == 120
+    labels = {int(r.split(",")[0]) for r in train + val}
+    assert labels <= {0, 1}
