@@ -71,6 +71,15 @@ if [ "${RUN_TRAIN:-1}" = "1" ]; then
         --min-len 500 --no-termini --batch 64
     run predict_crf cli predict -i "$FASTA" -o "$WORK/out_crf" \
         -m "$WORK/model" --min-len 500 --no-termini --crf-switch-cost 2.0
+    # multi-host product path: two sequential shard runs + auto-merge
+    run predict_mh0 cli predict -i "$FASTA" -o "$WORK/out_mh" \
+        -m "$WORK/model" --min-len 500 --no-termini --batch 64 \
+        --num-hosts 2 --host-id 0 --devices 1 --workers 2
+    run predict_mh1 cli predict -i "$FASTA" -o "$WORK/out_mh" \
+        -m "$WORK/model" --min-len 500 --no-termini --batch 64 \
+        --num-hosts 2 --host-id 1 --devices 1 --workers 2
+    run predict_mh_merged test -s \
+        "$WORK/out_mh/test_contigs_default_jaeger.tsv"
     run stats cli utils stats \
         -i "$WORK/out/test_contigs_default_jaeger.tsv"
     run combine cli utils combine-models "$WORK/model" "$WORK/model" \
