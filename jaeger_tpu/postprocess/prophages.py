@@ -336,58 +336,124 @@ def plot_scores_linear(logits_df: dict, fsize: int, infile_base: str,
 def plot_scores(logits_df: dict, fsize: int, infile_base: str, outdir: Path,
                 phage_cordinates: dict | None = None,
                 stride: int | None = None) -> list[Path]:
-    """Circular (polar) per-contig plot: score ring, GC ring, GC-skew ring,
-    prophage highlights. Role parity with the reference's pycirclize circos
-    plot (``prophages.py:156-358``), rendered with matplotlib polar axes."""
+    """Circos-style per-contig plot, matching the reference's pycirclize
+    figure track-for-track (``prophages.py:156-358``; pycirclize is
+    matplotlib-polar underneath, so the same radial layout renders
+    directly): outer tick ring (98-100), orange phage-score track
+    (88-97) with magenta prophage highlights, per-class score track
+    (78-87), mean-centered G+C (55-70, blue above / black below), GC
+    skew (45-55, olive positive / purple negative), centered legend,
+    PDF output named like the reference."""
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
+    from matplotlib.lines import Line2D
+    from matplotlib.patches import Patch
 
     step = stride or fsize
     outdir = Path(outdir)
     outdir.mkdir(parents=True, exist_ok=True)
     written = []
+    aux_colors = ["gray", "green", "red", "teal", "brown", "purple",
+                  "cyan", "pink"]
+    score_cols_excl = {"length", "gc", "gc_skew"}
+
     for key, (t, host, length) in logits_df.items():
         theta = t["length"].to_numpy() / max(length, 1) * 2 * np.pi
-        fig = plt.figure(figsize=(8, 8))
+        fig = plt.figure(figsize=(9, 9))
         ax = fig.add_subplot(projection="polar")
         ax.set_theta_zero_location("N")
         ax.set_theta_direction(-1)
-
-        if "phage" in t.columns:
-            score = np.clip(t["phage"].to_numpy() / 4.0, 0, 1)
-            ax.bar(theta, score * 0.25, width=2 * np.pi / max(len(t), 1),
-                   bottom=0.70, color="crimson", alpha=0.8,
-                   label="phage score")
-        gc = t["gc"].to_numpy()
-        ax.bar(theta, (gc - gc.min()) / max(float(np.ptp(gc)), 1e-9) * 0.15,
-               width=2 * np.pi / max(len(t), 1), bottom=0.50,
-               color="teal", alpha=0.7, label="G+C")
-        skew = t["gc_skew"].to_numpy()
-        ax.bar(theta, np.abs(skew) * 0.1,
-               width=2 * np.pi / max(len(t), 1), bottom=0.35,
-               color=np.where(skew >= 0, "purple", "orange"), alpha=0.7,
-               label="GC skew")
-        if phage_cordinates:
-            cords, scores = phage_cordinates.get(key, [[], []])
-            for (s, e), sc in zip(cords, scores):
-                t0 = s * step / max(length, 1) * 2 * np.pi
-                t1 = ((e - 1) * step + fsize) / max(length, 1) * 2 * np.pi
-                ax.barh(1.0, t1 - t0, left=t0, height=0.05,
-                        color="crimson", alpha=0.9)
-        ax.set_ylim(0, 1.05)
+        ax.set_ylim(0, 103)
         ax.set_yticks([])
-        ax.set_xticks(np.linspace(0, 2 * np.pi, 8, endpoint=False))
-        ax.set_xticklabels(
-            [f"{int(length * f / 8):,}" for f in range(8)], fontsize=7
+        ax.spines["polar"].set_visible(False)
+        ax.grid(False)
+
+        # outer axis ring (reference track 98-100) + Mb-interval ticks
+        ring = np.linspace(0, 2 * np.pi, 512)
+        ax.fill_between(ring, 98, 100, color="lightgrey", zorder=1)
+        major = 500_000 if length > 1_000_000 else max(
+            10_000, int(length / 8) // 10_000 * 10_000 or 10_000)
+        for pos in range(0, length + 1, major):
+            a = pos / max(length, 1) * 2 * np.pi
+            ax.plot([a, a], [100, 102], color="grey", lw=0.8)
+            ax.text(a, 106, f"{pos / 1e6:.1f} Mb", ha="center",
+                    va="center", fontsize=9)
+
+        patches = []
+        # phage score track (88-97), orange fill 0..4
+        if "phage" in t.columns:
+            sc = np.clip(t["phage"].to_numpy(), 0, 4) / 4.0
+            ax.fill_between(theta, 88, 88 + sc * 9, color="orange",
+                            alpha=1.0, zorder=2)
+            if phage_cordinates:
+                cords, _scores = phage_cordinates.get(key, [[], []])
+                for s_, e_ in cords:
+                    a0 = min(s_ * step, length) / max(length, 1) * 2 * np.pi
+                    a1 = min((e_ - 1) * step + fsize, length) / max(
+                        length, 1) * 2 * np.pi
+                    span = np.linspace(a0, a1, 64)
+                    ax.fill_between(span, 88, 97, color="magenta",
+                                    alpha=0.3, lw=1, zorder=3)
+
+        # other class scores (78-87)
+        for j, col in enumerate(t.columns):
+            if col in score_cols_excl or col == "phage":
+                continue
+            color = aux_colors[j % len(aux_colors)]
+            sc = np.clip(t[col].to_numpy(), 0, 4) / 4.0
+            ax.fill_between(theta, 78, 78 + sc * 9, color=color,
+                            alpha=0.7, zorder=2)
+            patches.append(Patch(color=color, label=col))
+
+        # G+C, mean-centered (55-70): above-mean blue, below-mean black
+        gc = t["gc"].to_numpy().astype(float)
+        gc = gc - gc.mean()
+        amax = max(float(np.max(np.abs(gc))), 1e-9)
+        mid_gc = 62.5
+        ax.fill_between(theta, mid_gc,
+                        mid_gc + np.where(gc > 0, gc, 0) / amax * 7.5,
+                        color="blue", alpha=0.5, zorder=2)
+        ax.fill_between(theta, mid_gc,
+                        mid_gc + np.where(gc < 0, gc, 0) / amax * 7.5,
+                        color="black", zorder=2)
+
+        # GC skew (45-55): positive olive, negative purple
+        skew = t["gc_skew"].to_numpy().astype(float)
+        smax = max(float(np.max(np.abs(skew))), 1e-9)
+        mid_sk = 50.0
+        ax.fill_between(theta, mid_sk,
+                        mid_sk + np.where(skew > 0, skew, 0) / smax * 5,
+                        color="olive", zorder=2)
+        ax.fill_between(theta, mid_sk,
+                        mid_sk + np.where(skew < 0, skew, 0) / smax * 5,
+                        color="purple", zorder=2)
+
+        handles = (
+            [Patch(color="orange", label="phage"),
+             Patch(color="magenta", alpha=0.3, label="putative prophage")]
+            + patches
+            + [Line2D([], [], color="blue",
+                      label=r"$ > \overline{G+C}$", marker="^", ms=6,
+                      ls="None", alpha=0.5),
+               Line2D([], [], color="black",
+                      label=r"$ < \overline{G+C}$", marker="v", ms=6,
+                      ls="None"),
+               Line2D([], [], color="olive", label="Positive GC Skew",
+                      marker="^", ms=6, ls="None"),
+               Line2D([], [], color="purple", label="Negative GC Skew",
+                      marker="v", ms=6, ls="None")]
         )
-        ax.set_title(f"{key} (host: {host}, {length:,} bp)", fontsize=10)
-        ax.legend(loc="lower left", bbox_to_anchor=(0.9, 0.9), fontsize=7)
-        path = outdir / f"{infile_base}_{_safe(key)}_circular.png"
-        fig.savefig(path, dpi=120)
+        ax.legend(handles=handles, bbox_to_anchor=(0.51, 0.50),
+                  loc="center", fontsize=10)
+        plt.title(key.replace("___", ","),
+                  fontdict={"size": 14, "weight": "bold"})
+        path = outdir / f"{infile_base}_jaeger_{_safe(key.split(' ')[0])}.pdf"
+        fig.savefig(path, bbox_inches="tight", dpi=300)
         plt.close(fig)
         written.append(path)
+        logger.info(f"prophage plot saved at {path}")
     return written
 
 

@@ -281,3 +281,28 @@ class TestGenes:
         seq = "C" * 30 + gene + "C" * 30
         sup = find_genes(seq, mode="orf")
         assert any(s == 30 for s, e in sup)
+
+
+def test_circular_plot_renders_reference_layout(tmp_path):
+    """The circos-style plot renders the reference's track layout and
+    file naming ({base}_jaeger_{contig}.pdf)."""
+    import numpy as np
+    import pandas as pd
+
+    from jaeger_tpu.postprocess import prophages as pro
+
+    n = 30
+    t = pd.DataFrame({
+        "length": np.arange(n) * 2000,
+        "phage": np.linspace(0, 4, n),
+        "bacteria": np.linspace(2, 0, n),
+        "gc": np.random.default_rng(0).uniform(0.3, 0.6, n),
+        "gc_skew": np.random.default_rng(1).uniform(-0.2, 0.2, n),
+    })
+    out = pro.plot_scores(
+        {"c1 extra": (t, "bacteria", n * 2000)}, fsize=2000,
+        infile_base="x", outdir=tmp_path,
+        phage_cordinates={"c1 extra": ([(5, 10)], [3.0])},
+    )
+    assert out == [tmp_path / "x_jaeger_c1.pdf"]
+    assert out[0].stat().st_size > 5000
