@@ -599,15 +599,24 @@ def download(url, dest, registry, list_catalog):
 @click.option("--testperc", default=0.1, show_default=True)
 @click.option("--label", default=0, show_default=True)
 @click.option("--seed", default=42, show_default=True)
+@click.option("--dedupe", default="minhash", show_default=True,
+              type=click.Choice(["minhash", "exact", "none"]),
+              help="minhash = ANI-style MinHash clustering (mmseqs2 "
+                   "equivalent); exact = endpoint signatures.")
+@click.option("--dedupe-threshold", default=0.8, show_default=True,
+              help="Estimated Jaccard similarity above which fragments "
+                   "deduplicate (minhash mode).")
 def dataset(input_path, out_prefix, frag_len, overlap, trainperc, valperc,
-            testperc, label, seed):
+            testperc, label, seed, dedupe, dedupe_threshold):
     """Fragment + dedupe + split genomes into train/val/test CSVs."""
     from jaeger_tpu.commands.utils import dataset_core
 
     summary = dataset_core(input_path, out_prefix, frag_len=frag_len,
                            overlap=overlap, trainperc=trainperc,
                            valperc=valperc, testperc=testperc, label=label,
-                           seed=seed)
+                           seed=seed,
+                           dedupe=(False if dedupe == "none" else dedupe),
+                           dedupe_threshold=dedupe_threshold)
     click.echo(summary)
 
 

@@ -175,19 +175,26 @@ def dataset_core(input: str, out_prefix: str, frag_len: int = 2048,
                  overlap: int = 1024, trainperc: float = 0.8,
                  valperc: float = 0.1, testperc: float = 0.1,
                  label: int = 0, seed: int = 42,
-                 dedupe: bool = True) -> dict:
+                 dedupe: bool | str = "minhash",
+                 dedupe_threshold: float = 0.8) -> dict:
     """Build a train/val/test fragment dataset from genomes.
 
     Parity role: reference ``commands/utils.py:226-246`` (``dataset_core``)
-    which fragments genomes, dereplicates with the external mmseqs2 binary,
-    and splits. The dereplication here is an in-repo minhash-style exact
-    k-mer-profile dedupe (documented divergence: mmseqs2 clustering at
-    identity thresholds is coarser; plug the external binary in by
-    disabling ``dedupe`` and clustering the fragment FASTA yourself).
+    which fragments genomes, dereplicates with the external mmseqs2
+    binary, and splits. ``dedupe='minhash'`` (default) clusters with
+    canonical-k-mer MinHash sketches at ``dedupe_threshold`` estimated
+    Jaccard — the in-repo equivalent of mmseqs2 identity clustering
+    (dataops/dedupe.py), no external binary. ``'exact'`` keeps the
+    cheap endpoint-signature dedupe; ``False`` disables.
     """
     rng = random.Random(seed)
     frags: list[str] = []
     seen: set[int] = set()
+    deduper = None
+    if dedupe == "minhash" or dedupe is True:
+        from jaeger_tpu.dataops.dedupe import MinHashDeduper
+
+        deduper = MinHashDeduper(threshold=dedupe_threshold)
     for header, seq in read_fasta(input):
         seq = seq.upper()
         for start in range(0, max(1, len(seq) - frag_len + 1),
@@ -195,7 +202,10 @@ def dataset_core(input: str, out_prefix: str, frag_len: int = 2048,
             frag = seq[start : start + frag_len]
             if len(frag) < frag_len // 2:
                 continue
-            if dedupe:
+            if deduper is not None:
+                if deduper.is_duplicate(frag):
+                    continue
+            elif dedupe == "exact":
                 sig = hash(frag[:256] + frag[-256:])
                 if sig in seen:
                     continue

@@ -334,3 +334,60 @@ def test_convert_workers_identical(tmp_path, random_dna):
                 assert str(da[k]) == str(db[k])
             else:
                 np.testing.assert_array_equal(da[k], db[k], err_msg=k)
+
+
+class TestMinHashDedupe:
+    def test_sketch_canonical_strands(self, random_dna):
+        from jaeger_tpu.dataops.dedupe import minhash_sketch
+        from jaeger_tpu.postprocess.termini import reverse_complement
+
+        s = random_dna(500)
+        a = minhash_sketch(s)
+        b = minhash_sketch(reverse_complement(s))
+        np.testing.assert_array_equal(a, b)  # strand-invariant
+
+    def test_sketch_drops_n_kmers(self):
+        from jaeger_tpu.dataops.dedupe import minhash_sketch
+
+        assert minhash_sketch("N" * 100).size == 0
+        assert minhash_sketch("ACG").size == 0  # shorter than k
+
+    def test_near_duplicates_cluster(self, random_dna):
+        import numpy as np
+
+        from jaeger_tpu.dataops.dedupe import MinHashDeduper
+
+        rng = np.random.default_rng(0)
+        base = random_dna(2000)
+        # a 1%-mutated copy shares most k-mers -> duplicate at 0.6
+        mutated = list(base)
+        for i in rng.choice(2000, size=20, replace=False):
+            mutated[i] = "ACGT"[(("ACGT".index(mutated[i])) + 1) % 4]
+        mutated = "".join(mutated)
+        unrelated = random_dna(2000)
+
+        d = MinHashDeduper(threshold=0.6)
+        assert not d.is_duplicate(base)
+        assert d.is_duplicate(base)          # exact copy
+        assert d.is_duplicate(mutated)       # near-identical copy
+        assert not d.is_duplicate(unrelated)
+        assert len(d) == 2
+
+    def test_dataset_core_minhash_mode(self, tmp_path, random_dna):
+        from jaeger_tpu.commands.utils import dataset_core
+
+        g1 = random_dna(6000)
+        fasta = tmp_path / "g.fasta"
+        # the same genome twice under different names: minhash collapses
+        # every duplicated fragment
+        fasta.write_text(f">a\n{g1}\n>b\n{g1}\n")
+        summary = dataset_core(
+            str(fasta), str(tmp_path / "ds"), frag_len=2000,
+            overlap=0, dedupe="minhash",
+        )
+        total = sum(summary.values())
+        nodedup = dataset_core(
+            str(fasta), str(tmp_path / "ds2"), frag_len=2000,
+            overlap=0, dedupe=False,
+        )
+        assert sum(nodedup.values()) == 2 * total
