@@ -35,7 +35,7 @@ C = 128
 K = 5
 DIL = 3
 DEPTH = 12
-ROWS = 16          # rows per grid step
+ROWS = 8           # rows per grid step (VMEM: ~11 MB incl. int32 accum)
 
 
 def _kernel(x_ref, w_ref, scale_ref, out_ref):
