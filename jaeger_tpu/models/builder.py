@@ -51,21 +51,26 @@ class LayerStack(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask=None, train: bool = False):
+    def __call__(self, x, mask=None, train: bool = False, fold_table=None):
         nmds: list = []
         gate = None
         for i, (name, raw_cfg) in enumerate(self.layer_configs):
             cfg = dict(raw_cfg)
             lname = f"{name}_{i}"
+            fold_kw = (
+                {"fold_table": fold_table}
+                if i == 0 and fold_table is not None
+                else {}
+            )
             if name == "masked_conv1d":
                 x, mask = L.MaskedConv1D(
                     name=lname, dtype=self.dtype, **_sub(cfg, _CONV_KEYS)
-                )(x, mask, train)
+                )(x, mask, train, **fold_kw)
             elif name == "conv1d":
                 cfg.setdefault("use_masking", False)
                 x, mask = L.MaskedConv1D(
                     name=lname, dtype=self.dtype, **_sub(cfg, _CONV_KEYS)
-                )(x, mask, train)
+                )(x, mask, train, **fold_kw)
             elif name == "multi_scale_conv":
                 x, mask = L.MultiScaleConv1D(
                     name=lname, dtype=self.dtype,
@@ -357,6 +362,26 @@ class JaegerModel(nn.Module):
             )
 
         # --- 2. embedding section (nnlib/builder.py:844-894) ---
+        rep_cfg = cfg.get("representation_learner", {})
+        # The embedding is linear, so when the rep stack opens with a conv
+        # (nothing nonlinear between them) the two compose into ONE conv
+        # whose kernel is einsum(table, kernel): the MXU then contracts
+        # over vocab (65 -> one 128-lane pass) instead of embedding_size
+        # (196 -> two), and the (B, F, L, 196) embedded activation never
+        # hits HBM. bf16 only: the f32 path keeps the literal two-op form
+        # so converted-weight golden logits stay bit-stable.
+        _rep_layers = rep_cfg.get("hidden_layers", [])
+        can_fold = (
+            input_type == "translated"
+            and emb_cfg.get("use_embedding_layer", False)
+            and emb_cfg.get("embedding_size", 4) > 0
+            and not emb_cfg.get("use_positional_embeddings", False)
+            and "branch" not in rep_cfg
+            and bool(_rep_layers)
+            and _rep_layers[0].get("name") in ("masked_conv1d", "conv1d")
+            and self.dtype == jnp.bfloat16
+        )
+        fold_table = None
         if input_type in ("translated", "both"):
             tokens = feats["translated"]
             mask = None if assume_dense else (tokens != 0)
@@ -369,9 +394,14 @@ class JaegerModel(nn.Module):
                     # one-hot matmul, not nn.Embed: the gather is ~4.6x
                     # slower on TPU (see layers.OneHotEmbed); identical
                     # param tree and values
-                    x = L.OneHotEmbed(
+                    emb_mod = L.OneHotEmbed(
                         vocab, emb_size, dtype=self.dtype, name="embedding",
-                    )(tokens)
+                    )
+                    if can_fold:
+                        fold_table = emb_mod.table()
+                        x = tokens
+                    else:
+                        x = emb_mod(tokens)
                 else:
                     onehot = jax.nn.one_hot(tokens - 1, depth, dtype=self.dtype)
                     x = nn.Dense(
@@ -396,7 +426,6 @@ class JaegerModel(nn.Module):
         outputs: dict[str, jnp.ndarray] = {}
 
         # --- 3. representation learner ---
-        rep_cfg = cfg.get("representation_learner", {})
         merge_cfg = cfg.get("reliability_model", {}).get("merge")
         if "branch" in rep_cfg:
             # shared-weight per-frame branches (nnlib/builder.py:1195-1266)
@@ -423,7 +452,7 @@ class JaegerModel(nn.Module):
                 layer_configs=_freeze_layers(rep_cfg.get("hidden_layers", [])),
                 pooling=rep_cfg.get("pooling"),
                 nmd_merge=merge_cfg, dtype=self.dtype,
-            )(x, mask, train)
+            )(x, mask, train, fold_table=fold_table)
 
         outputs["embedding"] = rep
         if aux.get("nmd") is not None:

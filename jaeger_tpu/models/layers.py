@@ -116,10 +116,24 @@ class MaskedConv1D(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask=None, train: bool = False):
+    def __call__(self, x, mask=None, train: bool = False, fold_table=None):
+        """``fold_table``: a ``(vocab, c)`` f32 embedding table. When given,
+        ``x`` is raw token ids ``(B, F, L)`` and the linear embedding is
+        folded into the conv kernel — ``conv(onehot(tok) @ T, K)`` becomes
+        ``conv(onehot(tok), einsum(T, K))`` — so the MXU contracts over
+        ``vocab`` (65 -> one 128-lane pass) instead of the embedding width
+        (196 -> two passes), and the ``(B, F, L, c)`` embedded intermediate
+        never touches HBM. Exact under masking because masked positions are
+        token 0 by the encode contract: zeroing folded-kernel row 0
+        reproduces ``apply_mask`` identically.
+        """
         if self.mask_mode not in ("any", "majority", "strict"):
             raise ValueError(f"invalid mask_mode {self.mask_mode!r}")
-        b, f, length, c = x.shape
+        if fold_table is None:
+            b, f, length, c = x.shape
+        else:
+            b, f, length = x.shape
+            c = fold_table.shape[1]
         pad = self.padding.upper()
 
         kernel = self.param(
@@ -134,7 +148,8 @@ class MaskedConv1D(nn.Module):
 
         out_mask = None
         if self.use_masking and mask is not None:
-            x = apply_mask(x, mask)
+            if fold_table is None:
+                x = apply_mask(x, mask)
             # valid-count under each kernel window as k shifted adds on the
             # int mask — a 1-channel conv wastes the MXU (pads C=1 to the
             # 128-lane tile); this is k cheap VPU adds instead.
@@ -160,9 +175,22 @@ class MaskedConv1D(nn.Module):
             else:
                 out_mask = mc == self.kernel_size
 
+        if fold_table is not None:
+            vocab = fold_table.shape[0]
+            folded = jnp.einsum("ve,kef->kvf", fold_table, kernel)
+            if self.use_masking and mask is not None:
+                # masked positions carry token 0 (encode contract): a zero
+                # row 0 makes their contribution exactly apply_mask's zero
+                folded = folded.at[:, 0, :].set(0.0)
+            conv_in = jax.nn.one_hot(
+                x.reshape(b * f, length), vocab, dtype=self.dtype
+            )
+            conv_kernel = folded.astype(self.dtype)
+        else:
+            conv_in = x.reshape(b * f, length, c).astype(self.dtype)
+            conv_kernel = kernel.astype(self.dtype)
         y = jax.lax.conv_general_dilated(
-            x.reshape(b * f, length, c).astype(self.dtype),
-            kernel.astype(self.dtype),
+            conv_in, conv_kernel,
             (self.strides,), pad,
             rhs_dilation=(self.dilation_rate,),
             dimension_numbers=("NWC", "WIO", "NWC"),
@@ -1282,15 +1310,21 @@ class OneHotEmbed(nn.Module):
     dtype: Dtype = jnp.float32
     embedding_init: Callable = nn.initializers.orthogonal()
 
-    @nn.compact
-    def __call__(self, tokens):
-        table = self.param(
+    def setup(self):
+        self.embedding = self.param(
             "embedding", self.embedding_init,
             (self.num_embeddings, self.features), jnp.float32,
         )
+
+    def __call__(self, tokens):
         onehot = jax.nn.one_hot(tokens, self.num_embeddings,
                                 dtype=self.dtype)
-        return onehot @ table.astype(self.dtype)
+        return onehot @ self.embedding.astype(self.dtype)
+
+    def table(self) -> jnp.ndarray:
+        """The raw f32 table, for folding into a downstream linear op
+        (see MaskedConv1D ``fold_table``)."""
+        return self.embedding
 
 
 class SinusoidalPositionEmbedding(nn.Module):
