@@ -18,19 +18,48 @@ interface:
   scoring), so weak/spurious ORFs drop out and each region gets ONE
   chosen start.
 
-Remaining divergence vs pyrodigal-gv (documented): no pre-trained
-hexamer coding statistics and no genetic-code auto-detection (gv's
-TAG/TGA-readthrough viral codes); interval-level agreement on ordinary
-coding regions is what the boundary snapper needs.
+* hexamer (dicodon) coding statistics, self-trained on the contig:
+  a first pass selects genes with length/start/RBS evidence alone, the
+  in-frame hexamer distribution of those gene interiors vs the contig
+  background yields per-position log-odds (stride-3 prefix sums make
+  each candidate's coding score O(1)), and a second pass re-selects
+  with the coding term added — Prodigal's single-mode self-training
+  scoped to one contig;
+* genetic-code auto-detection over {11, 4 (TGA=Trp), 15 (TAG
+  readthrough)} — pyrodigal-gv's viral-code sweep: each code runs the
+  full two-pass caller and the code with the highest total selected
+  score wins (code 11 keeps a small prior so noise never flips it).
+
+Remaining divergence vs pyrodigal-gv (documented): statistics are
+self-trained per contig rather than pyrodigal's pre-trained metagenomic
+profiles; interval-level agreement on coding regions is what the
+boundary snapper needs.
 """
 
 from __future__ import annotations
 
 from bisect import bisect_right
 
+import numpy as np
+
 _STOPS = {"TAA", "TAG", "TGA"}
 _STARTS = {"ATG", "GTG", "TTG"}
 _COMP = str.maketrans("ATGCatgc", "TACGtacg")
+
+#: stop sets per supported genetic code (pyrodigal-gv's viral sweep:
+#: 11 standard, 4 TGA->Trp, 15 TAG readthrough)
+_CODE_STOPS = {
+    11: frozenset({"TAA", "TAG", "TGA"}),
+    4: frozenset({"TAA", "TAG"}),
+    15: frozenset({"TAA", "TGA"}),
+}
+#: margins the alternative codes must clear over code 11: removing a stop
+#: codon can only lengthen stop-to-stop regions, so permissive codes
+#: weakly inflate total scores on standard-code DNA; requiring a relative
+#: + absolute win (the hexamer second pass penalizes non-coding
+#: readthrough extensions) keeps code 11 unless the evidence is real
+_CODE_REL_MARGIN = 1.05
+_CODE_ABS_MARGIN = 3.0
 
 # Prodigal-flavoured scoring weights (relative scale is what matters:
 # the DP keeps only positive-score genes)
@@ -64,62 +93,185 @@ def _rbs_score(seq: str, start: int) -> float:
     return best
 
 
-def _candidates_forward(seq: str, min_len: int):
+def _codon_ids(seq: str) -> "np.ndarray":
+    """Codon id (base-4, A=0 C=1 G=2 T=3) at every position; -1 where any
+    base is ambiguous. Length ``max(len(seq) - 2, 0)``."""
+    b = _BASE_IDX[np.frombuffer(seq.encode("ascii"), np.uint8)].astype(
+        np.int64
+    )
+    if b.shape[0] < 3:
+        return np.zeros(0, np.int64)
+    c = b[:-2] * 16 + b[1:-1] * 4 + b[2:]
+    valid = (b[:-2] >= 0) & (b[1:-1] >= 0) & (b[2:] >= 0)
+    return np.where(valid, c, -1)
+
+
+def _cid(codon: str) -> int:
+    return int(_BASE_IDX[ord(codon[0])] * 16 + _BASE_IDX[ord(codon[1])] * 4
+               + _BASE_IDX[ord(codon[2])])
+
+
+def _candidates_forward(seq: str, min_len: int, stops=_STOPS, hexp=None,
+                        cod=None):
     """Scored gene candidates on the forward strand.
 
     Yields ``(start, end, score)`` with ``end`` at the stop codon's 3'
     side; every in-frame start within a stop-to-stop region produces a
     candidate (Prodigal evaluates all starts, not just the first).
+    ``hexp`` is the optional stride-3 hexamer-log-odds prefix structure
+    for the coding-statistics term; ``cod`` a precomputed
+    :func:`_codon_ids` array. The codon scan is vectorized — the Python
+    loop runs only over start/stop events, not every position.
     """
     n = len(seq)
+    if cod is None:
+        cod = _codon_ids(seq)
+    is_stop = np.isin(cod, np.array([_cid(s) for s in stops]))
+    is_start = np.isin(cod, np.array([_cid(s) for s in _STARTS]))
     for frame in range(3):
+        ev = np.nonzero(is_stop[frame::3] | is_start[frame::3])[0] * 3
         starts: list[int] = []
-        for i in range(frame, n - 2, 3):
-            codon = seq[i : i + 3]
-            if codon in _STOPS:
+        for i in (ev + frame).tolist():
+            if is_stop[i]:
                 end = i + 3
                 for s in starts:
                     if end - s >= min_len:
-                        yield s, end, _score(seq, s, end)
+                        yield s, end, _score(seq, s, end, hexp=hexp)
                 starts = []
-            elif codon in _STARTS:
+            else:
                 starts.append(i)
         # open region at the contig edge (Prodigal allows runoff genes)
         end = n - (n - frame) % 3
         for s in starts:
             if end - s >= min_len:
-                yield s, end, _score(seq, s, end, edge=True)
+                yield s, end, _score(seq, s, end, edge=True, hexp=hexp)
 
 
-def _score(seq: str, start: int, end: int, edge: bool = False) -> float:
+def _score(seq: str, start: int, end: int, edge: bool = False,
+           hexp=None) -> float:
     codons = (end - start) // 3
     score = _LEN_W * (codons - _LEN_BASE)
     score += _START_W.get(seq[start : start + 3], -0.5)
     score += _rbs_score(seq, start)
     if edge:
         score -= 0.5
+    if hexp is not None:
+        score += _HEX_W * _hex_score(hexp, start, end)
     return score
 
 
-def _select(cands: list[tuple[int, int, float]]) -> list[tuple[int, int]]:
+# ---------------------------------------------------------------------------
+# hexamer (dicodon) coding statistics — Prodigal-style, self-trained
+# ---------------------------------------------------------------------------
+
+_HEX_W = 1.0           # weight of the summed per-gene hexamer log-odds
+_HEX_PRIOR = 64.0      # strength of the background-proportional prior
+_HEX_EPS = 0.1         # floor pseudocount for empty background bins
+_MIN_TRAIN_NT = 1200   # below this much first-pass coding nt, skip stats
+
+_BASE_IDX = np.full(256, -1, np.int8)
+for _i, _b in enumerate(b"ACGT"):
+    _BASE_IDX[_b] = _i
+
+
+def _hex_ids(seq: str) -> np.ndarray:
+    """Hexamer id at every position (−1 where any base is ambiguous)."""
+    b = _BASE_IDX[np.frombuffer(seq.encode("ascii"), np.uint8)]
+    n = b.shape[0]
+    if n < 6:
+        return np.full(max(n, 0), -1, np.int64)
+    valid = b >= 0
+    ids = np.zeros(n - 5, np.int64)
+    ok = np.ones(n - 5, bool)
+    for j in range(6):
+        ids = ids * 4 + np.maximum(b[j : n - 5 + j], 0)
+        ok &= valid[j : n - 5 + j]
+    out = np.full(n, -1, np.int64)
+    out[: n - 5] = np.where(ok, ids, -1)
+    return out
+
+
+def _interior_positions(genes: list[tuple[int, int]]) -> np.ndarray:
+    """In-frame interior codon starts (start and stop codons skipped)."""
+    chunks = [np.arange(s + 3, e - 8, 3) for s, e in genes]
+    chunks = [c for c in chunks if c.size]
+    if not chunks:
+        return np.zeros(0, np.int64)
+    return np.concatenate(chunks)
+
+
+def _hex_logodds(ids_f: np.ndarray, ids_r: np.ndarray,
+                 pos_f: np.ndarray, pos_r: np.ndarray) -> np.ndarray | None:
+    """log(P(hex | coding) / P(hex | background)) per hexamer, pooled over
+    both strands: coding = in-frame interiors of first-pass genes read in
+    their own orientation; background = every valid hexamer."""
+    cod = np.concatenate([
+        ids_f[pos_f] if pos_f.size else np.zeros(0, np.int64),
+        ids_r[pos_r] if pos_r.size else np.zeros(0, np.int64),
+    ])
+    cod = cod[cod >= 0]
+    if cod.size * 3 < _MIN_TRAIN_NT:
+        return None
+    bg = np.concatenate([ids_f[ids_f >= 0], ids_r[ids_r >= 0]])
+    c_cod = np.bincount(cod, minlength=4096).astype(np.float64)
+    c_bg = np.bincount(bg, minlength=4096).astype(np.float64)
+    p_bg = (c_bg + _HEX_EPS) / (bg.size + 4096 * _HEX_EPS)
+    # smooth the (small) coding sample toward the background
+    # DISTRIBUTION, not toward uniform: a uniform pseudocount would
+    # swamp a few hundred training hexamers and flip the sign of the
+    # log-odds (absent hexamers would score positive)
+    p_cod = (c_cod + _HEX_PRIOR * p_bg) / (cod.size + _HEX_PRIOR)
+    return np.log(p_cod / p_bg)
+
+
+def _prefix_from_logodds(ids: np.ndarray, lo: np.ndarray) -> np.ndarray:
+    """Stride-3 prefix sums of per-position hexamer log-odds: ``P[r, k]``
+    is the sum of log-odds at positions ``r, r+3, ..., r+3(k-1)``, so a
+    candidate's in-frame coding score is one subtraction
+    (see :func:`_hex_score`)."""
+    per_pos = np.where(ids >= 0, lo[np.maximum(ids, 0)], 0.0)
+    n = per_pos.shape[0]
+    m = (n + 2) // 3 + 1
+    pref = np.zeros((3, m), np.float64)
+    for r in range(3):
+        vals = per_pos[r::3]
+        pref[r, 1 : vals.shape[0] + 1] = np.cumsum(vals)
+    return pref
+
+
+def _hex_score(pref: np.ndarray, start: int, end: int) -> float:
+    """Sum of in-frame hexamer log-odds over codon starts in
+    ``[start+3, end-9]`` (gene interior, matching the training window)."""
+    r = start % 3
+    k_lo = (start + 3 - r) // 3
+    k_hi = (end - 8 - r) // 3 + 1  # one past the last interior codon
+    row = pref[r]
+    k_lo = min(max(k_lo, 0), row.shape[0] - 1)
+    k_hi = min(max(k_hi, k_lo), row.shape[0] - 1)
+    return float(row[k_hi] - row[k_lo])
+
+
+def _select(cands):
     """Max-weight compatible subset (overlaps <= _MAX_OVERLAP allowed).
 
     Weighted-interval DP over candidates sorted by end — Prodigal's
     connection-scoring dynamic program restricted to overlap rules.
+    Candidates are ``(start, end, score, *tag)``; returns the chosen
+    candidates (tags preserved) and the total selected score.
     """
     cands = sorted((c for c in cands if c[2] > 0), key=lambda c: c[1])
     if not cands:
-        return []
+        return [], 0.0
     ends = [c[1] for c in cands]
     # dp[i] = best total using candidates[0..i-1]; keep chosen set via
     # parent pointers
     best = [0.0] * (len(cands) + 1)
     take = [False] * len(cands)
     prev = [0] * len(cands)
-    for i, (s, e, w) in enumerate(cands):
-        j = bisect_right(ends, s + _MAX_OVERLAP, 0, i)
+    for i, c in enumerate(cands):
+        j = bisect_right(ends, c[0] + _MAX_OVERLAP, 0, i)
         prev[i] = j
-        with_i = best[j] + w
+        with_i = best[j] + c[2]
         if with_i > best[i]:
             best[i + 1] = with_i
             take[i] = True
@@ -129,21 +281,64 @@ def _select(cands: list[tuple[int, int, float]]) -> list[tuple[int, int]]:
     i = len(cands)
     while i > 0:
         if take[i - 1]:
-            s, e, _ = cands[i - 1]
-            out.append((s, e))
+            out.append(cands[i - 1])
             i = prev[i - 1]
         else:
             i -= 1
     out.reverse()
-    return out
+    return out, best[len(cands)]
 
 
-def find_genes(sequence: str, min_len: int = 90,
-               mode: str = "scored") -> list[tuple[int, int]]:
+def _gather(seq: str, rc: str, n: int, min_len: int, stops,
+            cod_f, cod_r, hexp_f=None, hexp_r=None):
+    """Both-strand candidates in genome coordinates, tagged with strand
+    (+1 forward / -1 reverse)."""
+    cands = [
+        (s, e, w, 1)
+        for s, e, w in _candidates_forward(seq, min_len, stops, hexp_f,
+                                           cod_f)
+    ]
+    cands += [
+        (n - e, n - s, w, -1)
+        for s, e, w in _candidates_forward(rc, min_len, stops, hexp_r,
+                                           cod_r)
+    ]
+    return cands
+
+
+def _call_code(seq: str, rc: str, n: int, min_len: int, stops,
+               cod_f, cod_r, ids_f, ids_r):
+    """Two-pass caller for one genetic code: select on length/start/RBS,
+    self-train hexamer statistics on the selection, re-select with the
+    coding term. Returns (intervals, total_selected_score)."""
+    first, total = _select(
+        _gather(seq, rc, n, min_len, stops, cod_f, cod_r)
+    )
+    fwd = [(c[0], c[1]) for c in first if c[3] == 1]
+    rev = [(n - c[1], n - c[0]) for c in first if c[3] == -1]  # rc coords
+    lo = _hex_logodds(ids_f, ids_r,
+                      _interior_positions(fwd), _interior_positions(rev))
+    if lo is None:
+        return [(c[0], c[1]) for c in first], total
+    hexp_f = _prefix_from_logodds(ids_f, lo)
+    hexp_r = _prefix_from_logodds(ids_r, lo)
+    second, total = _select(
+        _gather(seq, rc, n, min_len, stops, cod_f, cod_r, hexp_f, hexp_r)
+    )
+    return [(c[0], c[1]) for c in second], total
+
+
+def find_genes(sequence: str, min_len: int = 90, mode: str = "scored",
+               genetic_code: int | None = None) -> list[tuple[int, int]]:
     """0-based half-open gene intervals on both strands, sorted.
 
-    ``mode='scored'`` (default) runs the Prodigal-style start selection
-    + DP; ``mode='orf'`` returns the round-1 maximal-ORF superset."""
+    ``mode='scored'`` (default) runs the Prodigal-style two-pass caller
+    (start selection + self-trained hexamer statistics + DP);
+    ``mode='orf'`` returns the round-1 maximal-ORF superset.
+    ``genetic_code``: 11, 4, or 15 to pin a code; ``None`` sweeps all
+    three (pyrodigal-gv behavior) and keeps code 11 unless an
+    alternative clears the relative + absolute evidence margin.
+    """
     seq = sequence.upper()
     n = len(seq)
     rc = seq.translate(_COMP)[::-1]
@@ -156,11 +351,33 @@ def find_genes(sequence: str, min_len: int = 90,
         ]
         intervals.sort()
         return _merge_same_stop(intervals)
-    cands = list(_candidates_forward(seq, min_len))
-    cands += [
-        (n - e, n - s, w) for s, e, w in _candidates_forward(rc, min_len)
-    ]
-    return _select(cands)
+    if genetic_code is not None:
+        if genetic_code not in _CODE_STOPS:
+            raise ValueError(
+                f"unsupported genetic code {genetic_code} "
+                f"(supported: {sorted(_CODE_STOPS)})"
+            )
+        codes = [genetic_code]
+    else:
+        codes = sorted(_CODE_STOPS)
+    cod_f, cod_r = _codon_ids(seq), _codon_ids(rc)
+    ids_f, ids_r = _hex_ids(seq), _hex_ids(rc)
+    results = {
+        code: _call_code(seq, rc, n, min_len, _CODE_STOPS[code],
+                         cod_f, cod_r, ids_f, ids_r)
+        for code in codes
+    }
+    if len(results) == 1:
+        best_genes = next(iter(results.values()))[0]
+    else:
+        best_genes, best_total = results[11]
+        floor = _CODE_REL_MARGIN * best_total + _CODE_ABS_MARGIN
+        for code in (4, 15):
+            genes, total = results[code]
+            if total > floor and total > best_total:
+                best_genes, best_total = genes, total
+    best_genes.sort()
+    return best_genes
 
 
 def _merge_same_stop(intervals: list[tuple[int, int]]):

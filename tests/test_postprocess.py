@@ -271,16 +271,125 @@ class TestGenes:
         strong = (0, 300, 10.0)
         weak_far = (250, 400, 2.0)     # 50 nt overlap: allowed
         weak_near = (200, 400, 2.0)    # 100 nt overlap: conflict
-        assert _select([strong, weak_far]) == [(0, 300), (250, 400)]
-        assert _select([strong, weak_near]) == [(0, 300)]
+        chosen, total = _select([strong, weak_far])
+        assert [c[:2] for c in chosen] == [(0, 300), (250, 400)]
+        assert total == 12.0
+        chosen, total = _select([strong, weak_near])
+        assert [c[:2] for c in chosen] == [(0, 300)] and total == 10.0
         # negative-score candidates never selected
-        assert _select([(0, 300, -1.0)]) == []
+        assert _select([(0, 300, -1.0)]) == ([], 0.0)
 
         # mode='orf' retains the permissive superset
         gene = "ATG" + "GCT" * 40 + "TAA"
         seq = "C" * 30 + gene + "C" * 30
         sup = find_genes(seq, mode="orf")
         assert any(s == 30 for s, e in sup)
+
+    def test_hex_score_matches_naive(self):
+        """The stride-3 prefix-sum coding score equals a direct sum of
+        in-frame interior hexamer log-odds."""
+        import numpy as np
+
+        from jaeger_tpu.postprocess.genes import (
+            _hex_ids, _hex_score, _prefix_from_logodds,
+        )
+
+        rng = np.random.default_rng(0)
+        seq = "".join(rng.choice(list("ACGT"), size=400))
+        lo = rng.normal(size=4096)
+        ids = _hex_ids(seq)
+        pref = _prefix_from_logodds(ids, lo)
+        for start, end in [(12, 120), (1, 91), (2, 302), (350, 398)]:
+            naive = sum(
+                lo[ids[p]]
+                for p in range(start + 3, end - 8, 3)
+                if ids[p] >= 0
+            )
+            assert abs(_hex_score(pref, start, end) - naive) < 1e-9
+
+    def test_hexamer_training_learns_coding_bias(self):
+        """Self-trained log-odds are positive for hexamers enriched in
+        first-pass gene interiors and negative for background-only ones."""
+        import numpy as np
+
+        from jaeger_tpu.postprocess.genes import (
+            _hex_ids, _hex_logodds, _interior_positions,
+        )
+
+        gene_body = "GCTGAA" * 30            # one dominant hexamer
+        gene = "ATG" + gene_body + "TAA"
+        spacer = "TTTTTT" * 20
+        seq = (spacer + gene) * 8 + spacer
+        genes = []
+        pos = 0
+        for _ in range(8):
+            pos += len(spacer)
+            genes.append((pos, pos + len(gene)))
+            pos += len(gene)
+        ids = _hex_ids(seq)
+        empty = np.zeros(0, np.int64)
+        lo = _hex_logodds(ids, np.full(6, -1, np.int64),
+                          _interior_positions(genes), empty)
+        assert lo is not None
+
+        def hid(h):
+            return int(_hex_ids(h + "AAAAA")[0])
+
+        assert lo[hid("GCTGAA")] > 0.5      # in-frame interior hexamer
+        assert lo[hid("GAAGCT")] > 0.5      # the alternating interior one
+        assert lo[hid("TTTTTT")] < -0.5     # background only
+
+    def test_genetic_code_autodetect_tga_readthrough(self):
+        """Genes riddled with in-frame TGA (code 4, TGA=Trp) fragment
+        under code 11; the sweep must pick code 4 and call them intact."""
+        from jaeger_tpu.postprocess.genes import find_genes
+
+        # 7-codon unit CAT GAT CAT CTA GCT ATC TGA: frame 0 is clean
+        # under code 4 (TGA=Trp) but every other frame on BOTH strands
+        # contains a code-11 stop within each 21-nt repeat, so under
+        # code 11 nothing >= min_len exists anywhere
+        unit = "CATGATCATCTAGCTATCTGA"
+        gene = "ATG" + unit * 17 + "TAA"
+        spacer = "CCCCCCCCCC"
+        seq = (spacer + gene) * 4 + spacer
+        pinned11 = find_genes(seq, genetic_code=11)
+        assert pinned11 == [], pinned11
+        auto = find_genes(seq)
+        true = [
+            (10 + i * (10 + len(gene)), 10 + i * (10 + len(gene)) + len(gene))
+            for i in range(4)
+        ]
+        assert auto == true, auto
+        assert find_genes(seq, genetic_code=4) == auto
+
+    def test_genetic_code_11_stays_default_on_standard_genes(self):
+        """A standard-code contig must give identical calls with the
+        sweep and with genetic_code=11 (the prior holds)."""
+        import numpy as np
+
+        rng = np.random.default_rng(2)
+        from jaeger_tpu.postprocess.genes import find_genes
+
+        aa_codons = ["GCT", "GAA", "CTG", "AAA", "GAT"]
+        genes = []
+        seq = ""
+        for _ in range(5):
+            seq += "".join(rng.choice(list("ACGT"), size=40))
+            body = "".join(aa_codons[rng.integers(len(aa_codons))]
+                           for _ in range(80))
+            g = "ATG" + body + "TAA"
+            genes.append((len(seq), len(seq) + len(g)))
+            seq += g
+        seq += "".join(rng.choice(list("ACGT"), size=40))
+        assert find_genes(seq) == find_genes(seq, genetic_code=11)
+
+    def test_unsupported_genetic_code_raises(self):
+        import pytest
+
+        from jaeger_tpu.postprocess.genes import find_genes
+
+        with pytest.raises(ValueError, match="unsupported genetic code"):
+            find_genes("ATGAAATAA", genetic_code=7)
 
 
 def test_circular_plot_renders_reference_layout(tmp_path):
