@@ -317,6 +317,29 @@ def fragment(input_path, output_path, fsize, stride, min_len, label):
     click.echo(f"{n} fragments written to {output_path}")
 
 
+@utils.command("mask-tandem")
+@click.option("-i", "--input", "input_path", required=True,
+              type=click.Path(exists=True, dir_okay=False))
+@click.option("-o", "--output", "output_path", required=True)
+@click.option("--minscore", default=None, type=int,
+              help="Minimum repeat alignment score (TRF default 50).")
+@click.option("--maxperiod", default=None, type=int,
+              help="Maximum repeat period (TRF default 500).")
+@click.option("--workers", default=None, type=int,
+              help="Parallel records (default: thread-pool default).")
+def mask_tandem(input_path, output_path, minscore, maxperiod, workers):
+    """Hard-mask tandem repeats to N (in-process TRF replacement)."""
+    from jaeger_tpu.seqops.tandem import mask_fasta
+
+    kwargs = {}
+    if minscore is not None:
+        kwargs["minscore"] = minscore
+    if maxperiod is not None:
+        kwargs["maxperiod"] = maxperiod
+    n = mask_fasta(input_path, output_path, workers=workers, **kwargs)
+    click.echo(f"{n} bases masked -> {output_path}")
+
+
 @utils.command()
 @click.option("-i", "--input", "input_path", required=True,
               type=click.Path(exists=True, dir_okay=False))
