@@ -101,6 +101,9 @@ def main(verbose: int) -> None:
               help="Extract phage contigs to FASTA.")
 @click.option("--save-embedding", is_flag=True, default=False)
 @click.option("--save-nmd", is_flag=True, default=False)
+@click.option("--mask-tandem", is_flag=True, default=False,
+              help="Hard-mask tandem repeats before windowing (the "
+                   "reference ships this TRF stage disabled).")
 @click.option("--profile", is_flag=True, default=False,
               help="Write a jax.profiler trace of the inference loop.")
 @click.option("-f", "--overwrite", is_flag=True, default=False,
@@ -112,8 +115,8 @@ def predict(input_path, output_dir, model_path, fsize, stride, batch,
             crf_prior, crf_transition_matrix, reliability_cutoff,
             phage_score, no_termini,
             window_scores, prophage, sensitivity, lc, plot_type, refine,
-            refine_mode, getsequences, save_embedding, save_nmd, profile,
-            overwrite):
+            refine_mode, getsequences, save_embedding, save_nmd,
+            mask_tandem, profile, overwrite):
     """Identify phage/prophage sequences in a FASTA of contigs."""
     from jaeger_tpu.commands.predict import resolve_model_path, run_core
 
@@ -135,7 +138,8 @@ def predict(input_path, output_dir, model_path, fsize, stride, batch,
         prophage=prophage, sensitivity=sensitivity, lc=lc,
         plot_type=plot_type, refine=refine, refine_mode=refine_mode,
         getsequences=getsequences, save_embedding=save_embedding,
-        save_nmd=save_nmd, profile=profile, overwrite=overwrite,
+        save_nmd=save_nmd, mask_tandem=mask_tandem, profile=profile,
+        overwrite=overwrite,
     )
     click.echo(f"summary written to {table}")
 

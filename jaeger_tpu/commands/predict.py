@@ -189,6 +189,7 @@ def run_core(
     getsequences: bool = False,
     save_embedding: bool = False,
     save_nmd: bool = False,
+    mask_tandem: bool = False,
     profile: bool = False,
     overwrite: bool = False,
 ) -> Path:
@@ -234,6 +235,24 @@ def run_core(
 
     validate_fasta_entries(str(input_path), min_len=min_len)
 
+    # --- optional tandem-repeat pre-masking. The reference ships this
+    # TRF split/run/merge pipeline wired but commented out of predict
+    # (reference commands/predict.py:665-677); here the in-process
+    # masker (seqops/tandem.py) makes it a working opt-in. Output
+    # naming stays keyed to the ORIGINAL file stem. ---
+    windowing_input = input_path
+    if mask_tandem:
+        from jaeger_tpu.seqops.tandem import mask_fasta
+
+        masked_path = output_dir / f"{fasta_stem(input_path)}_tandem_masked.fasta"
+        n_masked = mask_fasta(
+            str(input_path), str(masked_path), workers=workers)
+        logger.info(
+            f"tandem-repeat pre-mask: {n_masked} bases masked "
+            f"-> {masked_path.name}"
+        )
+        windowing_input = masked_path
+
     dtype = {
         "float32": jnp.float32, "bfloat16": jnp.bfloat16,
         "bf16": jnp.bfloat16, "fp32": jnp.float32,
@@ -254,7 +273,7 @@ def run_core(
 
     term_repeats = None
     if scan_termini:
-        term_repeats = scan_for_terminal_repeats(str(input_path))
+        term_repeats = scan_for_terminal_repeats(str(windowing_input))
 
     # --- device strategy (parity: reference predict.py:656-664 picks
     # MirroredStrategy when >1 GPU) — auto-construct a 1-D data mesh over
@@ -286,7 +305,7 @@ def run_core(
     )
 
     batches = window_batches(
-        str(input_path), fragsize=fsize, stride=stride, min_len=min_len,
+        str(windowing_input), fragsize=fsize, stride=stride, min_len=min_len,
         dustmask=dustmask, dynamic_stride=dynamic_stride,
         contig_filter=contig_filter, workers=workers,
     )

@@ -82,6 +82,38 @@ def test_predict_run_core_outputs(tmp_path, rng, model_bundle):
     assert sum(p.shape[0] for p in npz["predictions"]) == 6
 
 
+def test_predict_mask_tandem(tmp_path, rng, model_bundle):
+    """--mask-tandem pre-masks the input: a tandem-repeat tract is
+    N-masked before windowing, the masked FASTA lands in the output dir
+    and output naming stays keyed to the original stem."""
+    from jaeger_tpu.commands.predict import run_core
+
+    rep = "GATTACAGGC" * 30  # period-10 tract, well above minscore
+    # keep the tract under the TSV writer's N%>0.3 drop filter
+    seq = ("".join(rng.choice(list("ATGC"), size=700)) + rep
+           + "".join(rng.choice(list("ATGC"), size=700)))
+    fasta = tmp_path / "rep.fasta"
+    fasta.write_text(f">ctg0\n{seq}\n")
+    table = run_core(
+        input_path=str(fasta), output_dir=str(tmp_path / "out"),
+        model_path=str(model_bundle), fsize=400, stride=400,
+        batch=16, min_len=300, scan_termini=False, mask_tandem=True,
+    )
+    assert table.name.startswith("rep_")
+    masked = tmp_path / "out" / "rep_tandem_masked.fasta"
+    assert masked.exists()
+    from jaeger_tpu.seqops.fasta import read_fasta
+
+    out = dict(read_fasta(str(masked)))
+    assert len(out["ctg0"]) == len(seq)
+    # the repeat interior is masked, the flanks are not
+    assert set(out["ctg0"][750:950]) == {"N"}
+    assert "N" not in out["ctg0"][:680]
+    import pandas as pd
+
+    assert len(pd.read_table(table)) == 1
+
+
 def test_predict_prophage_path(tmp_path, rng, model_bundle):
     """-p path end-to-end at a small lc cutoff (segmentation + report +
     plots run; regions may be empty for a random model)."""
