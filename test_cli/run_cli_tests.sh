@@ -54,6 +54,8 @@ run optimize_data cli utils optimize-data -i "$WORK/frags.csv" \
     -o "$WORK/frags.npz" --crop-size 104 --compress fast
 run receptive_field cli utils receptive-field \
     -c "$REPO/tests/data/tiny_config.yaml"
+run mask_tandem cli utils mask-tandem -i "$FASTA" \
+    -o "$WORK/tandem_masked.fasta"
 if [ -f "$REPO/jaeger_tpu/data/models/default/WRes_1024.h5" ]; then
   run convert_weights_h5 cli utils convert-weights \
       -i "$REPO/jaeger_tpu/data/models/default/WRes_1024.h5" \
