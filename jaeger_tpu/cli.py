@@ -57,6 +57,9 @@ def main(verbose: int) -> None:
 @click.option("--min-len", "min_len", default=None, type=int)
 @click.option("--dustmask/--no-dustmask", default=True, show_default=True)
 @click.option("--dynamic-stride", is_flag=True, default=False)
+@click.option("--dynamic-stride-threshold", default=10.0, show_default=True,
+              help="Contigs shorter than threshold*fsize get evenly "
+                   "spread windows under --dynamic-stride.")
 @click.option("--precision", default="bfloat16", show_default=True,
               type=click.Choice(["bfloat16", "float32", "bf16", "fp32"]))
 @click.option("--devices", default="auto", show_default=True,
@@ -97,6 +100,20 @@ def main(verbose: int) -> None:
               help="Apply post-hoc refinement calibration if present.")
 @click.option("--refine-mode", default="gated", show_default=True,
               type=click.Choice(["gated", "weighted", "unweighted"]))
+@click.option("--refine-min-windows", default=3, show_default=True,
+              help="Minimum accepted windows for a refined contig call.")
+@click.option("--refine-merge-split", default="half", show_default=True,
+              type=click.Choice(["half", "full"]),
+              help="Share of a merged-class window's weight given to "
+                   "each member class.")
+@click.option("--refine-allow-merged-contig-call", is_flag=True,
+              default=False,
+              help="Allow hedged merged-class contig calls when the "
+                   "top-two margin is small.")
+@click.option("--refine-contig-hedge-margin", default=1.0,
+              show_default=True,
+              help="Margin below which a contig call is hedged to the "
+                   "merged class.")
 @click.option("--getsequences", is_flag=True, default=False,
               help="Extract phage contigs to FASTA.")
 @click.option("--save-embedding", is_flag=True, default=False)
@@ -109,13 +126,16 @@ def main(verbose: int) -> None:
 @click.option("-f", "--overwrite", is_flag=True, default=False,
               help="Overwrite an existing output summary.")
 def predict(input_path, output_dir, model_path, fsize, stride, batch,
-            min_len, dustmask, dynamic_stride, precision, devices,
+            min_len, dustmask, dynamic_stride, dynamic_stride_threshold,
+            precision, devices,
             workers, num_hosts, host_id,
             crf_switch_cost,
             crf_prior, crf_transition_matrix, reliability_cutoff,
             phage_score, no_termini,
             window_scores, prophage, sensitivity, lc, plot_type, refine,
-            refine_mode, getsequences, save_embedding, save_nmd,
+            refine_mode, refine_min_windows, refine_merge_split,
+            refine_allow_merged_contig_call, refine_contig_hedge_margin,
+            getsequences, save_embedding, save_nmd,
             mask_tandem, profile, overwrite):
     """Identify phage/prophage sequences in a FASTA of contigs."""
     from jaeger_tpu.commands.predict import resolve_model_path, run_core
@@ -125,7 +145,9 @@ def predict(input_path, output_dir, model_path, fsize, stride, batch,
     table = run_core(
         input_path=input_path, output_dir=output_dir, model_path=model_path,
         fsize=fsize, stride=stride, batch=batch, min_len=min_len,
-        dustmask=dustmask, dynamic_stride=dynamic_stride, precision=precision,
+        dustmask=dustmask, dynamic_stride=dynamic_stride,
+        dynamic_stride_threshold=dynamic_stride_threshold,
+        precision=precision,
         devices=("auto" if devices == "auto" else int(devices)),
         num_hosts=num_hosts, host_id=host_id, workers=workers,
         crf_switch_cost=crf_switch_cost, crf_prior=crf_prior,
@@ -137,6 +159,10 @@ def predict(input_path, output_dir, model_path, fsize, stride, batch,
         scan_termini=not no_termini, save_window_scores=window_scores,
         prophage=prophage, sensitivity=sensitivity, lc=lc,
         plot_type=plot_type, refine=refine, refine_mode=refine_mode,
+        refine_min_windows=refine_min_windows,
+        refine_merge_split=refine_merge_split,
+        refine_allow_merged_contig_call=refine_allow_merged_contig_call,
+        refine_contig_hedge_margin=refine_contig_hedge_margin,
         getsequences=getsequences, save_embedding=save_embedding,
         save_nmd=save_nmd, mask_tandem=mask_tandem, profile=profile,
         overwrite=overwrite,
@@ -195,10 +221,23 @@ def health() -> None:
               "only_classification_head", is_flag=True, default=False,
               help="Freeze the representation learner; fine-tune heads "
                    "only.")
+@click.option("--only-reliability-head", is_flag=True, default=False,
+              help="Skip projection/classifier; train the reliability "
+                   "branch only.")
+@click.option("--only-save", is_flag=True, default=False,
+              help="Save the model with last-checkpoint weights without "
+                   "training.")
+@click.option("--id-threshold", default=None, type=float,
+              help="Reliability data: confidence above which a correct "
+                   "prediction counts as in-distribution.")
+@click.option("--synthetic-ood-threshold", default=None, type=float,
+              help="Reliability data: confidence above which a synthetic "
+                   "corrupted sequence is kept as OOD.")
 def train(config_path, output_dir, epochs, steps_per_epoch,
           self_supervised_pretraining, generate_reliability_data,
           from_last_checkpoint, force, ignore_convergence,
-          only_classification_head):
+          only_classification_head, only_reliability_head, only_save,
+          id_threshold, synthetic_ood_threshold):
     """Train a fragment classifier from a YAML config."""
     from jaeger_tpu.commands.train import train_fragment_core
 
@@ -210,6 +249,9 @@ def train(config_path, output_dir, epochs, steps_per_epoch,
         from_last_checkpoint=from_last_checkpoint, force=force,
         ignore_convergence=ignore_convergence,
         only_classification_head=only_classification_head,
+        only_reliability_head=only_reliability_head, only_save=only_save,
+        id_threshold=id_threshold,
+        synthetic_ood_threshold=synthetic_ood_threshold,
     )
 
 

@@ -166,6 +166,7 @@ def run_core(
     min_len: int | None = None,
     dustmask: bool = True,
     dynamic_stride: bool = False,
+    dynamic_stride_threshold: float = 10.0,
     precision: str = "bfloat16",
     mesh=None,
     devices: int | str = "auto",
@@ -186,6 +187,9 @@ def run_core(
     refine: bool = False,
     refine_mode: str = "gated",
     refine_min_windows: int = 3,
+    refine_merge_split: str = "half",
+    refine_allow_merged_contig_call: bool = False,
+    refine_contig_hedge_margin: float = 1.0,
     getsequences: bool = False,
     save_embedding: bool = False,
     save_nmd: bool = False,
@@ -307,6 +311,7 @@ def run_core(
     batches = window_batches(
         str(windowing_input), fragsize=fsize, stride=stride, min_len=min_len,
         dustmask=dustmask, dynamic_stride=dynamic_stride,
+        dynamic_stride_threshold=dynamic_stride_threshold,
         contig_filter=contig_filter, workers=workers,
     )
     # The device-reduced fast path fetches per-contig partials + one int8
@@ -397,6 +402,9 @@ def run_core(
                 refined_contig = _build_refined_contig_df(
                     data_full, refine_cfg["taus"], mode=refine_mode,
                     min_windows=refine_min_windows,
+                    merge_split=refine_merge_split,
+                    allow_merged_contig_call=refine_allow_merged_contig_call,
+                    contig_hedge_margin=refine_contig_hedge_margin,
                 )
                 logger.info(f"applied refinement from {refine_path}")
             except Exception as e:

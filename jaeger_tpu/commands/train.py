@@ -312,6 +312,10 @@ def train_fragment_core(
     force: bool = False,
     ignore_convergence: bool = False,
     only_classification_head: bool = False,
+    only_reliability_head: bool = False,
+    only_save: bool = False,
+    id_threshold: float | None = None,
+    synthetic_ood_threshold: float | None = None,
 ) -> dict:
     config = load_model_config(config_path)
     model_cfg = config.get("model", {})
@@ -349,6 +353,10 @@ def train_fragment_core(
         batch_size = meshlib.pad_to_multiple(batch_size, mesh.devices.size)
 
     # --- resume (reliability > classifier > projection) ---
+    # --only_save = export the last-checkpoint weights without training
+    # (reference commands/train.py:529,734)
+    if only_save:
+        from_last_checkpoint = True
     start_epochs = {"projection": 0, "classifier": 0, "reliability": 0}
     if from_last_checkpoint:
         stage, entry = resolve_resume_stage(ckpt_root)
@@ -365,10 +373,14 @@ def train_fragment_core(
     val_paths = paths.get("validation", {}).get("paths", [])
     label_map = _label_map(sp)
 
-    variables = _apply_frequency_biases(
-        config, variables, train_paths, train_cfg, sp,
-        branches=("classifier",),
-    )
+    # frequency-bias init applies to FRESH weights only — re-applying it
+    # after a checkpoint restore would clobber the trained bias
+    # (reference parity: _get_bias runs at build time, not on resume)
+    if not any(start_epochs.values()):
+        variables = _apply_frequency_biases(
+            config, variables, train_paths, train_cfg, sp,
+            branches=("classifier",),
+        )
 
     def csv_batches(paths_, epoch_seed, repeat=True):
         return data_lib.batches_from_csv(
@@ -432,6 +444,7 @@ def train_fragment_core(
     if (
         proj_cfg and proj_epochs > 0 and self_supervised_pretraining
         and train_paths and read_convergence_marker(proj_dir) is None
+        and not (only_reliability_head or only_save)
     ):
         logger.info("training projection branch (ArcFace)")
         proj_dim = None
@@ -522,7 +535,7 @@ def train_fragment_core(
     cls_dir = ckpt_root / "classifier"
     if cls_epochs > 0 and train_paths and (
         read_convergence_marker(cls_dir) is None or epochs_override
-    ):
+    ) and not (only_reliability_head or only_save):
         tx = make_optimizer(
             train_cfg.get("optimizer", "adam"),
             train_cfg.get("optimizer_params", {}),
@@ -591,7 +604,7 @@ def train_fragment_core(
             train_cfg.get("generate_reliability_data", False)
         )
     rel_paths = _fragment_paths(train_cfg, "fragment_reliability_data")
-    if rel_cfg and rel_epochs > 0:
+    if rel_cfg and rel_epochs > 0 and not only_save:
         if generate_reliability and train_paths:
             from jaeger_tpu.dataops.reliability_generator import (
                 generate_reliability_data,
@@ -604,6 +617,13 @@ def train_fragment_core(
             rel_paths = generate_reliability_data(
                 model, variables, train_paths[0],
                 str(out_root / "reliability_data"), crop_nt,
+                id_threshold=float(
+                    id_threshold if id_threshold is not None
+                    else gen_cfg.get("id_threshold", 0.8)),
+                synthetic_ood_threshold=float(
+                    synthetic_ood_threshold
+                    if synthetic_ood_threshold is not None
+                    else gen_cfg.get("synthetic_ood_threshold", 0.8)),
                 synthetic_ood_multiplier=float(
                     gen_cfg.get("synthetic_ood_multiplier", 1.0)),
                 batch_size=int(
@@ -615,11 +635,12 @@ def train_fragment_core(
         # (re)apply the reliability head's frequency bias now that its
         # data exists — covers --generate_reliability_data runs
         # (reference _set_reliability_bias, nnlib/builder.py:952-990)
-        variables = _apply_frequency_biases(
-            config, variables, train_paths, train_cfg, sp,
-            reliability_paths=rel_train,
-            branches=("reliability_model",),
-        )
+        if start_epochs["reliability"] == 0:
+            variables = _apply_frequency_biases(
+                config, variables, train_paths, train_cfg, sp,
+                reliability_paths=rel_train,
+                branches=("reliability_model",),
+            )
         if rel_train:
             logger.info("training reliability branch (rep+classifier frozen)")
             tx = make_optimizer(

@@ -82,6 +82,33 @@ def test_predict_run_core_outputs(tmp_path, rng, model_bundle):
     assert sum(p.shape[0] for p in npz["predictions"]) == 6
 
 
+def test_predict_dynamic_stride_threshold(tmp_path, rng, model_bundle):
+    """--dynamic-stride-threshold gates the even-spread windowing
+    (reference seqops/io.py:38-71): a 900 bp contig at fsize 400 gets 3
+    evenly spread windows under threshold 10 but the fixed-stride 2
+    when the threshold excludes it."""
+    import numpy as np
+
+    from jaeger_tpu.commands.predict import run_core
+
+    fasta = _fasta(tmp_path, rng, [900], name="dyn.fasta")
+
+    def n_windows(outdir, threshold):
+        run_core(
+            input_path=str(fasta), output_dir=str(tmp_path / outdir),
+            model_path=str(model_bundle), fsize=400, stride=400,
+            batch=16, min_len=300, scan_termini=False,
+            dynamic_stride=True, dynamic_stride_threshold=threshold,
+            save_window_scores=True,
+        )
+        npz = np.load(tmp_path / outdir / "dyn_window_scores.npz",
+                      allow_pickle=True)
+        return sum(p.shape[0] for p in npz["predictions"])
+
+    assert n_windows("out10", 10.0) == 3
+    assert n_windows("out2", 2.0) == 2
+
+
 def test_predict_mask_tandem(tmp_path, rng, model_bundle):
     """--mask-tandem pre-masks the input: a tandem-repeat tract is
     N-masked before windowing, the masked FASTA lands in the output dir

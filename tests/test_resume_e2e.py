@@ -184,6 +184,96 @@ def test_head_only_freezes_rep(tmp_path, rng):
         leaf(trained["params"], "classifier", "dense_0", "kernel"))
 
 
+def test_only_save_exports_checkpoint_weights(tmp_path, rng):
+    """--only-save: no training happens; the bundle is re-exported from
+    the last checkpoint (reference commands/train.py:529,734)."""
+    import hashlib
+
+    from jaeger_tpu.commands.train import train_fragment_core
+
+    cfg_path = _write_fixture(tmp_path, rng)
+    out = tmp_path / "model"
+    train_fragment_core(str(cfg_path), output_dir=str(out), use_mesh=False)
+    before = hashlib.sha1((out / "params.msgpack").read_bytes()).hexdigest()
+    r = train_fragment_core(str(cfg_path), output_dir=str(out),
+                            use_mesh=False, only_save=True,
+                            ignore_convergence=True)
+    assert not r["history"]  # nothing trained
+    after = hashlib.sha1((out / "params.msgpack").read_bytes()).hexdigest()
+    assert before == after  # checkpoint weights == saved weights
+
+
+def test_resume_preserves_trained_frequency_bias(tmp_path, rng):
+    """Resuming from a checkpoint must NOT re-apply the class-frequency
+    bias initializer over the restored (trained) classifier bias."""
+    import yaml
+
+    from jaeger_tpu.commands.train import train_fragment_core
+    from jaeger_tpu.train.checkpoint import CheckpointManager
+
+    cfg_path = _write_fixture(tmp_path, rng)
+    cfg = yaml.safe_load(cfg_path.read_text())
+    cfg["model"]["classifier"]["hidden_layers"][0]["config"][
+        "bias_initializer"] = "calculate_from_data"
+    cfg_path.write_text(yaml.safe_dump(cfg, sort_keys=False))
+
+    out = tmp_path / "model"
+    train_fragment_core(str(cfg_path), output_dir=str(out), use_mesh=False)
+    mgr = CheckpointManager(out / "checkpoints" / "classifier")
+    import jax.numpy as jnp
+    from jaeger_tpu.models.builder import ModelBuilder
+
+    b = ModelBuilder(cfg)
+    _, fresh = b.init()
+    entry = mgr.latest()
+    restored = mgr.restore(entry, fresh)
+    trained_bias = np.asarray(restored["params"]["classifier"]["dense_0"]["bias"])
+
+    # only-save path: restore + export, bias must be the trained one
+    r = train_fragment_core(str(cfg_path), output_dir=str(out),
+                            use_mesh=False, only_save=True,
+                            ignore_convergence=True)
+    from jaeger_tpu.models.artifacts import load_model
+
+    _, saved, _, _ = load_model(out)
+    np.testing.assert_array_equal(
+        np.asarray(saved["params"]["classifier"]["dense_0"]["bias"]),
+        trained_bias,
+    )
+
+
+def test_only_reliability_head_skips_classifier(tmp_path, rng):
+    """--only-reliability-head trains the reliability branch without
+    touching projection/classifier."""
+    import yaml
+
+    from jaeger_tpu.commands.train import train_fragment_core
+
+    cfg_path = _write_fixture(tmp_path, rng)
+    cfg = yaml.safe_load(cfg_path.read_text())
+    # add a reliability head + 1 reliability epoch over the same CSV
+    cfg["model"]["representation_learner"]["hidden_layers"].append(
+        {"name": "masked_batchnorm", "config": {"return_nmd": True}})
+    cfg["model"]["reliability_model"] = {
+        "mode": "nmd",
+        "hidden_layers": [{"name": "dense", "config": {"units": 1}}],
+    }
+    csv = cfg["training"]["fragment_classifier_data"]["train"][0]["path"][0]
+    cfg["training"]["reliability_epochs"] = 1
+    cfg["training"]["reliability_train_steps"] = 2
+    cfg["training"]["loss_reliability"] = "binary_crossentropy"
+    cfg["training"]["fragment_reliability_data"] = {
+        "train": [{"class": ["id"], "path": [csv], "label": [0]}],
+    }
+    cfg_path.write_text(yaml.safe_dump(cfg, sort_keys=False))
+
+    out = tmp_path / "rel_only"
+    r = train_fragment_core(str(cfg_path), output_dir=str(out),
+                            use_mesh=False, only_reliability_head=True)
+    assert "classifier" not in r["history"]
+    assert "reliability" in r["history"]
+
+
 def test_converged_rerun_preserves_trained_bundle(tmp_path, rng):
     """A rerun whose branches are all convergence-skipped must not
     overwrite the trained params with fresh init."""
