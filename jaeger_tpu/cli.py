@@ -465,15 +465,17 @@ def split_cmd(input_path, output_path, minlen, maxlen, overlap, coverage,
 @click.option("--seed", default=42, show_default=True)
 @click.option("--output-format", default="csv", show_default=True,
               type=click.Choice(["csv", "fasta"]))
+@click.option("--seq-col", default=1, show_default=True,
+              help="CSV column holding the sequence.")
 def ood_data(input_path, output_path, method, kmer, n_shuffles,
-             tandem_repeats, seed, output_format):
+             tandem_repeats, seed, output_format, seq_col):
     """Build a shuffled-negative OOD dataset."""
     from jaeger_tpu.dataops.ood import shuffle_core
 
     summary = shuffle_core(input_path, output_path, method=method, kmer=kmer,
                            n_shuffles=n_shuffles,
                            tandem_repeats=tandem_repeats, seed=seed,
-                           output_format=output_format)
+                           output_format=output_format, seq_col=seq_col)
     click.echo(summary)
 
 
@@ -668,6 +670,11 @@ def download(url, dest, registry, list_catalog):
 @click.option("--testperc", default=0.1, show_default=True)
 @click.option("--label", default=0, show_default=True)
 @click.option("--seed", default=42, show_default=True)
+@click.option("--seq-col", default=None, type=int,
+              help="CSV column holding the sequence (CSV input).")
+@click.option("--class-col", default=None, type=int,
+              help="CSV column holding the class id (CSV input; "
+                   "overrides --label per row).")
 @click.option("--dedupe", default="minhash", show_default=True,
               type=click.Choice(["minhash", "exact", "none"]),
               help="minhash = ANI-style MinHash clustering (mmseqs2 "
@@ -676,14 +683,15 @@ def download(url, dest, registry, list_catalog):
               help="Estimated Jaccard similarity above which fragments "
                    "deduplicate (minhash mode).")
 def dataset(input_path, out_prefix, frag_len, overlap, trainperc, valperc,
-            testperc, label, seed, dedupe, dedupe_threshold):
+            testperc, label, seed, seq_col, class_col, dedupe,
+            dedupe_threshold):
     """Fragment + dedupe + split genomes into train/val/test CSVs."""
     from jaeger_tpu.commands.utils import dataset_core
 
     summary = dataset_core(input_path, out_prefix, frag_len=frag_len,
                            overlap=overlap, trainperc=trainperc,
                            valperc=valperc, testperc=testperc, label=label,
-                           seed=seed,
+                           seed=seed, seq_col=seq_col, class_col=class_col,
                            dedupe=(False if dedupe == "none" else dedupe),
                            dedupe_threshold=dedupe_threshold)
     click.echo(summary)

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import csv
 import random
+from pathlib import Path
 
 import numpy as np
 
@@ -171,12 +172,41 @@ def stats_core(input: str, score_column: str | None = None) -> dict:
     return out
 
 
+def _iter_dataset_records(input: str, seq_col: int | None,
+                          class_col: int | None, default_label: int):
+    """(sequence, label) records from FASTA or CSV input.
+
+    CSV input with explicit column indices mirrors the reference's
+    ``--seq_col``/``--class_col`` selectors (reference
+    ``commands/utils.py:116-132``, ``cli.py:1027-1039``).
+    """
+    path = Path(input)
+    if path.suffix.lower() == ".csv" or seq_col is not None:
+        sc = 1 if seq_col is None else int(seq_col)
+        with open(path) as fh:
+            for row in csv.reader(fh):
+                if len(row) <= sc:
+                    continue
+                lbl = default_label
+                if class_col is not None and len(row) > class_col:
+                    try:
+                        lbl = int(row[class_col])
+                    except ValueError:
+                        continue
+                yield row[sc].upper(), lbl
+    else:
+        for _header, seq in read_fasta(input):
+            yield seq.upper(), default_label
+
+
 def dataset_core(input: str, out_prefix: str, frag_len: int = 2048,
                  overlap: int = 1024, trainperc: float = 0.8,
                  valperc: float = 0.1, testperc: float = 0.1,
                  label: int = 0, seed: int = 42,
                  dedupe: bool | str = "minhash",
-                 dedupe_threshold: float = 0.8) -> dict:
+                 dedupe_threshold: float = 0.8,
+                 seq_col: int | None = None,
+                 class_col: int | None = None) -> dict:
     """Build a train/val/test fragment dataset from genomes.
 
     Parity role: reference ``commands/utils.py:226-246`` (``dataset_core``)
@@ -185,18 +215,20 @@ def dataset_core(input: str, out_prefix: str, frag_len: int = 2048,
     canonical-k-mer MinHash sketches at ``dedupe_threshold`` estimated
     Jaccard — the in-repo equivalent of mmseqs2 identity clustering
     (dataops/dedupe.py), no external binary. ``'exact'`` keeps the
-    cheap endpoint-signature dedupe; ``False`` disables.
+    cheap endpoint-signature dedupe; ``False`` disables. CSV input uses
+    ``seq_col``/``class_col`` (per-row labels override ``label``).
     """
     rng = random.Random(seed)
-    frags: list[str] = []
+    frags: list[tuple[int, str]] = []
     seen: set[int] = set()
     deduper = None
     if dedupe == "minhash" or dedupe is True:
         from jaeger_tpu.dataops.dedupe import MinHashDeduper
 
         deduper = MinHashDeduper(threshold=dedupe_threshold)
-    for header, seq in read_fasta(input):
-        seq = seq.upper()
+    for seq, rec_label in _iter_dataset_records(
+        input, seq_col, class_col, label
+    ):
         for start in range(0, max(1, len(seq) - frag_len + 1),
                            max(1, frag_len - overlap)):
             frag = seq[start : start + frag_len]
@@ -210,7 +242,7 @@ def dataset_core(input: str, out_prefix: str, frag_len: int = 2048,
                 if sig in seen:
                     continue
                 seen.add(sig)
-            frags.append(frag)
+            frags.append((rec_label, frag))
     rng.shuffle(frags)
     n = len(frags)
     n_train = int(n * trainperc)
@@ -222,8 +254,8 @@ def dataset_core(input: str, out_prefix: str, frag_len: int = 2048,
     }
     for name, rows in splits.items():
         with open(f"{out_prefix}_{name}.csv", "w") as fh:
-            for frag in rows:
-                fh.write(f"{label},{frag}\n")
+            for rec_label, frag in rows:
+                fh.write(f"{rec_label},{frag}\n")
     return {k: len(v) for k, v in splits.items()}
 
 

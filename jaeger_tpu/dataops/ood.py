@@ -39,6 +39,7 @@ class OODDatasetBuilder:
         correct_ids: set[str] | None = None,
         seed: int = 42,
         output_format: str = "csv",
+        seq_col: int = 1,
     ):
         self.input_path = Path(input_path)
         self.output_path = Path(output_path)
@@ -49,6 +50,7 @@ class OODDatasetBuilder:
         self.correct_ids = correct_ids
         self.seed = seed
         self.output_format = output_format
+        self.seq_col = seq_col
 
     def _shuffle(self, seq: str) -> str:
         if self.shuffle_method == "dinuc":
@@ -65,12 +67,16 @@ class OODDatasetBuilder:
             for header, seq in read_fasta(self.input_path):
                 records.append(SequenceRecord(header, seq.upper(), 1))
         else:
+            # CSV: sequence column selectable (reference --seq_col,
+            # cli.py:835-846)
             with open(self.input_path) as fh:
                 for i, line in enumerate(fh):
                     parts = line.strip().split(",")
-                    if len(parts) >= 2:
+                    if len(parts) > self.seq_col:
                         records.append(
-                            SequenceRecord(f"row{i}", parts[1].upper(), 1)
+                            SequenceRecord(
+                                f"row{i}", parts[self.seq_col].upper(), 1
+                            )
                         )
         if self.correct_ids is not None:
             records = [r for r in records if r.seq_id in self.correct_ids]
@@ -113,10 +119,10 @@ class OODDatasetBuilder:
 def shuffle_core(input: str, output: str, method: str = "dinuc",
                  kmer: int = 2, n_shuffles: int = 1,
                  tandem_repeats: int = 0, seed: int = 42,
-                 output_format: str = "csv") -> dict:
+                 output_format: str = "csv", seq_col: int = 1) -> dict:
     """CLI entry: build a shuffled-negative OOD dataset."""
     return OODDatasetBuilder(
         input, output, shuffle_method=method, kmer=kmer,
         n_shuffles=n_shuffles, tandem_repeats=tandem_repeats, seed=seed,
-        output_format=output_format,
+        output_format=output_format, seq_col=seq_col,
     ).build()

@@ -305,6 +305,47 @@ def test_dataset_core_split_and_dedupe(tmp_path, rng):
     assert label == "3" and len(frag) == 1000
 
 
+def test_dataset_core_csv_input_columns(tmp_path, rng):
+    """utils dataset on CSV input: --seq-col/--class-col select columns
+    and per-row classes flow into the output splits (reference
+    commands/utils.py:116-132 read_sequences)."""
+    from jaeger_tpu.commands.utils import dataset_core
+
+    csvp = tmp_path / "in.csv"
+    with open(csvp, "w") as fh:
+        for i in range(6):
+            seq = "".join(rng.choice(list("ATGC"), size=2500))
+            # columns: junk, class, sequence
+            fh.write(f"x{i},{i % 2},{seq}\n")
+
+    counts = dataset_core(str(csvp), str(tmp_path / "ds"), frag_len=1000,
+                          overlap=0, seq_col=2, class_col=1, seed=1,
+                          dedupe=False)
+    rows = []
+    for name in ("train", "val", "test"):
+        rows += (tmp_path / f"ds_{name}.csv").read_text().splitlines()
+    assert len(rows) == sum(counts.values()) > 0
+    labels = {r.split(",")[0] for r in rows}
+    assert labels == {"0", "1"}  # per-row classes preserved
+    assert all(len(r.split(",")[1]) == 1000 for r in rows)
+
+
+def test_ood_seq_col(tmp_path, rng):
+    """ood-data --seq-col reads the sequence from a non-default column."""
+    from jaeger_tpu.dataops.ood import shuffle_core
+
+    csvp = tmp_path / "in.csv"
+    seq = "".join(rng.choice(list("ATGC"), size=300))
+    csvp.write_text(f"id0,junk,{seq}\n")
+    out = tmp_path / "ood.csv"
+    summary = shuffle_core(str(csvp), str(out), method="random",
+                           n_shuffles=1, seq_col=2)
+    assert summary["total"] == 2
+    lines = out.read_text().splitlines()
+    assert lines[0] == f"1,{seq}"
+    assert lines[1].startswith("0,") and len(lines[1]) == len(seq) + 2
+
+
 def test_convert_workers_identical(tmp_path, random_dna):
     """Parallel shard/chunk materialization is byte-identical to serial."""
     import numpy as np
