@@ -181,14 +181,21 @@ def predict(input_path, output_dir, model_path, fsize, stride, batch,
 @click.option("--stride", default=2048, show_default=True)
 @click.option("--batch", default=128, show_default=True)
 @click.option("--min-len", default=None, type=int)
+@click.option("--model", "model_name", default="default", show_default=True,
+              help="Legacy family: 'default' (bundled WRes) or "
+                   "'experimental[_N]' (v2 Murphy-10 model; needs a Keras "
+                   ".h5 in --model-dir).")
+@click.option("--num-res-blocks", default=10, show_default=True,
+              help="Residual blocks in the experimental tower.")
 def predict_legacy(input_path, output_dir, model_dir, fsize, stride, batch,
-                   min_len):
-    """Legacy 4-class predict with the bundled default WRes model."""
+                   min_len, model_name, num_res_blocks):
+    """Legacy predict: bundled default WRes or v2 experimental models."""
     from jaeger_tpu.commands.predict_legacy import run_core
 
     table = run_core(input_path=input_path, output_dir=output_dir,
                      model_dir=model_dir, fsize=fsize, stride=stride,
-                     batch=batch, min_len=min_len)
+                     batch=batch, min_len=min_len, model_name=model_name,
+                     num_res_blocks=num_res_blocks)
     click.echo(f"summary written to {table}")
 
 

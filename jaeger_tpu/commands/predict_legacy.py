@@ -60,12 +60,27 @@ def run_core(
     batch: int = 128,
     min_len: int | None = None,
     reliability_cutoff: float = 0.5,
+    model_name: str = "default",
+    num_res_blocks: int = 10,
 ) -> Path:
+    """``model_name`` routes the legacy family like the reference's
+    ``LEGACY_PREDICT_MODELS`` (``cli.py:100``): ``default`` is the bundled
+    WRes amino model; ``experimental``/``experimental_*`` is the v2
+    Murphy-10 architecture (``create_jaeger_model``), loaded from a Keras
+    ``.h5`` weights file in ``model_dir``."""
     import jax
     import jax.numpy as jnp
 
-    from jaeger_tpu.models.legacy import WResModel, encode_amino_windows
-    from jaeger_tpu.models.legacy_convert import convert_wres_h5
+    from jaeger_tpu.models.legacy import (
+        ExperimentalModel,
+        WResModel,
+        encode_amino_windows,
+        encode_murphy_windows,
+    )
+    from jaeger_tpu.models.legacy_convert import (
+        convert_experimental_h5,
+        convert_wres_h5,
+    )
 
     t0 = time.time()
     input_path = Path(input_path)
@@ -75,8 +90,29 @@ def run_core(
     model_dir = Path(model_dir) if model_dir else DEFAULT_MODEL_DIR
 
     validate_fasta_entries(str(input_path), min_len=min_len)
-    if (model_dir / "WRes_1024.h5").exists():
+    if model_name.startswith("experimental"):
+        if model_dir == DEFAULT_MODEL_DIR:
+            raise FileNotFoundError(
+                "experimental models are not bundled; pass --model-dir "
+                "pointing at the Keras .h5 weights"
+            )
+        h5s = sorted(model_dir.glob("*.h5"))
+        if not h5s:
+            raise FileNotFoundError(
+                f"no Keras .h5 weights for {model_name!r} under {model_dir}"
+            )
+        variables = convert_experimental_h5(
+            h5s[0], num_res_blocks=num_res_blocks
+        )
+        n_out = int(variables["params"]["outdense"]["bias"].shape[0])
+        model = ExperimentalModel(
+            num_classes=n_out, num_res_blocks=num_res_blocks
+        )
+        encode = encode_murphy_windows
+    elif (model_dir / "WRes_1024.h5").exists():
         variables = convert_wres_h5(model_dir / "WRes_1024.h5")
+        model = WResModel(dropout_active=False)
+        encode = encode_amino_windows
     elif (model_dir / "saved_model.pb").exists() or (
         model_dir / "variables"
     ).exists():
@@ -85,11 +121,12 @@ def run_core(
         from jaeger_tpu.models.legacy_convert import convert_wres_checkpoint
 
         variables = convert_wres_checkpoint(model_dir)
+        model = WResModel(dropout_active=False)
+        encode = encode_amino_windows
     else:
         raise FileNotFoundError(
             f"no WRes_1024.h5 or TF SavedModel under {model_dir}"
         )
-    model = WResModel(dropout_active=False)
     clf, batch_mean, batch_std = _load_ood(model_dir)
 
     @jax.jit
@@ -110,9 +147,7 @@ def run_core(
             if pad:
                 b = np.pad(b, ((0, pad), (0, 0)), constant_values=4)
                 ln = np.pad(ln, (0, pad))
-            toks = encode_amino_windows(
-                jnp.asarray(b), jnp.asarray(ln), fsize
-            )
+            toks = encode(jnp.asarray(b), jnp.asarray(ln), fsize)
             lg, em = fwd(variables, toks)
             logits_chunks.append(np.asarray(lg)[:n_valid])
             emb_chunks.append(np.asarray(em)[:n_valid])
@@ -123,7 +158,7 @@ def run_core(
 
     # sklearn OOD over normalized embeddings (reference helpers.py:530-564)
     reliability = None
-    if clf is not None and batch_mean is not None:
+    if model_name == "default" and clf is not None and batch_mean is not None:
         feats = (embeddings - batch_mean) / batch_std
         feats = feats / np.maximum(
             np.linalg.norm(feats, 2, axis=1, keepdims=True), 1e-12
@@ -133,19 +168,22 @@ def run_core(
         p = np.clip(id_prob, 1e-6, 1 - 1e-6)
         reliability = np.log(p / (1 - p)).astype(np.float32)[:, None]
 
+    n_classes = logits.shape[1]
+    labels = (LEGACY_LABELS if n_classes == len(LEGACY_LABELS)
+              else [f"class_{i}" for i in range(n_classes)])
     meta = collect.PredictionMeta.from_batches(kept)
     data, _ = collect.reduce_windows(
         prediction=logits, meta=meta, fsize=fsize,
-        num_classes=len(LEGACY_LABELS), reliability=reliability,
-        class_names=LEGACY_LABELS,
+        num_classes=n_classes, reliability=reliability,
+        class_names=labels,
     )
     from jaeger_tpu.seqops.fasta import fasta_stem
     stem = fasta_stem(input_path)
-    table = output_dir / f"{stem}_default_jaeger.tsv"
-    phage_table = output_dir / f"{stem}_default_phages_jaeger.tsv"
+    table = output_dir / f"{stem}_{model_name}_jaeger.tsv"
+    phage_table = output_dir / f"{stem}_{model_name}_phages_jaeger.tsv"
     n = collect.write_output(
         data, output_table_path=table, output_phage_table_path=phage_table,
-        labels=LEGACY_LABELS, indices=list(range(4)),
+        labels=labels, indices=list(range(n_classes)),
         reliability_cutoff=reliability_cutoff,
     )
     dt = time.time() - t0

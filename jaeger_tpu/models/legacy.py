@@ -231,8 +231,120 @@ class Vitra(nn.Module):
         return {"output": logits, "prediction": logits}
 
 
+class ExperimentalModel(nn.Module):
+    """Legacy v2 ``experimental_*`` classifier.
+
+    Parity target: reference ``create_jaeger_model``
+    (``nnlib/v1/layers.py:735-785``) over ``ConvolutionalTower_g2``
+    (``:686-733``) — per-frame shared-weight dilated conv tower on
+    Murphy-10 one-hot codons, SumReduce over the six frames, global
+    average pool, two 32-d dense+BN stages, linear head. Outputs
+    ``{"output", "embedding"}`` where the embedding is the final 32-d
+    BN'd feature (``:785``).
+
+    Upstream note (documented divergence): the reference model cannot
+    build under its own pinned Keras 3 — ``Conv1D`` there rejects the
+    rank-4 ``(B, 6, L, 11)`` input the code was written against (TF2's
+    ``tf.nn.convolution`` treated the frame axis as a batch dim). This
+    module implements those TF2-era semantics; conversion and logits are
+    pinned by ``tests/test_legacy_v2.py`` against a rank-3 Keras
+    restatement with identical layer names.
+
+    Input: ``{"translated": (B, 6, L, 11) one-hot}`` or ``(B, 6, L)``
+    int class IDs from :func:`encode_murphy_windows`.
+    """
+
+    num_classes: int = 4
+    num_res_blocks: int = 10
+    add_residual: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False):
+        x = inputs["translated"] if isinstance(inputs, dict) else inputs
+        if x.ndim == 3:  # int class IDs -> one-hot depth 11
+            import jax
+
+            x = jax.nn.one_hot(x, 11, dtype=self.dtype)
+        B, F = x.shape[0], x.shape[1]
+        h = x.reshape(B * F, x.shape[2], x.shape[3]).astype(self.dtype)
+
+        def conv(name, features, k, dilation=1):
+            return nn.Conv(
+                features, (k,), kernel_dilation=(dilation,), padding="SAME",
+                dtype=self.dtype, param_dtype=jnp.float32, name=name,
+            )
+
+        def bn(name):
+            # Keras BatchNormalization defaults (epsilon 1e-3)
+            return nn.BatchNorm(
+                use_running_average=not train, momentum=0.99, epsilon=1e-3,
+                dtype=jnp.float32, param_dtype=jnp.float32, name=name,
+            )
+
+        def leaky(v):
+            return nn.leaky_relu(v, negative_slope=0.1)
+
+        # ConvolutionalTower_g2: entry conv k9 -> maxpool/2 -> BN -> leaky,
+        # conv k3 d2 -> BN -> leaky, then residual 256-filter d3 blocks.
+        h = conv("conv1", 128, 9)(h)
+        h = nn.max_pool(h, (2,), strides=(2,), padding="VALID")
+        h = leaky(bn("block1_1")(h))
+        h = conv("conv2", 128, 3, dilation=2)(h)
+        h = leaky(bn("block1_2")(h))
+        for i in range(self.num_res_blocks):
+            # resnet_block_g2 (v1/layers.py:612-683): conv names skip _2
+            # because the reference enumerates from the kernel list tail.
+            # The skip projection is applied between the two main convs
+            # so the flax parameter-creation order matches the Keras
+            # functional graph's topological layer order (the skip path
+            # is shallower) — the conversion matcher's creation-ordinal
+            # tiebreak for the identically-shaped norms relies on it.
+            xx = nn.relu(bn(f"block2_{i}_1_norm")(
+                conv(f"block2_{i}_1", 256, 3, dilation=3)(h)))
+            skip = h
+            if self.add_residual and h.shape[-1] != 256:
+                skip = leaky(bn(f"block2_{i}_skip_norm")(
+                    conv(f"block2_{i}_skip", 256, 1)(h)))
+            xx = leaky(bn(f"block2_{i}_3_norm")(
+                conv(f"block2_{i}_3", 256, 3, dilation=3)(xx)))
+            h = skip + xx if self.add_residual else xx
+
+        # SumReduce over the frame axis -> BN -> global average pool
+        h = h.reshape(B, F, h.shape[1], h.shape[2]).sum(axis=1)
+        h = bn("sum_reduce_norm")(h)
+        h = jnp.mean(h, axis=1)
+
+        def dense(name, units):
+            return nn.Dense(units, dtype=self.dtype,
+                            param_dtype=jnp.float32, name=name)
+
+        h = bn("dense1")(nn.relu(dense("augdense-1", 32)(h)))
+        x1 = bn("dense2")(nn.relu(dense("augdense-2", 32)(h)))
+        out = nn.Dense(self.num_classes, dtype=jnp.float32,
+                       param_dtype=jnp.float32, name="outdense")(x1)
+        return {"output": out, "prediction": out, "embedding": x1}
+
+
 def encode_amino_windows(bases, lengths, crop_size: int):
     """(B, >=crop) base IDs -> (B, 6, K) amino tokens for legacy models."""
     from jaeger_tpu.ops.encode import encode_frames
 
     return encode_frames(bases, lengths, crop_size=crop_size, alphabet="AA")
+
+
+def encode_murphy_windows(bases, lengths, crop_size: int):
+    """(B, >=crop) base IDs -> (B, 6, K) legacy-v2 Murphy-10 class IDs.
+
+    Parity: reference ``preprocess/v2/convert.py::process_string`` — the
+    tables there default unknown codons to class 0 (shared with stops)
+    and keep soft-masked lowercase out of the uppercase-keyed lookup, so
+    lowercase trigrams also land on 0; ``masking=True`` reproduces both.
+    Window padding beyond the sequence behaves like N bases (class 0),
+    identical to a reference run on N-padded input.
+    """
+    from jaeger_tpu.ops.encode import encode_frames
+
+    t = encode_frames(bases, lengths, crop_size=crop_size,
+                      masking=True, alphabet="MURPHY10_V2")
+    return jnp.maximum(t - 1, 0)

@@ -125,3 +125,49 @@ def _assemble_wres(t: dict[str, np.ndarray], num_res_blocks: int = 5) -> dict:
             "var": need(f"bn_block2_{n}2/moving_variance"),
         }
     return {"params": params, "batch_stats": batch_stats}
+
+
+def convert_experimental_h5(h5_path: str | Path,
+                            num_res_blocks: int = 10,
+                            num_classes: int | None = None) -> dict:
+    """Keras weights for the legacy v2 ``experimental_*`` architecture ->
+    :class:`jaeger_tpu.models.legacy.ExperimentalModel` variables.
+
+    Keras-3 ``save_weights`` names h5 groups by sanitized class
+    (``conv1d_3``), not layer name, so this reuses the structural
+    matcher that converts modern models
+    (:func:`jaeger_tpu.models.modern_convert.map_weights_to_tree`):
+    shape signatures disambiguate the tower entry/skip/head layers and
+    the Keras creation ordinal orders the repeated ``(3, 256, 256)``
+    residual convs, which both layouts emit in the same block order
+    (reference ``nnlib/v1/layers.py:686-785``). ``num_classes`` defaults
+    to the out-head width found in the file.
+    """
+    import jax
+
+    from jaeger_tpu.models.legacy import ExperimentalModel
+    from jaeger_tpu.models.modern_convert import (
+        map_weights_to_tree,
+        read_keras_weight_groups,
+    )
+
+    groups = read_keras_weight_groups(h5_path)
+    if num_classes is None:
+        num_classes = 4
+        for _path, arrays in groups:
+            if (len(arrays) == 2 and arrays[0].ndim == 2
+                    and arrays[0].shape[0] == 32
+                    and arrays[0].shape[1] != 32):
+                num_classes = int(arrays[0].shape[1])
+    model = ExperimentalModel(num_classes=num_classes,
+                              num_res_blocks=num_res_blocks)
+    template = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 6, 24, 11), jnp.float32), train=False,
+    )
+
+    def to_mutable(d):
+        return ({k: to_mutable(v) for k, v in d.items()}
+                if isinstance(d, dict) or hasattr(d, "items") else d)
+
+    return map_weights_to_tree(to_mutable(template), groups)

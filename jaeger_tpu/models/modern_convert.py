@@ -164,7 +164,14 @@ def _tree_slots(variables: dict):
         direct = {k: v for k, v in pd.items() if hasattr(v, "shape")}
         if direct:
             seen_paths.add(path)
-            keys = sorted(direct, key=lambda k: (_KEY_RANK.get(k, 50), k))
+            if set(direct) == {"scale", "bias"}:
+                # flax nn.BatchNorm/nn.LayerNorm: scale=gamma, bias=beta —
+                # the generic rank (bias first, as in conv/dense) would
+                # swap them against Keras's gamma-then-beta order
+                keys = ["scale", "bias"]
+            else:
+                keys = sorted(direct,
+                              key=lambda k: (_KEY_RANK.get(k, 50), k))
             leaves = [("params", k) for k in keys]
             sd = stats
             for p in path:

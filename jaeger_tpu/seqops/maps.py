@@ -75,6 +75,24 @@ for _c in CODONS:
 #: Codon ID -> Murphy-10 class ID.
 MURPHY10_ID: list[int] = [_M10_ORDER.index(_MURPHY10_GROUPS[a]) for a in AA]
 
+# Murphy-10 in the legacy v2 preprocessor's numbering (reference
+# ``preprocess/v2/maps.py`` MURPHY10_INT, used by the deprecated
+# ``experimental_*`` models): stop codons share class 0 with the lookup
+# default (unknown/ambiguous codons), and the ten amino groups take
+# 1..10 in codon-table first-encounter order. Value-for-value identity
+# with the reference list is pinned by tests/test_legacy_v2.py.
+_M10V2_ORDER: list[str] = []
+for _c in CODONS:
+    _g = _MURPHY10_GROUPS[GENETIC_CODE[_c]]
+    if _g != "*" and _g not in _M10V2_ORDER:
+        _M10V2_ORDER.append(_g)
+#: Codon ID -> legacy-v2 Murphy-10 class ID (0 = stop/unknown).
+MURPHY10_V2_ID: list[int] = [
+    0 if _MURPHY10_GROUPS[a] == "*"
+    else _M10V2_ORDER.index(_MURPHY10_GROUPS[a]) + 1
+    for a in AA
+]
+
 # PC5: five physicochemical classes — aliphatic (AGILPV), aromatic (FWY),
 # polar (CMNQST), positive (HKR), negative (DE); stops separate.
 _PC5_GROUPS = {
@@ -119,6 +137,7 @@ ALPHABETS: dict[str, tuple[list[str], list[int]]] = {
     "AA_ID": (CODONS, AA_ID),
     "MURPHY10": (CODONS, MURPHY10_ID),
     "MURPHY10_ID": (CODONS, MURPHY10_ID),
+    "MURPHY10_V2": (CODONS, MURPHY10_V2_ID),
     "PC5": (CODONS, PC5_ID),
     "PC5_ID": (CODONS, PC5_ID),
     "PC2": (CODONS, PC2_ID),
