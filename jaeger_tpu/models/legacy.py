@@ -327,10 +327,17 @@ class ExperimentalModel(nn.Module):
 
 
 def encode_amino_windows(bases, lengths, crop_size: int):
-    """(B, >=crop) base IDs -> (B, 6, K) amino tokens for legacy models."""
+    """(B, >=crop) base IDs -> (B, 6, K) amino tokens for legacy models.
+
+    ``AA_V1`` is the v1 preprocessor's numbering (``preprocess/v1/maps.py``
+    TRIMER_INT == these tokens; pinned live in
+    ``tests/test_encode_live_parity.py``) — distinct from the modern
+    ``AA`` alphabet, which sends stops to 0.
+    """
     from jaeger_tpu.ops.encode import encode_frames
 
-    return encode_frames(bases, lengths, crop_size=crop_size, alphabet="AA")
+    return encode_frames(bases, lengths, crop_size=crop_size,
+                         alphabet="AA_V1")
 
 
 def encode_murphy_windows(bases, lengths, crop_size: int):

@@ -53,13 +53,29 @@ for _c in CODONS:
 #: Amino-acid translation of each codon (list parallel to CODONS).
 AA: list[str] = [GENETIC_CODE[c] for c in CODONS]
 
-#: Codon ID -> amino-acid class ID (20 aa + stop collapsed by identity).
-AA_ID: list[int] = [_AA_ORDER.index(a) for a in AA]
+# Every reduced alphabet below follows the reference's shared numbering
+# convention (its TF lookup tables default unknown codons to 0): stop
+# codons map to class 0 and the amino groups take 1..N in codon-table
+# first-encounter order (or a fixed group order where noted). Each list
+# is pinned value-identical to the reference's literal tables against
+# the LIVE reference package (tests/test_encode_live_parity.py).
+
+#: Codon ID -> amino-acid class ID (reference ``seqops/maps.py:137``):
+#: stop = 0, the 20 amino acids = 1..20 in first-encounter order.
+_AA_MODERN_ORDER: list[str] = [a for a in _AA_ORDER if a != "*"]
+AA_ID: list[int] = [
+    0 if a == "*" else _AA_MODERN_ORDER.index(a) + 1 for a in AA
+]
+
+#: Legacy v1 numbering (``preprocess/v1/maps.py`` TRIMER_INT equals this
+#: + the encoder's +1 token shift): plain first-encounter order with '*'
+#: keeping its own slot. Used only by the legacy ``default`` WRes path.
+AA_V1_ID: list[int] = [_AA_ORDER.index(a) for a in AA]
 
 # --- Reduced alphabets -------------------------------------------------------
 # Murphy-10: standard 10-letter reduction of the amino-acid alphabet
 # (Murphy, Wallqvist & Levy 2000): LVIMC, ASGTP(-> here A,S,G,T,P grouped per
-# the published table), FYW, EDNQ, KR, H. Stop codons get their own class.
+# the published table), FYW, EDNQ, KR, H.
 _MURPHY10_GROUPS = {
     "L": "L", "V": "L", "I": "L", "M": "L", "C": "C",
     "A": "A", "G": "G", "S": "S", "T": "S", "P": "P",
@@ -70,59 +86,50 @@ _MURPHY10_GROUPS = {
 _M10_ORDER: list[str] = []
 for _c in CODONS:
     _g = _MURPHY10_GROUPS[GENETIC_CODE[_c]]
-    if _g not in _M10_ORDER:
+    if _g != "*" and _g not in _M10_ORDER:
         _M10_ORDER.append(_g)
-#: Codon ID -> Murphy-10 class ID.
-MURPHY10_ID: list[int] = [_M10_ORDER.index(_MURPHY10_GROUPS[a]) for a in AA]
-
-# Murphy-10 in the legacy v2 preprocessor's numbering (reference
-# ``preprocess/v2/maps.py`` MURPHY10_INT, used by the deprecated
-# ``experimental_*`` models): stop codons share class 0 with the lookup
-# default (unknown/ambiguous codons), and the ten amino groups take
-# 1..10 in codon-table first-encounter order. Value-for-value identity
-# with the reference list is pinned by tests/test_legacy_v2.py.
-_M10V2_ORDER: list[str] = []
-for _c in CODONS:
-    _g = _MURPHY10_GROUPS[GENETIC_CODE[_c]]
-    if _g != "*" and _g not in _M10V2_ORDER:
-        _M10V2_ORDER.append(_g)
-#: Codon ID -> legacy-v2 Murphy-10 class ID (0 = stop/unknown).
-MURPHY10_V2_ID: list[int] = [
+#: Codon ID -> Murphy-10 class ID (stop/unknown = 0, groups 1..10).
+#: Reference ``seqops/maps.py:408`` and ``preprocess/v2/maps.py``
+#: MURPHY10_INT are the same list.
+MURPHY10_ID: list[int] = [
     0 if _MURPHY10_GROUPS[a] == "*"
-    else _M10V2_ORDER.index(_MURPHY10_GROUPS[a]) + 1
+    else _M10_ORDER.index(_MURPHY10_GROUPS[a]) + 1
+    for a in AA
+]
+#: The legacy v2 preprocessor's name for the same numbering.
+MURPHY10_V2_ID: list[int] = list(MURPHY10_ID)
+
+# PC5: the reference's five physicochemical classes in its fixed group
+# order (``seqops/maps.py:475``): aromatic+H, aliphatic, polar-neutral,
+# small, charged.
+_PC5_GROUPS_ORDERED: list[str] = ["FHWY", "ILV", "MNPQT", "ACGS", "DEKR"]
+#: Codon ID -> PC5 class ID (stop = 0, groups 1..5).
+PC5_ID: list[int] = [
+    0 if a == "*"
+    else 1 + next(i for i, g in enumerate(_PC5_GROUPS_ORDERED) if a in g)
     for a in AA
 ]
 
-# PC5: five physicochemical classes — aliphatic (AGILPV), aromatic (FWY),
-# polar (CMNQST), positive (HKR), negative (DE); stops separate.
-_PC5_GROUPS = {
-    "A": "ALI", "G": "ALI", "I": "ALI", "L": "ALI", "P": "ALI", "V": "ALI",
-    "F": "ARO", "W": "ARO", "Y": "ARO",
-    "C": "POL", "M": "POL", "N": "POL", "Q": "POL", "S": "POL", "T": "POL",
-    "H": "POS", "K": "POS", "R": "POS",
-    "D": "NEG", "E": "NEG", "*": "STP",
-}
-_PC5_ORDER: list[str] = []
-for _c in CODONS:
-    _g = _PC5_GROUPS[GENETIC_CODE[_c]]
-    if _g not in _PC5_ORDER:
-        _PC5_ORDER.append(_g)
-#: Codon ID -> PC5 class ID.
-PC5_ID: list[int] = [_PC5_ORDER.index(_PC5_GROUPS[a]) for a in AA]
+# PC2: the reference's two-class split (``seqops/maps.py:227``) —
+# hydrophobic/neutral (incl. S, T, Y) vs charged/polar.
+_PC2_GROUPS_ORDERED: list[str] = ["ACFGILMPSTVWY", "DEHKNQR"]
+#: Codon ID -> PC2 class ID (stop = 0, groups 1..2).
+PC2_ID: list[int] = [
+    0 if a == "*"
+    else 1 + next(i for i, g in enumerate(_PC2_GROUPS_ORDERED) if a in g)
+    for a in AA
+]
 
-# PC2: hydrophobic (ACFGILMPVW) vs polar/charged (DEHKNQRSTY); stops separate.
-_PC2_GROUPS = {a: ("H" if a in "ACFGILMPVW" else ("*" if a == "*" else "P"))
-               for a in set(GENETIC_CODE.values())}
-_PC2_ORDER: list[str] = []
+#: Codon ID -> synonymous-codon ordinal within its amino family, 1-based,
+#: counted in codon-table order (reference ``seqops/maps.py:341`` COD_ID).
+#: TGA is counted in the W family — the reference table follows the
+#: TGA->Trp recoding convention — so TAA/TAG are 1/2 and TGA/TGG are 1/2.
+_COD_COUNTS: dict[str, int] = {}
+COD_ID: list[int] = []
 for _c in CODONS:
-    _g = _PC2_GROUPS[GENETIC_CODE[_c]]
-    if _g not in _PC2_ORDER:
-        _PC2_ORDER.append(_g)
-#: Codon ID -> PC2 class ID.
-PC2_ID: list[int] = [_PC2_ORDER.index(_PC2_GROUPS[a]) for a in AA]
-
-#: Alias used by configs: "COD" is the identity codon alphabet.
-COD_ID: list[int] = CODON_ID
+    _f = "W" if _c == "TGA" else GENETIC_CODE[_c]
+    _COD_COUNTS[_f] = _COD_COUNTS.get(_f, 0) + 1
+    COD_ID.append(_COD_COUNTS[_f])
 
 #: Dicodons (4096) and their IDs. Reference ``seqops/maps.py:544-546``.
 DICODONS: list[str] = ["".join(p) for p in product(CODONS, CODONS)]
@@ -135,6 +142,7 @@ ALPHABETS: dict[str, tuple[list[str], list[int]]] = {
     "COD": (CODONS, COD_ID),
     "AA": (CODONS, AA_ID),
     "AA_ID": (CODONS, AA_ID),
+    "AA_V1": (CODONS, AA_V1_ID),
     "MURPHY10": (CODONS, MURPHY10_ID),
     "MURPHY10_ID": (CODONS, MURPHY10_ID),
     "MURPHY10_V2": (CODONS, MURPHY10_V2_ID),
