@@ -330,15 +330,17 @@ def utils() -> None:
 @click.option("--codon-map", default="codon_id", show_default=True)
 @click.option("--compress", default="fast", show_default=True,
               type=click.Choice(["default", "none", "fast"]))
-@click.option("--no-pad", is_flag=True, default=False,
-              help="Store ragged per-crop arrays instead of padded.")
+@click.option("--pad", is_flag=True, default=False,
+              help="Pad all crops to the maximum length (dense arrays) "
+                   "instead of ragged per-crop arrays (reference "
+                   "cli.py:1193 parity — ragged is the default).")
 @click.option("--balance-classes", is_flag=True, default=False)
 @click.option("--shard-size", default=None, type=int,
               help="Stream output as class-balanced shards of this size.")
 @click.option("--workers", default=4, show_default=True,
               help="Thread workers for shard/chunk materialization.")
 def optimize_data(input_path, output_path, fmt, crop_size, stride, one_hot,
-                  codon_map, compress, no_pad, balance_classes, shard_size,
+                  codon_map, compress, pad, balance_classes, shard_size,
                   workers):
     """Convert a label,sequence CSV to a preprocessed NPZ dataset."""
     from jaeger_tpu.commands.utils import optimize_data_core
@@ -346,7 +348,7 @@ def optimize_data(input_path, output_path, fmt, crop_size, stride, one_hot,
     summary = optimize_data_core(
         input_path, output_path, format=fmt,
         crop_size=list(crop_size), stride=stride, one_hot=one_hot,
-        codon_map=codon_map, compress=compress, pad=not no_pad,
+        codon_map=codon_map, compress=compress, pad=pad,
         balance_classes=balance_classes, shard_size=shard_size,
         workers=workers,
     )

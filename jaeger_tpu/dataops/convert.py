@@ -75,6 +75,25 @@ def translated_frame_length(crop_size: int, dicodon: bool = False) -> int:
     return max(0, k)
 
 
+def valid_codon_lengths(lengths: np.ndarray, crop_size: int,
+                        dicodon: bool = False) -> np.ndarray:
+    """Per-crop valid codon count — the reference's converter arithmetic
+    (``_single_codon_actual_lengths``, ``dataops/convert.py:497-530``):
+    min over the three frames with the offset from the CROPPED length's
+    own mod-3. Note this intentionally differs from the TF inference
+    path, whose offset comes from the crop size — for ``m % 3 == 0``
+    sub-crop rows the two disagree by one token; both reference
+    behaviors are mirrored faithfully (pinned live in
+    ``tests/test_convert_live_parity.py``)."""
+    m = np.minimum(lengths.astype(np.int64), crop_size)
+    off = np.array([-2, -1, 0], dtype=np.int64)[m % 3]
+    v = np.maximum((m - 3 + off) // 3, 0)
+    v = np.where(m < 3, 0, v)
+    if dicodon:
+        v = np.maximum(v - 1, 0)
+    return v.astype(np.int32)
+
+
 def encode_translated_batch(
     bases: np.ndarray, lengths: np.ndarray, crop_size: int,
     codon_map: str = "codon_id",
@@ -117,7 +136,7 @@ def encode_translated_batch(
         return np.stack([c[:, off::3][:, :k] for off in range(3)], axis=1)
 
     out = np.concatenate([frames(cf), frames(cr)], axis=1)  # (N, 6, k)
-    valid_k = np.maximum(m // 3 - (2 if dicodon else 1), 0)
+    valid_k = valid_codon_lengths(m, C, dicodon)
     mask = np.arange(k)[None, None, :] < valid_k[:, None, None]
     return ((out + 1) * mask).astype(np.int32)
 
@@ -130,43 +149,40 @@ def encode_nucleotide_batch(
     """(N, crop) base IDs -> (N, 2, crop) ints or (N, 2, crop, 4) one-hot.
 
     Vectorized equivalent of ``_encode_nucleotide_batch_int/oh``
-    (reference ``dataops/convert.py:276-345``).
+    (reference ``dataops/convert.py:276-345``). Note the converter's
+    second channel is the complement **at the same position** (no
+    reversal) — unlike the reference's own TF inference pipeline, which
+    reverse-complements; both behaviors are mirrored faithfully (pinned
+    live in ``tests/test_convert_live_parity.py``). One-hot channels use
+    the reference's fixed A,G,T,C order (``convert.py:253``), ignoring
+    the user integer map.
     """
     nmap = nucleotide_map or _DEFAULT_NUCLEOTIDE_MAP
     C = crop_size
-    b = UPPER_LUT[bases[:, :C]].astype(np.int64)
+    b = UPPER_LUT[bases[:, :C]].astype(np.int64)  # A0 T1 G2 C3 N4
     m = np.minimum(lengths.astype(np.int64), C)
     pos = np.arange(C)[None, :]
     valid = pos < m[:, None]
     b = np.where(valid, b, 4)
-
-    comp = np.array([1, 0, 3, 2, 4], dtype=np.int64)
-    ridx = m[:, None] - 1 - pos
-    rb = np.take_along_axis(b, np.clip(ridx, 0, C - 1), axis=1)
-    rb = np.where(ridx >= 0, comp[rb], 4)
+    comp_b = np.where(b < 4, b ^ 1, 4)  # A<->T, G<->C in base-ID space
 
     if one_hot:
-        # channel per ACGT in the map's key order minus N
-        chan = np.full(5, -1, dtype=np.int64)
-        order = {"A": 0, "T": 1, "G": 2, "C": 3}
-        idx = 0
-        for ch in nmap:
-            if ch == "N":
-                continue
-            chan[order[ch]] = idx
-            idx += 1
-        ids = np.stack([chan[b], chan[rb]], axis=1)  # (N, 2, C)
+        # base-ID -> A,G,T,C channel index; N -> -1 (zero row)
+        chan = np.array([0, 2, 1, 3, -1], dtype=np.int64)
+        ids = np.stack([chan[b], chan[comp_b]], axis=1)  # (N, 2, C)
         oh = np.zeros(ids.shape + (4,), dtype=np.float32)
         np.put_along_axis(
             oh, np.clip(ids, 0, 3)[..., None], 1.0, axis=-1
         )
         oh[ids < 0] = 0.0
         return oh
-    # integer encoding via the map
-    code = np.full(5, nmap.get("N", pad_int), dtype=np.int64)
-    for i, ch in enumerate("ATGC"):
-        code[i] = nmap.get(ch, pad_int)
-    out = np.stack([code[b], code[rb]], axis=1)
+    # integer encoding via the user map; beyond-length stays pad_int
+    code = np.array(
+        [nmap.get(ch, nmap.get("N", 0)) for ch in "ATGC"]
+        + [nmap.get("N", 0)],
+        dtype=np.int64,
+    )
+    out = np.stack([code[b], code[comp_b]], axis=1)
     pad_pos = ~np.stack([valid, valid], axis=1)
     out[pad_pos] = pad_int
     return out.astype(np.int32)
@@ -270,7 +286,7 @@ def convert_dataset(
     codon_map: str = "codon_id",
     nucleotide_map: str | dict | None = None,
     compress: str = "default",
-    pad: bool = True,
+    pad: bool = False,
     balance_classes: bool = False,
     shuffle_seed: int = 42,
     shard_size: int | None = None,
@@ -308,10 +324,12 @@ def convert_dataset(
     if len(seqs) == 0:
         raise ValueError(f"no valid rows in {input_path}")
 
-    # expand every sequence into (crop_size, start, length) crops
+    # expand every sequence into (crop_size, start, length) crops —
+    # crop-size-major order, matching the reference's row layout
+    # (convert.py:1125-1170; pinned live)
     crop_rows: list[tuple[int, int, int, int]] = []  # (seq_idx, crop, start, len)
-    for si, s in enumerate(seqs):
-        for csize, cstride in zip(crop_sizes, stride_list):
+    for csize, cstride in zip(crop_sizes, stride_list):
+        for si, s in enumerate(seqs):
             for start in _crop_starts(len(s), csize, cstride):
                 crop_rows.append(
                     (si, csize, start, min(csize, len(s) - start))
@@ -341,9 +359,7 @@ def convert_dataset(
             toks = encode_translated_batch(
                 bases, lengths, max_crop, codon_map
             )
-            tl = np.maximum(
-                lengths // 3 - (2 if dicodon else 1), 0
-            ).astype(np.int32)
+            tl = valid_codon_lengths(lengths, max_crop, dicodon)
             data["translated_lengths"] = tl
             if not pad:
                 obj = np.empty(n, dtype=object)
@@ -367,7 +383,14 @@ def convert_dataset(
                 data["nucleotide"] = nuc
         return data
 
-    meta = {}
+    # archive metadata at reference layout parity (convert.py:1125-1180):
+    # crop grid, pad sentinel/flag alongside the encoding maps
+    meta = {
+        "crop_sizes": np.asarray(crop_sizes, dtype=np.int64),
+        "strides": np.asarray(stride_list, dtype=np.int64),
+        "pad_int": np.asarray(pad_int),
+        "padded": np.asarray(bool(pad)),
+    }
     if fmt in ("translated", "both"):
         meta["codon_map"] = np.str_(codon_map)
     if fmt in ("nucleotide", "both"):

@@ -230,8 +230,10 @@ def load_npz_dataset(path: str | Path, key: str = "translated") -> dict:
             ]
             out[k] = np.concatenate(parts, axis=0)
         return out
+    # archive metadata (encoding maps + crop grid) is not row data
+    meta = {"codon_map", "crop_sizes", "strides", "pad_int", "padded"}
     return {k: data[k] for k in names if not k.endswith("_map")
-            and k != "codon_map"}
+            and k not in meta}
 
 
 def _densify(feats: np.ndarray, idx: np.ndarray) -> np.ndarray:

@@ -70,8 +70,9 @@ class TestEncoders:
         out = encode_nucleotide_batch(bases, np.array([5]), 5)
         # default map {A:1,G:2,T:3,C:4,N:0}
         np.testing.assert_array_equal(out[0, 0], [1, 2, 3, 4, 0])
-        # reverse strand: complement of reversed = N G A C T
-        np.testing.assert_array_equal(out[0, 1], [0, 2, 1, 4, 3])
+        # channel 2 is the IN-PLACE complement (reference converter
+        # semantics, convert.py:276-296 — no reversal): T C A G N
+        np.testing.assert_array_equal(out[0, 1], [3, 4, 1, 2, 0])
 
     def test_nucleotide_onehot(self):
         bases = encode_ascii("AGCTN")[None]
@@ -88,7 +89,7 @@ class TestConvert:
         csv = _csv(tmp_path, rows)
         out = tmp_path / "out.npz"
         summary = convert_dataset(csv, str(out), crop_size=104,
-                                  compress="fast")
+                                  compress="fast", pad=True)
         assert summary["rows"] == 30
         data = load_npz_dataset(out)
         assert data["translated"].shape == (30, 6, 33)
@@ -140,7 +141,7 @@ class TestConvert:
         rows = [(i % 3, random_dna(104)) for i in range(40)]
         csv = _csv(tmp_path, rows)
         out = tmp_path / "b.npz"
-        convert_dataset(csv, str(out), crop_size=104)
+        convert_dataset(csv, str(out), crop_size=104, pad=True)
         b = next(batches_from_npz(out, batch_size=16, num_classes=3))
         assert b["translated"].shape == (16, 6, 33)
         assert b["labels"].shape == (16, 3)
@@ -365,7 +366,8 @@ def test_convert_workers_identical(tmp_path, random_dna):
         a = tmp_path / "a.npz"
         b = tmp_path / "b.npz"
         common = dict(format="translated", crop_size=[150, 200],
-                      stride=150, balance_classes=True, **kwargs)
+                      stride=150, balance_classes=True, pad=True,
+                      **kwargs)
         convert_dataset(str(csv), str(a), workers=0, **common)
         convert_dataset(str(csv), str(b), workers=4, **common)
         da, db = np.load(a, allow_pickle=True), np.load(b, allow_pickle=True)

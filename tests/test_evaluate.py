@@ -37,7 +37,8 @@ def _bundle_and_data(tmp_path, rng):
             seq = "".join(rng.choice(list(pools[lab]), size=200))
             fh.write(f"{lab},{seq}\n")
     npz = tmp_path / "val_shuffled_translated_200.npz"
-    convert_dataset(str(csv), str(npz), crop_size=185, compress="fast")
+    convert_dataset(str(csv), str(npz), crop_size=185, compress="fast",
+                    pad=True)
     return bundle, csv, npz
 
 

@@ -113,7 +113,8 @@ def test_train_from_npz_dataset(tmp_path, rng):
             seq = "".join(rng.choice(list(pools[label]), size=100))
             fh.write(f"{label},{seq}\n")
     npz = tmp_path / "train.npz"
-    convert_dataset(str(csv), str(npz), crop_size=95, compress="fast")
+    convert_dataset(str(csv), str(npz), crop_size=95, compress="fast",
+                    pad=True)
 
     cfg_path = _write_fixture(tmp_path, rng)
     cfg = yaml.safe_load(cfg_path.read_text())
