@@ -67,8 +67,6 @@ def dinuc_shuffle(seq: str, num_shufs: int | None = None, rng=None):
     """
     if rng is None:
         rng = np.random.default_rng()
-    elif isinstance(rng, np.random.RandomState):
-        rng = np.random.default_rng(rng.randint(2**31))
 
     arr = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
     chars, tokens = np.unique(arr, return_inverse=True)
@@ -76,24 +74,26 @@ def dinuc_shuffle(seq: str, num_shufs: int | None = None, rng=None):
         out = [seq] * (num_shufs or 1)
         return out if num_shufs else out[0]
 
-    # successor indices for each character (position + 1)
+    # successor indices for each character (position + 1); the list is
+    # UPDATED across shuffles, compounding exactly like the reference
+    # (seed-for-seed identical for both Generator and RandomState rngs,
+    # pinned live in tests/test_transform_live_parity.py)
     succ = [np.where(tokens[:-1] == t)[0] + 1 for t in range(len(chars))]
 
     results = []
     for _ in range(num_shufs or 1):
-        shuffled = []
         for t in range(len(chars)):
             inds = np.arange(len(succ[t]))
-            if len(inds) > 1:
+            if len(inds):  # chars appearing only at the end have no succs
                 inds[:-1] = rng.permutation(len(inds) - 1)
-            shuffled.append(succ[t][inds])
+            succ[t] = succ[t][inds]
         counters = [0] * len(chars)
         ind = 0
         result = np.empty_like(tokens)
         result[0] = tokens[0]
         for j in range(1, len(tokens)):
             t = tokens[ind]
-            ind = shuffled[t][counters[t]]
+            ind = succ[t][counters[t]]
             counters[t] += 1
             result[j] = tokens[ind]
         results.append(chars[result].tobytes().decode("ascii"))
