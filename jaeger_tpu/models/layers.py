@@ -887,8 +887,14 @@ class _MHA(nn.Module):
 class TransformerEncoder(nn.Module):
     """Pre-norm MHA over the length axis of (B, F, L, C) + FFN.
 
-    Parity: reference ``nnlib/v2/layers.py:2206-2283`` (note: the reference
-    does not feed the validity mask to this attention; we keep that).
+    Parity: reference ``nnlib/v2/layers.py:2206-2283``, with one
+    documented intentional divergence: we exclude invalid KEYS from the
+    attention. The reference's Keras auto-masking only row-masks the
+    query, so its valid positions attend over padded positions — whose
+    values there are conv bleed through un-zeroed norm affines, making
+    short-window predictions depend on pad content (shown live by
+    ``tests/test_modern_convert_real.py::test_attention_pad_sensitivity``).
+    Ours are pad-content invariant.
     """
 
     embed_dim: int
@@ -901,9 +907,15 @@ class TransformerEncoder(nn.Module):
     def __call__(self, x, mask=None, train: bool = False):
         b, f, length, c = x.shape
         h = x.reshape(b * f, length, c)
+        attn_mask = None
+        if mask is not None:
+            # key-validity band: (B*F, 1, 1, L) broadcast over heads and
+            # queries; all-invalid rows fall back to uniform attention
+            # and are re-masked downstream
+            attn_mask = mask.reshape(b * f, 1, 1, length)
         hn, _ = LayerNorm(name="attn_norm", dtype=self.dtype)(h)
         attn = _MHA(self.embed_dim, self.num_heads, self.dropout_rate,
-                    dtype=self.dtype, name="mha")(hn, train=train)
+                    dtype=self.dtype, name="mha")(hn, attn_mask, train=train)
         attn = nn.Dropout(self.dropout_rate, deterministic=not train)(attn)
         h = h + attn
         hn, _ = LayerNorm(name="ffn_norm", dtype=self.dtype)(h)

@@ -199,6 +199,82 @@ def test_real_weights_roundtrip(family, tmp_path):
     _assert_converted_matches(cfg, h5, toks, golden)
 
 
+# families whose reference graphs mix pad-position values into valid
+# outputs (Keras auto-masking only row-masks the attention query); our
+# attention masks keys instead — see TransformerEncoder's docstring.
+# (axial is NOT here: its pre-attention masked norms zero the padded
+# values, so key-masking and the reference's pad-attending coincide —
+# it stays under the strict masked roundtrip.)
+PAD_SENSITIVE = {"transformer"}
+
+
+def _masked_tokens(toks):
+    """Per-row valid prefixes: full, mid, extreme-short (0 = pad)."""
+    masked = np.array(toks)
+    for row, valid in enumerate((LEN, LEN - 13, 4)):
+        masked[row, :, valid:] = 0
+    return masked
+
+
+def _reference_forward(cfg, h5, toks):
+    b = jaeger_ref.DynamicModelBuilder(cfg)
+    with contextlib.redirect_stdout(io.StringIO()):
+        models = b.build_fragment_classifier()
+    jm = models["jaeger_model"]
+    jm.load_weights(str(h5))
+    out = jm(toks, training=False)
+    if not isinstance(out, dict):
+        out = {"prediction": out}
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
+@pytest.mark.parametrize(
+    "family", sorted(set(FAMILIES) - PAD_SENSITIVE))
+def test_real_weights_roundtrip_masked(family, tmp_path):
+    """Mask-propagation semantics pinned against the LIVE reference
+    graphs: short-window tokens (0 = pad, Keras mask_zero) through the
+    converted model must reproduce the reference outputs — the SURVEY
+    'hard part' the full-length goldens above never exercise."""
+    merge = {"mode": "concat"} if family == "resblock_dyt_nmd" else None
+    cfg = _config(FAMILIES[family], tmp_path, merge=merge)
+    h5, toks, _ = _reference_artifacts(cfg, tmp_path)
+    masked = _masked_tokens(toks)
+    golden = _reference_forward(cfg, h5, masked)
+    _assert_converted_matches(cfg, h5, masked, golden)
+
+
+@pytest.mark.parametrize("family", sorted(PAD_SENSITIVE))
+def test_attention_short_window_divergence_documented(family, tmp_path):
+    """Documented intentional divergence for attention families: the
+    reference's Keras auto-masking only row-masks the attention query,
+    so valid positions of SHORT windows attend over padded positions
+    (conv bleed through un-zeroed norm affines); ours excludes invalid
+    keys. Pin both facts live: full-length rows stay golden-equal to
+    the reference, short rows diverge (the reference result there is
+    pad-bleed-dependent, ours is not)."""
+    import jax.numpy as jnp
+
+    from jaeger_tpu.models.builder import ModelBuilder
+    from jaeger_tpu.models.modern_convert import convert_modern_weights
+
+    cfg = _config(FAMILIES[family], tmp_path)
+    h5, toks, _ = _reference_artifacts(cfg, tmp_path)
+    masked = _masked_tokens(toks)
+    golden = _reference_forward(cfg, h5, masked)["prediction"]
+
+    variables = convert_modern_weights(cfg, h5)
+    model = ModelBuilder(cfg).build()
+    ours = np.asarray(model.apply(
+        variables, {"translated": jnp.asarray(masked)}, train=False
+    )["prediction"])
+
+    # row 0 is full length — no padding, both semantics coincide
+    scale = max(1e-6, float(np.max(np.abs(golden[0]))))
+    np.testing.assert_allclose(ours[0], golden[0], rtol=0, atol=2e-5 * scale)
+    # padded rows diverge by design (key-masked vs pad-attending)
+    assert not np.allclose(ours[1:], golden[1:], atol=1e-4)
+
+
 GAP_FAMILIES = {
     # The reference keeps these sublayers in structures Keras 3 does not
     # track (MultiScaleConv1D: underscore attr ``self._convs``;
