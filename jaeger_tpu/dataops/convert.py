@@ -228,28 +228,30 @@ def _class_interleaved_permutation(labels: np.ndarray, seed: int) -> np.ndarray:
 
     Parity: reference ``convert.py:1006-1080`` (deficit scheduler).
     """
-    rng = np.random.default_rng(seed)
-    classes, counts = np.unique(labels, return_counts=True)
-    pools = []
-    for c in classes:
-        idx = np.where(labels == c)[0]
-        rng.shuffle(idx)
-        pools.append(list(idx))
+    labels = np.asarray(labels)
     total = len(labels)
-    weights = counts / total
-    deficit = np.zeros(len(classes))
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    rng = np.random.default_rng(seed)
+    _, inverse = np.unique(labels, return_inverse=True)
+    pools = []
+    for c in range(int(inverse.max()) + 1):
+        idx = np.flatnonzero(inverse == c)
+        rng.shuffle(idx)
+        pools.append(idx)
+    # integer deficits (+counts each step, -total on pick) make the
+    # schedule exact and tie-breaks deterministic — seed-for-seed
+    # identical to the reference (pinned live)
+    counts = np.array([len(p) for p in pools], dtype=np.int64)
+    deficits = np.zeros(len(pools), dtype=np.int64)
+    ptr = np.zeros(len(pools), dtype=np.int64)
     out = np.empty(total, dtype=np.int64)
-    ptr = [0] * len(classes)
     for i in range(total):
-        deficit += weights
-        # pick the eligible class with the largest deficit
-        best, best_d = -1, -np.inf
-        for ci in range(len(classes)):
-            if ptr[ci] < counts[ci] and deficit[ci] > best_d:
-                best, best_d = ci, deficit[ci]
-        out[i] = pools[best][ptr[best]]
-        ptr[best] += 1
-        deficit[best] -= 1.0
+        deficits += counts
+        c = int(np.argmax(deficits))
+        deficits[c] -= total
+        out[i] = pools[c][ptr[c]]
+        ptr[c] += 1
     return out
 
 

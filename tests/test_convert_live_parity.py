@@ -103,3 +103,24 @@ def test_valid_codon_lengths_matches_reference_kernel():
         # the reference kernel additionally caps at crop//3 - 1
         ours = np.minimum(ours_raw, max(0, crop // 3 - 1))
         np.testing.assert_array_equal(ours, np.asarray(ref), err_msg=str(crop))
+
+
+def test_balanced_permutation_matches_live_reference(rng):
+    """The class-balanced deficit-scheduler permutation is seed-for-seed
+    identical to the reference's (convert.py:1006-1080)."""
+    labels = rng.integers(0, 3, size=200).astype(np.int64)
+    for seed in (0, 7, 42):
+        ref = np.asarray(
+            ref_convert._class_interleaved_permutation(labels, seed))
+        ours = np.asarray(
+            our_convert._class_interleaved_permutation(labels, seed))
+        np.testing.assert_array_equal(ours, ref)
+
+
+def test_balance_classes_npz_matches_live_reference(tmp_path, rng):
+    csv = _csv(tmp_path, rng, n=12, lengths=(480, 500))
+    kw = dict(format="translated", crop_size=480, num_classes=3,
+              pad=True, balance_classes=True, shuffle_seed=11)
+    ref_convert.convert_dataset(csv, str(tmp_path / "ref.npz"), **kw)
+    our_convert.convert_dataset(csv, str(tmp_path / "our.npz"), **kw)
+    _compare(tmp_path / "ref.npz", tmp_path / "our.npz")
