@@ -99,17 +99,19 @@ class WindowBatch:
         return int(self.bases.shape[0])
 
 
-def _composition(ids_upper: np.ndarray) -> tuple[int, int, int, int]:
-    counts = np.bincount(ids_upper, minlength=5)
+def _composition(ids: np.ndarray) -> tuple[int, int, int, int]:
+    """(g, c, a, t) over UPPERCASE base IDs only — soft-masked
+    (lowercase, ids 5-8) bases are excluded, matching the reference's
+    case-sensitive counts (io.py:124-133)."""
+    counts = np.bincount(ids, minlength=9)
     # base IDs: 0=A 1=T 2=G 3=C
     return int(counts[2]), int(counts[3]), int(counts[0]), int(counts[1])
 
 
 def _gc_skew(g: int, c: int) -> float:
+    # reference ``safe_divide`` rounds to 2 decimals (utils/misc.py:117-123)
     denom = g + c
-    skew = (g - c) / denom if denom else 0.0
-    # parity with the reference's 3-decimal CSV formatting (io.py:133)
-    return round(skew, 3)
+    return round((g - c) / denom, 2) if denom else 0.0
 
 
 def _fasta_source(path: str):
@@ -172,9 +174,12 @@ def _contig_rows(header, seq, fragsize, stride, dynamic_stride,
         last = len(starts) - 1
         # per-base cumulative counts: every window's composition is two
         # O(1) lookups instead of an O(fragsize) bincount
+        # composition counts exclude soft-masked (lowercase) bases like
+        # the reference's case-sensitive ``sequence.count("G")``
+        # (io.py:124-133; pinned live)
         cum = np.zeros((4, upper.shape[0] + 1), dtype=np.int64)
         for bi in range(4):
-            np.cumsum(upper == bi, out=cum[bi, 1:])
+            np.cumsum(ids == bi, out=cum[bi, 1:])
         for i, index in enumerate(starts):
             end = index + fragsize
             a = int(cum[0, end] - cum[0, index])
@@ -187,7 +192,7 @@ def _contig_rows(header, seq, fragsize, stride, dynamic_stride,
                  g, c, a, t, _gc_skew(g, c)),
             ))
     elif seqlen >= min_len:
-        g, c, a, t = _composition(upper)
+        g, c, a, t = _composition(ids)
         rows.append((
             ids, (seqlen, 0, 1, 0, seqlen, g, c, a, t, _gc_skew(g, c))
         ))
@@ -331,7 +336,7 @@ def windows_from_sequences(
         ids = encode_ascii(s[:cap])
         bases[i, : ids.shape[0]] = ids
         length[i] = ids.shape[0]
-        gg, cc, aa, tt = _composition(UPPER_LUT[ids])
+        gg, cc, aa, tt = _composition(ids)
         g[i], c[i], a[i], t[i] = gg, cc, aa, tt
         skew[i] = _gc_skew(gg, cc)
     seqlens = np.array([len(s) for s in sequences], dtype=np.int32)
