@@ -1,0 +1,79 @@
+"""Stubs that make the REFERENCE package runnable in this image for
+end-to-end live-parity tests: pyfastx (in-memory FASTA reader),
+pydustmasker (backed by our byte-exact SDUST), parasail (backed by our
+reference-parity Smith-Waterman), and an import-only polars shim.
+
+All stubs mutate existing stub modules when present (other live tests
+may have installed bare placeholders first, and reference modules hold
+references to those objects).
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+
+def install() -> None:
+    from jaeger_tpu.postprocess.sw import smith_waterman
+    from jaeger_tpu.seqops.dust import dust_mask
+    from jaeger_tpu.seqops.fasta import read_fasta
+
+    fx = sys.modules.setdefault("pyfastx", types.ModuleType("pyfastx"))
+
+    class Fasta:
+        def __init__(self, path, build_index=False):
+            self._r = list(read_fasta(path))
+
+        def __iter__(self):
+            return iter(self._r)
+
+        def __len__(self):
+            return len(self._r)
+
+    fx.Fasta = Fasta
+
+    pdm = sys.modules.setdefault(
+        "pydustmasker", types.ModuleType("pydustmasker"))
+
+    class DustMasker:
+        def __init__(self, seq, window_size=64, score_threshold=20):
+            self._s, self._w, self._t = seq, window_size, score_threshold
+
+        def mask(self):
+            return dust_mask(self._s, self._w, self._t)
+
+    pdm.DustMasker = DustMasker
+
+    ps = sys.modules.setdefault("parasail", types.ModuleType("parasail"))
+
+    class _Matrix:
+        def __init__(self, alphabet, match, mismatch):
+            self.match, self.mismatch = match, mismatch
+
+    class _Traceback:
+        def __init__(self, query, comp, ref):
+            self.query, self.comp, self.ref = query, comp, ref
+
+    class _Result:
+        def __init__(self, r):
+            self.score = r.score
+            self.end_query = r.end_query
+            self.end_ref = r.end_ref
+            self.saturated = r.saturated
+            self.traceback = _Traceback(r.query_aligned, r.comp,
+                                        r.ref_aligned)
+
+    def _sw(query, ref, open_, extend, matrix):
+        return _Result(smith_waterman(str(query), str(ref), open_, extend,
+                                      matrix.match, matrix.mismatch))
+
+    ps.matrix_create = _Matrix
+    ps.sw_trace_scan_16 = _sw
+
+    pl = sys.modules.setdefault("polars", types.ModuleType("polars"))
+    if not hasattr(pl, "DataFrame"):
+        pl.DataFrame = object
+
+    if "/root/reference/src" not in sys.path:
+        sys.path.insert(0, "/root/reference/src")
