@@ -118,7 +118,7 @@ def reference_artifact(tmp_path_factory):
 
 
 def _run_reference_predict(model_dir: Path, out_dir: Path,
-                           min_len: int) -> Path:
+                           min_len: int, crf: bool = False) -> Path:
     import jaeger.commands.predict as ref_predict
 
     ref_predict.version = lambda *_: "0.0.0-live"
@@ -130,7 +130,7 @@ def _run_reference_predict(model_dir: Path, out_dir: Path,
         overwrite=True, getsequences=False, getalllabels=False,
         window_scores=False, save_embedding=False, save_nmd=False,
         prophage=False, sensitivity=0.5, plot_type=None,
-        crf=False, crf_prior="biological", crf_switch_cost=3.0,
+        crf=crf, crf_prior="biological", crf_switch_cost=3.0,
         crf_transition_matrix=None,
         refine=False, refine_mode="gated", refine_min_windows=2,
         refine_merge_split=False, refine_contig_hedge_margin=0.0,
@@ -141,7 +141,8 @@ def _run_reference_predict(model_dir: Path, out_dir: Path,
     return tsvs[0]
 
 
-def _run_our_predict(model_dir: Path, out_dir: Path, min_len: int) -> Path:
+def _run_our_predict(model_dir: Path, out_dir: Path, min_len: int,
+                     crf: bool = False) -> Path:
     from jaeger_tpu.commands.predict import run_core
     from jaeger_tpu.models.artifacts import save_model
     from jaeger_tpu.models.modern_convert import convert_modern_weights
@@ -159,6 +160,7 @@ def _run_our_predict(model_dir: Path, out_dir: Path, min_len: int) -> Path:
         input_path=str(FASTA), output_dir=str(out_dir / "pred"),
         model_path=str(bundle), fsize=500, stride=500, min_len=min_len,
         batch=96, precision="float32",
+        crf_switch_cost=3.0 if crf else None, crf_prior="biological",
     )
     tsvs = [p for p in (out_dir / "pred").glob("*_jaeger.tsv")
             if "phage" not in p.name]
@@ -166,13 +168,21 @@ def _run_our_predict(model_dir: Path, out_dir: Path, min_len: int) -> Path:
     return tsvs[0]
 
 
-@pytest.mark.parametrize("min_len", [500, 137])
+@pytest.mark.parametrize("min_len,crf", [(500, False), (137, False),
+                                         (500, True)])
 def test_full_pipeline_tsv_byte_identical(reference_artifact, tmp_path,
-                                          min_len):
+                                          min_len, crf):
     """min_len=500: full windows only; min_len=137: the reference's
-    two-pass long+short padded path is exercised too."""
+    two-pass long+short padded path; crf=True: Viterbi-decoded window
+    labels through the whole pipeline."""
     ref_tsv = _run_reference_predict(reference_artifact,
-                                     tmp_path / "ref", min_len)
+                                     tmp_path / "ref", min_len, crf=crf)
     our_tsv = _run_our_predict(reference_artifact, tmp_path / "ours",
-                               min_len)
+                               min_len, crf=crf)
     assert our_tsv.read_bytes() == ref_tsv.read_bytes()
+    # the phage-call table must agree too (reliability+score cutoffs)
+    ref_ph = ref_tsv.with_name("test_contigs_phages.tsv")
+    our_ph = next(our_tsv.parent.glob("*_phages_jaeger.tsv"), None)
+    if ref_ph.exists() or our_ph is not None:
+        assert ref_ph.exists() and our_ph is not None
+        assert our_ph.read_bytes() == ref_ph.read_bytes()
