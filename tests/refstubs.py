@@ -71,9 +71,18 @@ def install() -> None:
     ps.matrix_create = _Matrix
     ps.sw_trace_scan_16 = _sw
 
+    # Import-only shim: the reference imports polars at module scope but
+    # the stubbed call paths never construct frames.  The classes must be
+    # dedicated sentinels (never ``object``): sklearn probes
+    # ``isinstance(X, (pl.DataFrame, pl.Series))`` on every estimator
+    # input once "polars" is importable, so ``DataFrame = object`` made
+    # *every* array look like a polars frame, and a missing ``Series``
+    # raised AttributeError deep inside sklearn.
     pl = sys.modules.setdefault("polars", types.ModuleType("polars"))
-    if not hasattr(pl, "DataFrame"):
-        pl.DataFrame = object
+    for _cls in ("DataFrame", "Series", "LazyFrame"):
+        if not isinstance(getattr(pl, _cls, None), type) or \
+                getattr(pl, _cls, None) is object:
+            setattr(pl, _cls, type(_cls, (), {}))
 
     if "/root/reference/src" not in sys.path:
         sys.path.insert(0, "/root/reference/src")
