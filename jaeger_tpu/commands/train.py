@@ -82,7 +82,8 @@ def _make_eval_fn(model, loss_name: str, output_key: str = "prediction"):
     @jax.jit
     def eval_step(variables, batch):
         inputs = {k: v for k, v in batch.items() if k != "labels"}
-        out = model.apply(variables, inputs, train=False)
+        out = model.apply(variables, inputs, train=False,
+                          heads=(output_key,))
         logits = out[output_key]
         loss = loss_fn(batch["labels"], logits)
         if logits.shape[-1] == 1:
@@ -477,6 +478,7 @@ def train_fragment_core(
             out, updates = model.apply(
                 v, {k: x for k, x in batch.items() if k != "labels"},
                 train=True, with_projection=True,
+                heads=("projection",),
                 rngs={"dropout": step_rng},
                 mutable=["batch_stats"] if stats else [],
             )
@@ -564,6 +566,7 @@ def train_fragment_core(
                          "rep_branch", "projection")
                         if only_classification_head else ()
                     ),
+                    heads=("prediction",),
                 ),
             ),
             donate_argnums=(0,),
@@ -662,6 +665,7 @@ def train_fragment_core(
                         frozen_prefixes=(
                             "embedding", "rep", "classifier", "projection",
                         ),
+                        heads=("reliability",),
                     ),
                 ),
                 donate_argnums=(0,),

@@ -51,7 +51,8 @@ class LayerStack(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask=None, train: bool = False, fold_table=None):
+    def __call__(self, x, mask=None, train: bool = False, fold_table=None,
+                 taps: bool = True):
         nmds: list = []
         gate = None
         for i, (name, raw_cfg) in enumerate(self.layer_configs):
@@ -90,7 +91,8 @@ class LayerStack(nn.Module):
                 out = bn(x, mask, train)
                 if cfg.get("return_nmd", False):
                     x, mask, nmd = out
-                    nmds.append(nmd)
+                    if taps:
+                        nmds.append(nmd)
                 else:
                     x, mask = out
             elif name in ("masked_layernorm", "layernorm"):
@@ -112,7 +114,8 @@ class LayerStack(nn.Module):
                 out = rb(x, mask, train)
                 if cfg.get("return_nmd", False):
                     x, mask, nmd = out
-                    nmds.append(nmd)
+                    if taps:
+                        nmds.append(nmd)
                 else:
                     x, mask = out
             elif name == "masked_bilstm":
@@ -168,12 +171,20 @@ class LayerStack(nn.Module):
                     filter_normalize=cfg.get("filter_normalize", False),
                 )(x, mask, train)
             elif name == "nmd":
-                nmds.append(
-                    L.NMDLayer(
-                        name=lname, momentum=cfg.get("momentum", 0.9),
-                        dtype=self.dtype,
-                    )(x, mask, train)
-                )
+                # Standalone NMD taps feed only the reliability head.  When
+                # the caller's requested heads don't include it (taps=False),
+                # the layer is skipped entirely — matching the reference,
+                # where Keras prunes the unconsumed NMDLayer node from the
+                # classifier/projection branch graphs so its moving mean
+                # never updates during those branches (nnlib/v2/nmd.py:70-72
+                # only runs when the node executes).
+                if taps:
+                    nmds.append(
+                        L.NMDLayer(
+                            name=lname, momentum=cfg.get("momentum", 0.9),
+                            dtype=self.dtype,
+                        )(x, mask, train)
+                    )
             elif name == "dense":
                 dt = (
                     jnp.float32
@@ -311,8 +322,18 @@ class JaegerModel(nn.Module):
     @nn.compact
     def __call__(self, inputs: dict, train: bool = False,
                  with_projection: bool = False,
-                 assume_dense: bool = False):
-        """``assume_dense=True`` skips mask construction entirely (mask
+                 assume_dense: bool = False,
+                 heads: tuple | None = None):
+        """``heads`` selects which output heads to compute (None = all).
+
+        Branch training passes the subset the reference branch graph
+        would execute — Keras prunes unconsumed nodes from the
+        per-branch functional models (``nnlib/builder.py:595-640``), so
+        e.g. classifier-branch training never runs the standalone NMD
+        taps or the reliability head and their statistics don't update.
+        ``heads=("prediction",)`` reproduces that here.
+
+        ``assume_dense=True`` skips mask construction entirely (mask
         is None through every layer) — valid ONLY when the caller
         guarantees every window fills the full crop with unambiguous
         bases (no padding, no Ns, no soft-masked bases), in which case
@@ -426,6 +447,17 @@ class JaegerModel(nn.Module):
         outputs: dict[str, jnp.ndarray] = {}
 
         # --- 3. representation learner ---
+        def _want(h):
+            return heads is None or h in heads
+
+        _rel_cfg = cfg.get("reliability_model")
+        _need_rel = bool(_rel_cfg) and _want("reliability")
+        _need_pred = bool(cfg.get("classifier")) and (
+            _want("prediction")
+            or (_need_rel
+                and _rel_cfg.get("mode", "nmd") == "nmd_plus_signals")
+        )
+
         merge_cfg = cfg.get("reliability_model", {}).get("merge")
         if "branch" in rep_cfg:
             # shared-weight per-frame branches (nnlib/builder.py:1195-1266)
@@ -452,7 +484,7 @@ class JaegerModel(nn.Module):
                 layer_configs=_freeze_layers(rep_cfg.get("hidden_layers", [])),
                 pooling=rep_cfg.get("pooling"),
                 nmd_merge=merge_cfg, dtype=self.dtype,
-            )(x, mask, train, fold_table=fold_table)
+            )(x, mask, train, fold_table=fold_table, taps=_need_rel)
 
         outputs["embedding"] = rep
         if aux.get("nmd") is not None:
@@ -463,6 +495,8 @@ class JaegerModel(nn.Module):
         # --- 4. classifier head ---
         class_cfg = cfg.get("classifier")
         logits = None
+        if not _need_pred:
+            class_cfg = None
         if class_cfg and "branch" in class_cfg:
             # shared-weight per-branch head ending in a merge
             # (nnlib/builder.py:562-588)
@@ -501,7 +535,10 @@ class JaegerModel(nn.Module):
 
         # --- 5. projection head (self-supervised pretraining) ---
         proj_cfg = cfg.get("projection")
-        if proj_cfg and with_projection:
+        if proj_cfg and (
+            with_projection
+            or (heads is not None and "projection" in heads)
+        ):
             proj, _, _ = LayerStack(
                 name="projection",
                 layer_configs=_freeze_layers(proj_cfg.get("hidden_layers", [])),
@@ -510,7 +547,7 @@ class JaegerModel(nn.Module):
             outputs["projection"] = proj
 
         # --- 6. reliability head (nnlib/builder.py:624-838) ---
-        rel_cfg = cfg.get("reliability_model")
+        rel_cfg = _rel_cfg if _need_rel else None
         if rel_cfg and aux.get("nmd") is not None:
             mode = rel_cfg.get("mode", "nmd")
             rel_in = aux["nmd"]

@@ -55,6 +55,12 @@ class StepConfig:
     class_weights: jnp.ndarray | None = None
     reg_specs: tuple = ()
     frozen_prefixes: tuple = ()   # param subtrees excluded from updates
+    # Output heads this branch computes (None = all).  Mirrors the
+    # reference's per-branch functional graphs, where Keras prunes
+    # unconsumed nodes: classifier-branch training must not execute the
+    # NMD taps / reliability head, or their moving stats would update
+    # (nnlib/builder.py:595-640).
+    heads: tuple | None = None
 
 
 def make_train_step(model, cfg: StepConfig) -> Callable:
@@ -86,6 +92,7 @@ def make_train_step(model, cfg: StepConfig) -> Callable:
         out, updates = model.apply(
             variables, inputs, train=True,
             rngs={"dropout": rng}, mutable=mutable,
+            heads=cfg.heads,
         )
         logits = out[cfg.output_key]
         loss = loss_fn_base(

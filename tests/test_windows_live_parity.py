@@ -122,3 +122,61 @@ def test_fragment_rows_match_live_reference(tmp_path, rng, dynamic):
         assert o[:10] == r[:10], (r, o)
         # gc_skew: same round-to-2 value, ours stored float32
         assert o[10] == pytest.approx(r[10], abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Fuzzed parity: IUPAC ambiguity, soft-masking, N runs, short/edge contigs
+# ---------------------------------------------------------------------------
+
+#: reference rows carry the raw characters; our 9-ID alphabet folds every
+#: non-ATGC (incl. IUPAC ambiguity codes, any case) onto N by design
+def _canonical(seq: str) -> str:
+    return "".join(c if c in "ATGCatgc" else "N" for c in seq)
+
+
+def _fuzz_contig(rng, n: int) -> str:
+    chars = list("ATGC")
+    seq = rng.choice(chars, size=max(n, 1))
+    # lowercase (soft-masked) stretch
+    if n > 60:
+        s = int(rng.integers(0, n - 50))
+        seq[s:s + 50] = [c.lower() for c in seq[s:s + 50]]
+    # N run
+    if n > 120 and rng.random() < 0.8:
+        s = int(rng.integers(0, n - 40))
+        seq[s:s + 40] = "N"
+    # scattered IUPAC ambiguity codes, both cases
+    iupac = list("RYKMSWBDHVrykmswbdhv")
+    for _ in range(int(rng.integers(0, 12))):
+        seq[int(rng.integers(0, n))] = iupac[int(rng.integers(0, len(iupac)))]
+    return "".join(seq)
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+@pytest.mark.parametrize("dynamic", [False, True])
+def test_fuzzed_fragment_rows_match_live_reference(tmp_path, seed, dynamic):
+    rng = np.random.default_rng(seed)
+    specs = [int(rng.integers(50, 4500)) for _ in range(14)]
+    specs += [499, 500, 501, 999, 1000, 1001, 2000]  # min_len/fragsize edges
+    lines = []
+    for idx, n in enumerate(specs):
+        seq = _fuzz_contig(rng, n)
+        # wrap at odd width; CRLF endings on half the records
+        width = int(rng.integers(37, 91))
+        wrapped = "\n".join(seq[i:i + width] for i in range(0, len(seq), width))
+        rec = f">fz_{idx} len={n}\n{wrapped}"
+        if idx % 2:
+            rec = rec.replace("\n", "\r\n")
+        lines.append(rec)
+    path = tmp_path / "fuzz.fasta"
+    path.write_text("\n".join(lines) + "\n")
+
+    kw = dict(fragsize=1000, stride=500, min_len=500,
+              dynamic_stride=dynamic, dynamic_stride_threshold=4.0)
+    ref = _ref_rows(path, **kw)
+    ours = _our_rows(path, **kw)
+    assert len(ours) == len(ref) > 0
+    for r, o in zip(ref, ours):
+        assert o[0] == _canonical(r[0]), (r[1], r[2])
+        assert o[1:10] == r[1:10], (r, o)
+        assert o[10] == pytest.approx(r[10], abs=1e-6)
