@@ -2,7 +2,8 @@
 
 Parity target: reference ``commands/utils_models.py:11-166``
 (``EnsembleModel`` / ``combine_models_core``): combine N trained models'
-predictions with majority-vote (MV), SUM, MEAN, or NONE (stacked). The
+predictions with majority-vote (MV), SUM, MEAN, or NONE (mean fallback,
+as in the reference). The
 TPU redesign runs every member inside one jitted program — XLA fuses the
 shared device-side encoding; members and combination rule are stored in
 an ``ensemble.yaml`` bundle of sub-bundles.
@@ -47,32 +48,45 @@ class EnsembleModel:
         return max(crops)
 
     def apply(self, variables, inputs, train: bool = False, **kwargs):
+        """Reference combination semantics (``utils_models.py:19-76``),
+        pinned live in ``tests/test_ensemble_live_parity.py``:
+
+        * keys common to every member are combined; others dropped;
+        * ``sum`` sums, ``mean``/``none`` average (none = mean fallback);
+        * ``mv`` takes the per-example majority class over member
+          argmaxes and emits a prediction vector that is zero except at
+          the majority class, which holds the mean of the member logits
+          there (every member, not just the voters — the masked
+          non-zero count the reference divides by includes them all);
+          every other common key is averaged.
+        """
         member_vars = variables["members"]
         outs = [
             m.apply(v, inputs, train=train, **kwargs)
             for m, v in zip(self.models, member_vars)
         ]
-        preds = [o["prediction"] for o in outs]
-        stacked = jnp.stack(preds, axis=0)  # (M, B, C)
-        if self.method == "mv":
-            votes = jax.nn.one_hot(
-                jnp.argmax(stacked, axis=-1), stacked.shape[-1]
-            )
-            combined = jnp.sum(votes, axis=0)
-        elif self.method == "sum":
-            combined = jnp.sum(stacked, axis=0)
-        elif self.method == "mean":
-            combined = jnp.mean(stacked, axis=0)
-        else:  # none: stacked member predictions
-            combined = stacked
-        result = {"prediction": combined}
-        rels = [o["reliability"] for o in outs if "reliability" in o]
-        if rels:
-            result["reliability"] = jnp.mean(jnp.stack(rels, axis=0), axis=0)
-        if "embedding" in outs[0]:
-            result["embedding"] = jnp.concatenate(
-                [o["embedding"] for o in outs], axis=-1
-            )
+        common = set(outs[0])
+        for o in outs[1:]:
+            common &= set(o)
+        stacks = {k: jnp.stack([o[k] for o in outs], axis=0)
+                  for k in common}  # (M, B, ...)
+        if self.method == "sum":
+            return {k: jnp.sum(s, axis=0) for k, s in stacks.items()}
+        if self.method in ("mean", "none"):
+            return {k: jnp.mean(s, axis=0) for k, s in stacks.items()}
+
+        # majority vote
+        preds = stacks["prediction"]  # (M, B, C)
+        n_classes = preds.shape[-1]
+        votes = jax.nn.one_hot(jnp.argmax(preds, axis=-1), n_classes,
+                               dtype=preds.dtype)
+        majority = jnp.argmax(jnp.sum(votes, axis=0), axis=-1)  # (B,)
+        mask = jax.nn.one_hot(majority, n_classes, dtype=preds.dtype)[None]
+        masked = preds * mask
+        counts = jnp.sum((masked != 0.0).astype(preds.dtype), axis=0)
+        majority_means = jnp.sum(masked, axis=0) / jnp.maximum(counts, 1.0)
+        result = {k: jnp.mean(s, axis=0) for k, s in stacks.items()}
+        result["prediction"] = majority_means
         return result
 
 

@@ -87,8 +87,23 @@ class TestEnsemble:
             "lengths": jnp.full((2,), 95, jnp.int32),
         }
         out = ens.apply(variables, inputs)
-        # two identical members: vote counts are 0 or 2
-        assert float(out["prediction"].max()) == 2.0
+        # Reference MV semantics: zero everywhere except the majority
+        # class, which holds the mean member logit there.  Two identical
+        # members -> exactly one non-zero column equal to the member's
+        # own logit at its argmax.
+        import jax.numpy as jnp
+
+        from jaeger_tpu.models.artifacts import load_model
+
+        m, v, _, _ = load_model(p1)
+        single = m.apply(v, inputs, train=False)["prediction"]
+        win = jnp.argmax(single, axis=-1)
+        pred = out["prediction"]
+        assert pred.shape == single.shape
+        for b in range(pred.shape[0]):
+            for c in range(pred.shape[1]):
+                expect = float(single[b, c]) if c == int(win[b]) else 0.0
+                assert float(pred[b, c]) == pytest.approx(expect, abs=1e-6)
 
 
 class TestRegistry:
