@@ -170,7 +170,7 @@ def _run_branch(
         mgr.save(epoch, state.variables, epoch_metrics)
         lr = get_learning_rate(state.opt_state)
         if reduce_lr is not None:
-            new_lr = reduce_lr.on_epoch_end(epoch_metrics, lr)
+            new_lr = reduce_lr.on_epoch_end(epoch_metrics, lr, epoch=epoch)
             if new_lr is not None:
                 logger.info(f"{branch}: reducing lr {lr} -> {new_lr}")
                 state = state.replace(
@@ -179,7 +179,7 @@ def _run_branch(
                 lr = new_lr
         persist.save(epoch, lr, callbacks)
         if early is not None and early.on_epoch_end(
-            epoch_metrics, state.params
+            epoch_metrics, state.params, epoch=epoch
         ):
             logger.info(f"{branch}: early stopping at epoch {epoch}")
             if early.restore_best_weights and early.best_params is not None:

@@ -60,10 +60,10 @@ class TestCallbacks:
     def test_early_stopping(self):
         from jaeger_tpu.train.callbacks import EarlyStopping
 
-        es = EarlyStopping(patience=2)
-        assert not es.on_epoch_end({"val_loss": 1.0}, params="p1")
-        assert not es.on_epoch_end({"val_loss": 1.1}, params="p2")
-        assert es.on_epoch_end({"val_loss": 1.2}, params="p3")
+        es = EarlyStopping(patience=2, restore_best_weights=True)
+        assert not es.on_epoch_end({"val_loss": 1.0}, params="p1", epoch=0)
+        assert not es.on_epoch_end({"val_loss": 1.1}, params="p2", epoch=1)
+        assert es.on_epoch_end({"val_loss": 1.2}, params="p3", epoch=2)
         assert es.best_params == "p1"
 
     def test_reduce_lr(self):
