@@ -7,7 +7,80 @@ schedule, and Keras-3-style gradient accumulation (optax.MultiSteps).
 
 from __future__ import annotations
 
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
 import optax
+
+
+def clip_by_per_variable_norm(max_norm: float):
+    """Keras ``clipnorm`` semantics: clip EACH gradient tensor to
+    ``max_norm`` independently (``tf.clip_by_norm`` per variable) —
+    unlike ``global_clipnorm``/``optax.clip_by_global_norm`` which
+    rescales by the joint norm.  Every reference train config sets
+    ``clipnorm: 5``, so this is the semantics real runs get."""
+    max_norm = float(max_norm)
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+
+        def clip(g):
+            n = jnp.sqrt(jnp.sum(jnp.square(g)))
+            # tf.clip_by_norm: g * max_norm / max(n, max_norm)
+            return g * (max_norm / jnp.maximum(n, max_norm))
+
+        return jax.tree_util.tree_map(clip, updates), state
+
+    return optax.GradientTransformation(init, update)
+
+
+class _KerasAdamState(NamedTuple):
+    count: jnp.ndarray
+    mu: Any
+    nu: Any
+
+
+def scale_by_keras_adam(b1: float = 0.9, b2: float = 0.999,
+                        eps: float = 1e-7):
+    """Adam in Keras 3's formulation (``keras/src/optimizers/adam.py``):
+
+        alpha_t = sqrt(1 - b2^t) / (1 - b1^t)
+        update  = alpha_t * m_t / (sqrt(v_t) + eps)
+
+    i.e. the epsilon is added to the UNCORRECTED ``sqrt(v_t)``.  optax's
+    ``scale_by_adam`` computes ``m_hat/(sqrt(v_hat)+eps)``, which is the
+    same only at eps=0 — with clipped (small) gradients the difference
+    is material, so the live-parity tests pin this form.
+    """
+
+    def init(params):
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return _KerasAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=zeros,
+            nu=jax.tree_util.tree_map(jnp.zeros_like, params),
+        )
+
+    def update(updates, state, params=None):
+        del params
+        mu = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1.0 - b1) * g, state.mu, updates)
+        nu = jax.tree_util.tree_map(
+            lambda v, g: b2 * v + (1.0 - b2) * jnp.square(g),
+            state.nu, updates)
+        count = state.count + 1
+        t = count.astype(jnp.float32)
+        alpha = jnp.sqrt(1.0 - b2 ** t) / (1.0 - b1 ** t)
+        out = jax.tree_util.tree_map(
+            lambda m, v: alpha * m / (jnp.sqrt(v) + eps), mu, nu)
+        return out, _KerasAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
 
 
 def make_schedule(params: dict):
@@ -35,6 +108,7 @@ def make_optimizer(name: str = "adam", params: dict | None = None,
     (see :func:`set_learning_rate`)."""
     params = dict(params or {})
     clipnorm = params.pop("clipnorm", None)
+    global_clipnorm = params.pop("global_clipnorm", None)
     weight_decay = params.pop("weight_decay", 0.004)
     lr = make_schedule(params)
     name = (name or "adam").lower()
@@ -44,15 +118,25 @@ def make_optimizer(name: str = "adam", params: dict | None = None,
             return ctor(lr, **kw)
         return optax.inject_hyperparams(ctor)(learning_rate=lr, **kw)
 
+    def keras_adam_factory(wd: float):
+        # wd is closed over (static), not injected: only the learning
+        # rate needs runtime mutation (ReduceLROnPlateau).
+        def keras_adam(learning_rate):
+            steps = [scale_by_keras_adam(
+                b1=params.get("beta_1", 0.9),
+                b2=params.get("beta_2", 0.999),
+                eps=params.get("epsilon", 1e-7))]
+            if wd:
+                steps.append(optax.add_decayed_weights(wd))
+            steps.append(optax.scale_by_learning_rate(learning_rate))
+            return optax.chain(*steps)
+
+        return keras_adam
+
     if name == "adam":
-        tx = inject(optax.adam, b1=params.get("beta_1", 0.9),
-                    b2=params.get("beta_2", 0.999),
-                    eps=params.get("epsilon", 1e-7))
+        tx = inject(keras_adam_factory(0.0))
     elif name == "adamw":
-        tx = inject(optax.adamw, b1=params.get("beta_1", 0.9),
-                    b2=params.get("beta_2", 0.999),
-                    eps=params.get("epsilon", 1e-7),
-                    weight_decay=weight_decay)
+        tx = inject(keras_adam_factory(float(weight_decay)))
     elif name == "muon":
         # Muon for matrix params with adam fallback is handled by optax's
         # contrib implementation when present; otherwise approximate with
@@ -64,20 +148,37 @@ def make_optimizer(name: str = "adam", params: dict | None = None,
         except ImportError:
             tx = optax.adamw(lr, weight_decay=weight_decay)
     elif name == "sgd":
-        tx = inject(optax.sgd, momentum=params.get("momentum") or None,
-                    nesterov=params.get("nesterov", False))
+        # Keras folds the LR INTO the velocity (v = m*v - lr*g;
+        # p += v), so an LR change mid-run (ReduceLROnPlateau) scales
+        # only future gradient contributions, not the accumulated
+        # momentum.  scale-then-trace reproduces that exactly;
+        # optax.sgd's trace-then-scale would rescale the whole buffer.
+        tx = optax.chain(
+            inject(optax.scale_by_learning_rate),
+            optax.trace(decay=params.get("momentum") or 0.0,
+                        nesterov=params.get("nesterov", False)),
+        )
     elif name == "rmsprop":
         tx = inject(optax.rmsprop, decay=params.get("rho", 0.9),
-                    momentum=params.get("momentum", 0.0),
-                    eps=params.get("epsilon", 1e-7))
+                    momentum=params.get("momentum") or None,
+                    eps=params.get("epsilon", 1e-7),
+                    centered=params.get("centered", False),
+                    # Keras 3 adds eps INSIDE the sqrt:
+                    # increment = lr * g / sqrt(velocity + eps)
+                    eps_in_sqrt=True,
+                    bias_correction=False)
     elif name == "adagrad":
-        tx = inject(optax.adagrad, eps=params.get("epsilon", 1e-7))
+        tx = inject(optax.adagrad, eps=params.get("epsilon", 1e-7),
+                    initial_accumulator_value=params.get(
+                        "initial_accumulator_value", 0.1))
     else:
         raise ValueError(f"unknown optimizer {name!r}")
 
     chain = []
     if clipnorm:
-        chain.append(optax.clip_by_global_norm(float(clipnorm)))
+        chain.append(clip_by_per_variable_norm(clipnorm))
+    if global_clipnorm:
+        chain.append(optax.clip_by_global_norm(float(global_clipnorm)))
     chain.append(tx)
     out = optax.chain(*chain)
     if accumulation_steps and accumulation_steps > 1:
@@ -99,7 +200,10 @@ def _map_hyperparam_states(opt_state, fn):
             )
         )
     if isinstance(opt_state, tuple):
-        return tuple(_map_hyperparam_states(s, fn) for s in opt_state)
+        mapped = [_map_hyperparam_states(s, fn) for s in opt_state]
+        if hasattr(opt_state, "_fields"):  # NamedTuple state: keep type
+            return type(opt_state)(*mapped)
+        return tuple(mapped)
     return opt_state
 
 
