@@ -101,6 +101,120 @@ def make_schedule(params: dict):
     return float(lr)
 
 
+class _KerasMuonState(NamedTuple):
+    count: jnp.ndarray
+    mu: Any
+    nu: Any
+
+
+def _newton_schulz5(x, steps: int, a: float, b: float, c: float):
+    """Quintic Newton-Schulz orthogonalization
+    (``keras/src/optimizers/muon.py:260-287``)."""
+    transpose = x.shape[0] > x.shape[1]
+    if transpose:
+        x = x.T
+    x = x / (jnp.linalg.norm(x) + 1e-7)
+    for _ in range(steps):
+        ta = x @ x.T
+        tb = b * ta + c * (ta @ ta)
+        x = a * x + tb @ x
+    return x.T if transpose else x
+
+
+def keras_muon_factory(*, momentum=0.95, nesterov=True, ns_steps=5,
+                       muon_a=3.4445, muon_b=-4.7750, muon_c=2.0315,
+                       rms_rate=0.2, adam_lr_ratio=1.0,
+                       adam_beta_1=0.9, adam_beta_2=0.999, epsilon=1e-7,
+                       weight_decay=0.004, adam_weight_decay=0.004,
+                       exclude_embeddings=True, exclude_layers=()):
+    """``keras.optimizers.Muon`` update semantics, pinned live.
+
+    Per-variable routing like Keras (``muon.py:143-153``): 2-D kernels
+    take the Muon step (momentum buffer m = momentum*m + g, optional
+    nesterov blend, Newton-Schulz orthogonalization, moonlight
+    ``sqrt(max(n, m)) * rms_rate`` scaling), everything else — plus any
+    param whose path contains "embedding" or matches ``exclude_layers``
+    — takes the Keras-form AdamW step at ``lr * adam_lr_ratio``.
+    Keras applies weight decay ``p -= p*wd*lr`` with the muon decay for
+    muon vars and ``adam_weight_decay`` for adamw vars.
+    """
+    import re
+
+    def use_adamw(path: str, leaf) -> bool:
+        if getattr(leaf, "ndim", 0) != 2:
+            return True
+        if exclude_embeddings and "embedding" in path.lower():
+            return True
+        return any(re.search(k, path) for k in exclude_layers)
+
+    def _labels(tree):
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        return {
+            tuple(p): use_adamw(
+                "/".join(str(getattr(k, "key", k)) for k in p), leaf)
+            for p, leaf in flat
+        }
+
+    def ctor(learning_rate):
+        def init(params):
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+            return _KerasMuonState(
+                count=jnp.zeros([], jnp.int32),
+                mu=zeros,
+                nu=jax.tree_util.tree_map(jnp.zeros_like, params),
+            )
+
+        def update(updates, state, params=None):
+            labels = _labels(updates)
+            count = state.count + 1
+            t = count.astype(jnp.float32)
+            alpha = (jnp.sqrt(1.0 - adam_beta_2 ** t)
+                     / (1.0 - adam_beta_1 ** t))
+
+            def leaf(path, g, m, v, p):
+                adamw = labels[tuple(path)]
+                if adamw:
+                    m_new = m + (g - m) * (1.0 - adam_beta_1)
+                    v_new = v + (jnp.square(g) - v) * (1.0 - adam_beta_2)
+                    u = (learning_rate * adam_lr_ratio) * alpha * m_new / (
+                        jnp.sqrt(v_new) + epsilon)
+                    wd = adam_weight_decay
+                else:
+                    m_new = momentum * m + g
+                    v_new = v
+                    g_eff = g + momentum * m_new if nesterov else m_new
+                    o = _newton_schulz5(g_eff, ns_steps,
+                                        muon_a, muon_b, muon_c)
+                    if rms_rate is not None:
+                        o = o * (jnp.sqrt(float(max(o.shape))) * rms_rate)
+                    u = learning_rate * o
+                    wd = weight_decay
+                if wd and p is not None:
+                    u = u + learning_rate * wd * p
+                return -u, m_new, v_new
+
+            flat_u = jax.tree_util.tree_flatten_with_path(updates)
+            treedef = flat_u[1]
+            flat_m = jax.tree_util.tree_leaves(state.mu)
+            flat_v = jax.tree_util.tree_leaves(state.nu)
+            flat_p = (jax.tree_util.tree_leaves(params)
+                      if params is not None else [None] * len(flat_m))
+            outs = [leaf(p, g, m, v, pp)
+                    for (p, g), m, v, pp in zip(flat_u[0], flat_m,
+                                                flat_v, flat_p)]
+            new_updates = jax.tree_util.tree_unflatten(
+                treedef, [o[0] for o in outs])
+            mu = jax.tree_util.tree_unflatten(
+                treedef, [o[1] for o in outs])
+            nu = jax.tree_util.tree_unflatten(
+                treedef, [o[2] for o in outs])
+            return new_updates, _KerasMuonState(count=count, mu=mu, nu=nu)
+
+        return optax.GradientTransformation(init, update)
+
+    return ctor
+
+
 def make_optimizer(name: str = "adam", params: dict | None = None,
                    accumulation_steps: int = 1):
     """Build the optax chain. Constant learning rates are injected as
@@ -138,15 +252,23 @@ def make_optimizer(name: str = "adam", params: dict | None = None,
     elif name == "adamw":
         tx = inject(keras_adam_factory(float(weight_decay)))
     elif name == "muon":
-        # Muon for matrix params with adam fallback is handled by optax's
-        # contrib implementation when present; otherwise approximate with
-        # adamw (documented divergence).
-        try:
-            from optax.contrib import muon
-
-            tx = muon(lr)
-        except ImportError:
-            tx = optax.adamw(lr, weight_decay=weight_decay)
+        tx = inject(keras_muon_factory(
+            momentum=params.get("momentum", 0.95),
+            nesterov=params.get("nesterov", True),
+            ns_steps=params.get("ns_steps", 5),
+            muon_a=params.get("muon_a", 3.4445),
+            muon_b=params.get("muon_b", -4.7750),
+            muon_c=params.get("muon_c", 2.0315),
+            rms_rate=params.get("rms_rate", 0.2),
+            adam_lr_ratio=params.get("adam_lr_ratio", 1.0),
+            adam_beta_1=params.get("adam_beta_1", 0.9),
+            adam_beta_2=params.get("adam_beta_2", 0.999),
+            epsilon=params.get("epsilon", 1e-7),
+            weight_decay=weight_decay,
+            adam_weight_decay=params.get("adam_weight_decay", 0.004),
+            exclude_embeddings=params.get("exclude_embeddings", True),
+            exclude_layers=tuple(params.get("exclude_layers", ()) or ()),
+        ))
     elif name == "sgd":
         # Keras folds the LR INTO the velocity (v = m*v - lr*g;
         # p += v), so an LR change mid-run (ReduceLROnPlateau) scales

@@ -157,6 +157,46 @@ def test_lr_mutation_mid_run_matches_keras(name, opt_params, keras_ctor):
     _compare(ours, ref, f"{name} lr-mutation")
 
 
+MUON_SHAPES = {"kernel": (8, 4), "bias": (4,), "embedding_table": (6, 5)}
+
+
+@pytest.mark.parametrize(
+    "opt_params",
+    [
+        {"learning_rate": 0.01},
+        {"learning_rate": 0.01, "momentum": 0.9, "nesterov": False,
+         "ns_steps": 3, "rms_rate": 0.3, "weight_decay": 0.01,
+         "adam_weight_decay": 0.02},
+    ],
+    ids=["defaults", "custom"])
+def test_muon_matches_keras(opt_params):
+    """keras.optimizers.Muon: the 2-D kernel takes the Muon step
+    (momentum buffer, Newton-Schulz, moonlight rms scaling), the 1-D
+    bias and the embedding-named 2-D table take the Keras-form AdamW
+    step; per-branch weight decay."""
+    rng = np.random.default_rng(17)
+    params = {k: rng.standard_normal(s).astype("float32")
+              for k, s in MUON_SHAPES.items()}
+    grad_seq = [
+        {k: (rng.standard_normal(s) * 0.5).astype("float32")
+         for k, s in MUON_SHAPES.items()}
+        for _ in range(STEPS)
+    ]
+
+    kvars = {k: keras.Variable(v, name=k) for k, v in params.items()}
+    assert kvars["embedding_table"].path == "embedding_table"
+    opt = keras.optimizers.Muon(**opt_params)
+    keys = sorted(kvars)
+    ref = []
+    for grads in grad_seq:
+        opt.apply_gradients([(tf.constant(grads[k]), kvars[k])
+                             for k in keys])
+        ref.append({k: kvars[k].numpy().copy() for k in keys})
+
+    ours = _our_trajectory("muon", opt_params, params, grad_seq)
+    _compare(ours, ref, f"muon {opt_params}", atol=5e-6)
+
+
 def test_gradient_accumulation_matches_keras():
     """Keras-3 optimizer-native accumulation vs optax.MultiSteps: grads
     averaged over k micro-steps, one real update every k-th apply, and
