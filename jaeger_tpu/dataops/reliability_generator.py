@@ -126,45 +126,106 @@ def normalize_perturbations(cfg: dict | None) -> list[dict]:
     return specs
 
 
-_PERTURBATIONS = (
-    syn.apply_shuffle,
-    syn.apply_dinuc_shuffle,
-    lambda s: syn.apply_kmer_shuffle(s, k=3),
-    syn.apply_subseq_repeat_window,
-    syn.apply_tandem_repeat_window,
-    lambda s: syn.apply_n_stretch(s, (0.1, 0.25)),
-)
+def compute_perturbation_counts(records, multiplier: float,
+                                specs: list[dict], cfg: dict) -> list[int]:
+    """Per-spec sample counts (reference
+    ``synthetic_perturbations.py:139-180``): specs whose config carries
+    an explicit ``count`` or per-spec ``multiplier`` take it; the
+    remaining global budget ``len(records) * multiplier`` splits evenly
+    over the implicit specs with the leftover dealt round-robin."""
+    n = len(records)
+    global_count = max(0, int(n * multiplier))
+    if not specs:
+        return []
+    counts = [0] * len(specs)
+    explicit: list[int] = []
+    for i, spec in enumerate(specs):
+        c = cfg.get(spec["name"], {})
+        if isinstance(c, dict):
+            if "count" in c:
+                counts[i] = max(0, int(c["count"]))
+                explicit.append(i)
+            elif "multiplier" in c:
+                counts[i] = max(0, int(n * c["multiplier"]))
+                explicit.append(i)
+    implicit = [i for i in range(len(specs)) if i not in explicit]
+    if not implicit:
+        return counts
+    remaining = max(0, global_count - sum(counts[i] for i in explicit))
+    per = remaining // len(implicit)
+    for i in implicit:
+        counts[i] = per
+    leftover = remaining - per * len(implicit)
+    for i in range(leftover):
+        counts[implicit[i % len(implicit)]] += 1
+    return counts
 
 
-def generate_synthetic_sequences(rows: list[tuple[int, str]],
-                                 count: int, seed: int = 42,
-                                 perturbations: dict | None = None,
-                                 ) -> list[str]:
-    """Corrupted variants of real sequences (one random perturbation each).
-
-    Parity role: reference ``dataops/synthetic_perturbations.py:319``;
-    ``perturbations`` follows the training-YAML schema
-    (``reliability_data_generation.perturbations``). Without a config
-    the round-1 default mix applies.
-    """
+def _generate_chunk(records, spec: dict, count: int,
+                    crop_size: int | None, seed: int) -> list[str]:
+    """One seeded chunk for one spec (reference
+    ``synthetic_perturbations.py:212-239``, RNG stream-identical):
+    non-mix specs walk ``records[i % n]`` in order; mix samples
+    ``n_segments`` distinct class labels per chimera."""
     random.seed(seed)
-    out = []
-    if perturbations is None:
+    np.random.seed(seed)
+    out: list[str] = []
+    if spec["name"] == "mix":
+        label_to_seqs: dict[int, list[str]] = {}
+        for label, seq in records:
+            label_to_seqs.setdefault(label, []).append(seq)
+        labels = list(label_to_seqs)
+        n_segments = spec["n_segments"]
+        if len(labels) < n_segments:
+            raise ValueError(
+                f"mix perturbation requires at least {n_segments} "
+                f"distinct classes, found {len(labels)}"
+            )
         for _ in range(count):
-            _, seq = random.choice(rows)
-            fn = random.choice(_PERTURBATIONS)
-            out.append(fn(seq))
-        return out
-    specs = normalize_perturbations(perturbations)
-    for _ in range(count):
-        spec = random.choice(specs)
-        if spec["name"] == "mix":
-            n_seg = max(2, int(spec.get("n_segments", 2)))
-            seqs = [random.choice(rows)[1] for _ in range(n_seg)]
-            out.append(syn.apply_mix(seqs))
-        else:
-            _, seq = random.choice(rows)
-            out.append(spec["fn"](seq, **spec["kwargs"]))
+            chosen = random.sample(labels, k=n_segments)
+            seqs = [random.choice(label_to_seqs[la]) for la in chosen]
+            out.append(syn.apply_mix(seqs, output_length=crop_size))
+    else:
+        fn, kwargs, n = spec["fn"], spec["kwargs"], len(records)
+        for i in range(count):
+            _, seq = records[i % n]
+            out.append(fn(seq, **kwargs))
+    return out
+
+
+def generate_synthetic_sequences(records: list[tuple[int, str]],
+                                 multiplier: float,
+                                 perturbations: dict | None = None,
+                                 crop_size: int | None = None,
+                                 seed: int = 42,
+                                 generation_chunk_size: int = 10_000,
+                                 ) -> list[str]:
+    """Corrupted variants of real sequences.
+
+    Reference-identical (``dataops/synthetic_perturbations.py:319-415``,
+    pinned live seed-for-seed in ``tests/test_synthetic_live_parity.py``):
+    the per-spec budget comes from :func:`compute_perturbation_counts`,
+    each spec generates in ``generation_chunk_size`` chunks seeded
+    ``seed + chunk_offset`` — so datasets regenerate identically at any
+    chunking, without the reference's subprocess machinery (generation
+    here is pure host work off the JAX path; chunk seeding keeps the
+    memory-bounded restartability its workers provided).
+    """
+    cfg = perturbations or {}
+    specs = normalize_perturbations(cfg)
+    counts = compute_perturbation_counts(records, multiplier, specs, cfg)
+    out: list[str] = []
+    offset = 0
+    for spec, count in zip(specs, counts):
+        if count <= 0:
+            continue
+        for start in range(0, count, generation_chunk_size):
+            sub = min(generation_chunk_size, count - start)
+            out.extend(
+                _generate_chunk(records, spec, sub, crop_size,
+                                seed + offset)
+            )
+            offset += 1
     return out
 
 
@@ -243,10 +304,10 @@ def generate_reliability_data(
                     emit(0, seq)
                     n_real_ood += 1
 
-            count = int(len(rows) * synthetic_ood_multiplier)
-            n_synth += count
             synth = generate_synthetic_sequences(
-                rows, count, seed + ci, perturbations)
+                rows, synthetic_ood_multiplier, perturbations,
+                crop_size=crop_nt, seed=seed + ci)
+            n_synth += len(synth)
             synth_rows = [(0, s) for s in synth]
             _, s_confs = _predict_csv_rows(
                 model, variables, synth_rows, crop_nt, batch_size)

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+
 from jaeger_tpu.seqops.stats import shannon_entropy
 from jaeger_tpu.seqops.transform import dinuc_shuffle, kmer_shuffle
 
@@ -74,11 +76,19 @@ def apply_shuffle(seq: str) -> str:
 
 
 def apply_dinuc_shuffle(seq: str) -> str:
-    return dinuc_shuffle(seq)
+    # Intentional improvement over the reference: its apply_dinuc_shuffle
+    # constructs a FRESH np.random.RandomState (transform.py:112-131),
+    # so reference reliability datasets using dinuc mode are
+    # irreproducible even under its own chunk seeding.  Routing through
+    # the global np.random stream makes our generation deterministic
+    # under the chunk seed (pinned in tests/test_synthetic_live_parity).
+    return dinuc_shuffle(seq, rng=np.random)
 
 
 def apply_kmer_shuffle(seq: str, k: int = 2) -> str:
-    return kmer_shuffle(seq, k=k)
+    # Same reproducibility fix: the reference's kmer_shuffle uses an
+    # unseeded np.random.default_rng() (transform.py:88-106).
+    return kmer_shuffle(seq, k=k, rng=np.random)
 
 
 def apply_subseq_repeat_window(seq: str, window_fraction: float = 0.25) -> str:
@@ -164,22 +174,43 @@ def apply_n_stretch(
 
 def apply_mix(sequences: list[str], output_length: int | None = None,
               pad_value: str = "N") -> str:
-    """Chimeric mix: concatenate random chunks from multiple sequences."""
+    """Chimeric mix of one random subsegment per source sequence.
+
+    Reference semantics (``seqops/synthetic.py:217-264``, RNG
+    stream-identical): without *output_length* the sources concatenate
+    whole; otherwise ``n-1`` sorted sample cuts partition the output
+    length into per-source segment budgets, each source contributes a
+    random-start subsegment of (at most) its budget, and the result is
+    padded with *pad_value* up to *output_length*.
+    """
     if not sequences:
+        raise ValueError("apply_mix requires at least one sequence")
+    if output_length is not None and output_length < 0:
+        raise ValueError("output_length must be non-negative")
+    if output_length is None:
+        return "".join(sequences)
+    if output_length == 0:
         return ""
-    chunks = []
-    total = 0
-    target = output_length or max(len(s) for s in sequences)
-    while total < target:
-        src = random.choice(sequences)
-        if not src:
+
+    n = len(sequences)
+    if output_length < n:
+        cuts = list(range(output_length)) + [output_length]
+    else:
+        cuts = sorted(random.sample(range(output_length), k=n - 1))
+    cuts = [0] + cuts + [output_length]
+    segment_lengths = [cuts[i + 1] - cuts[i] for i in range(n)]
+
+    segments: list[str] = []
+    for seq, seg_len in zip(sequences, segment_lengths):
+        seq_len = len(seq)
+        if seq_len == 0 or seg_len <= 0:
+            segments.append("")
             continue
-        clen = random.randint(1, max(1, len(src) // 2))
-        cstart = random.randint(0, max(0, len(src) - clen))
-        chunk = src[cstart : cstart + clen]
-        chunks.append(chunk)
-        total += len(chunk)
-    out = "".join(chunks)[:target]
-    if len(out) < target:
-        out += pad_value * (target - len(out))
-    return out
+        actual_len = min(seg_len, seq_len)
+        start = random.randint(0, seq_len - actual_len)
+        segments.append(seq[start : start + actual_len])
+
+    chimera = "".join(segments)
+    if len(chimera) < output_length:
+        chimera += pad_value * (output_length - len(chimera))
+    return chimera

@@ -99,15 +99,19 @@ def test_generate_synthetic_with_config(random_dna):
         generate_synthetic_sequences,
     )
 
-    rows = [(0, random_dna(300)) for _ in range(10)]
+    rows = [(i % 3, random_dna(300)) for i in range(12)]
     out = generate_synthetic_sequences(
-        rows, 20, seed=1,
+        rows, 2.0, seed=1,
         perturbations={"shuffle": {"mode": "dinuc"},
                        "subseq_repeat": False, "tandem_repeat": False,
                        "mix": {"n_segments": 3}},
+        crop_size=150,
     )
-    assert len(out) == 20
+    # reference budgeting: 12 rows * 2.0 = 24 split over 2 implicit specs
+    assert len(out) == 24
     assert all(set(s) <= set("ACGTN") for s in out)
+    # mix chimeras honor crop_size
+    assert sum(len(s) == 150 for s in out) >= 12
 
 
 def test_reliability_generator_chunked_streaming(tmp_path, rng):
