@@ -448,7 +448,7 @@ def stats(input_path):
 @click.option("--overlap", default=0, show_default=True)
 @click.option("--coverage", default=None, type=float)
 @click.option("--circular", is_flag=True, default=False)
-@click.option("--max-n-prop", default=0.1, show_default=True)
+@click.option("--max-n-prop", default=0.3, show_default=True)
 @click.option("--seed", default=None, type=int)
 @click.option("--shuffle", is_flag=True, default=False)
 def split_cmd(input_path, output_path, minlen, maxlen, overlap, coverage,
