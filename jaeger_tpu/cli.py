@@ -404,12 +404,14 @@ def mask_tandem(input_path, output_path, minscore, maxperiod, workers):
 @click.option("--step", default=0.01, show_default=True)
 @click.option("--mutate", is_flag=True, default=False,
               help="Replace with random bases instead of N-masking.")
-def mask(input_path, output_path, minperc, maxperc, step, mutate):
+@click.option("--seed", default=None, type=int,
+              help="Seed for reproducible position/base draws.")
+def mask(input_path, output_path, minperc, maxperc, step, mutate, seed):
     """Progressive masking/mutation series for robustness testing."""
     from jaeger_tpu.commands.utils import mask_core
 
     n = mask_core(input_path, output_path, minperc=minperc, maxperc=maxperc,
-                  step=step, mutate=mutate)
+                  step=step, mutate=mutate, seed=seed)
     click.echo(f"{n} entries written to {output_path}")
 
 

@@ -33,9 +33,15 @@ def mask_core(input: str, output: str, minperc: float = 0.0,
     For each record, write one FASTA entry per masking level from
     ``minperc`` to ``maxperc``; each step masks (->N) or mutates
     (->random alternative base) an additional ``step`` fraction of fresh
-    positions. Parity: reference ``commands/utils.py:19-115``.
+    positions. Parity: reference ``commands/utils.py:19-113``, pinned
+    live byte-for-byte in ``tests/test_mask_live_parity.py`` — index
+    selection uses the global ``np.random`` stream like the reference
+    (seeded here when *seed* is given; mutation base choices use the
+    same stream, a reproducibility improvement over the reference's
+    unseeded ``default_rng``).
     """
-    rng = np.random.default_rng(seed)
+    if seed is not None:
+        np.random.seed(seed)
     n_entries = 0
 
     def hard_mask(seq: str, indices) -> str:
@@ -46,7 +52,7 @@ def mask_core(input: str, output: str, minperc: float = 0.0,
 
     def replacement_mutation(seq: str, indices) -> str:
         ba = bytearray(seq, "ascii")
-        choices = rng.integers(0, 3, size=len(indices))
+        choices = np.random.randint(0, 3, size=len(indices))
         for i, choice in zip(indices, choices):
             alts = _ALT.get(ba[i], _DEFAULT_ALTS)
             ba[i] = ord(alts[choice])
@@ -64,10 +70,10 @@ def mask_core(input: str, output: str, minperc: float = 0.0,
                     fh.write(seq[i : i + 70] + "\n")
                 n_entries += 1
                 num_mutate = int(seqlen * step)
-                available = list(set(range(seqlen)) - used)
+                available = list(set(np.arange(seqlen)) - used)
                 if not available:
                     break
-                new_idx = rng.choice(
+                new_idx = np.random.choice(
                     available, min(num_mutate, len(available)), replace=False
                 )
                 used.update(int(i) for i in new_idx)
