@@ -91,6 +91,20 @@ if [ "${RUN_TRAIN:-1}" = "1" ]; then
     run register cli register-models "$WORK/model" \
         --registry "$WORK/registry.json"
     run list_models cli list-models --registry "$WORK/registry.json"
+    # taxonomy round trip: index the test contigs, self-query them
+    mkdir -p "$WORK/taxdump"
+    printf '1\t|\t1\t|\tno rank\t|\n2\t|\t1\t|\tsuperkingdom\t|\n3\t|\t2\t|\tspecies\t|\n' \
+        > "$WORK/taxdump/nodes.dmp"
+    printf '1\t|\troot\t|\t\t|\tscientific name\t|\n2\t|\tBacteria\t|\t\t|\tscientific name\t|\n3\t|\tE.coli\t|\t\t|\tscientific name\t|\n' \
+        > "$WORK/taxdump/names.dmp"
+    sed -n 's/^>\([^ ]*\).*/\1\t3/p' "$FASTA" > "$WORK/acc2taxid.tsv"
+    run taxonomy_build cli taxonomy build -m "$WORK/model" -i "$FASTA" \
+        --acc2taxid "$WORK/acc2taxid.tsv" --taxdump "$WORK/taxdump" \
+        -o "$WORK/taxdb" --fsize 500 --batch 64
+    run taxonomy_predict cli taxonomy predict -m "$WORK/model" \
+        --db "$WORK/taxdb" -i "$FASTA" -o "$WORK/tax.tsv" \
+        --fsize 500 --batch 64
+    run taxonomy_nonempty test -s "$WORK/tax.tsv"
   else
     skip predict; skip predict_crf; skip stats; skip combine
   fi
