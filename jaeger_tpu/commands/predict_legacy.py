@@ -60,8 +60,11 @@ def run_core(
     batch: int = 128,
     min_len: int | None = None,
     reliability_cutoff: float = 0.5,
+    phage_score: float = 3,
     model_name: str = "default",
     num_res_blocks: int = 10,
+    getalllabels: bool = False,
+    workers: int = 4,
 ) -> Path:
     """``model_name`` routes the legacy family like the reference's
     ``LEGACY_PREDICT_MODELS`` (``cli.py:100``): ``default`` is the bundled
@@ -86,7 +89,14 @@ def run_core(
     input_path = Path(input_path)
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
-    min_len = min_len if min_len is not None else fsize
+    # the reference clamps: --min-len < --fsize is unsupported in legacy
+    # mode (predict_legacy.py:58-63)
+    if min_len is not None and min_len < fsize:
+        logger.warning(
+            "--min-len < --fsize is not supported in legacy prediction "
+            f"mode; using --min-len={fsize}."
+        )
+    min_len = max(min_len, fsize) if min_len is not None else fsize
     model_dir = Path(model_dir) if model_dir else DEFAULT_MODEL_DIR
 
     validate_fasta_entries(str(input_path), min_len=min_len)
@@ -156,35 +166,55 @@ def run_core(
     logits = np.concatenate(logits_chunks)
     embeddings = np.concatenate(emb_chunks)
 
-    # sklearn OOD over normalized embeddings (reference helpers.py:530-564)
-    reliability = None
-    if model_name == "default" and clf is not None and batch_mean is not None:
-        feats = (embeddings - batch_mean) / batch_std
-        feats = feats / np.maximum(
-            np.linalg.norm(feats, 2, axis=1, keepdims=True), 1e-12
-        )
-        id_prob = clf.predict_proba(feats)[:, 0]
-        # express as a logit so the shared reduction's sigmoid recovers it
-        p = np.clip(id_prob, 1e-6, 1 - 1e-6)
-        reliability = np.log(p / (1 - p)).astype(np.float32)[:, None]
+    # legacy reduction + writer, pinned live byte-for-byte against the
+    # reference predict_legacy pipeline (tests/test_legacy_e2e_live.py)
+    from jaeger_tpu.postprocess import legacy_collect as lc
+    from jaeger_tpu.postprocess.termini import scan_for_terminal_repeats
 
     n_classes = logits.shape[1]
-    labels = (LEGACY_LABELS if n_classes == len(LEGACY_LABELS)
-              else [f"class_{i}" for i in range(n_classes)])
+    canonical = lc.LEGACY_CONFIGS.get(model_name)
+    if canonical is not None and canonical["num_classes"] != n_classes:
+        canonical = None  # user weights with a different head size
+    config = dict(
+        canonical
+        or {
+            "model": model_name,
+            "num_classes": n_classes,
+            "all_labels": dict(enumerate(
+                LEGACY_LABELS if n_classes == len(LEGACY_LABELS)
+                else [f"class_{i}" for i in range(n_classes)])),
+            "default_labels": dict(enumerate(
+                LEGACY_LABELS if n_classes == len(LEGACY_LABELS)
+                else [f"class_{i}" for i in range(n_classes)])),
+            "second": None,
+            "vindex": 1,
+        }
+    )
+    key = "all_labels" if getalllabels else "default_labels"
+    config["labels"] = [v for _, v in config[key].items()]
+
+    ood_params = None
+    if model_name == "default" and clf is not None and batch_mean is not None:
+        ood_params = {"type": "sklearn", "model": clf,
+                      "batch_mean": batch_mean, "batch_std": batch_std}
+
+    term_repeats = scan_for_terminal_repeats(
+        str(input_path), fsize=fsize, workers=workers)
     meta = collect.PredictionMeta.from_batches(kept)
-    data, _ = collect.reduce_windows(
-        prediction=logits, meta=meta, fsize=fsize,
-        num_classes=n_classes, reliability=reliability,
-        class_names=labels,
+    data = lc.reduce_windows_legacy(
+        config, logits,
+        embeddings if ood_params is not None else None,
+        meta, fsize=fsize, ood_params=ood_params,
+        term_repeats=term_repeats,
     )
     from jaeger_tpu.seqops.fasta import fasta_stem
     stem = fasta_stem(input_path)
     table = output_dir / f"{stem}_{model_name}_jaeger.tsv"
     phage_table = output_dir / f"{stem}_{model_name}_phages_jaeger.tsv"
-    n = collect.write_output(
-        data, output_table_path=table, output_phage_table_path=phage_table,
-        labels=labels, indices=list(range(n_classes)),
-        reliability_cutoff=reliability_cutoff,
+    n = lc.write_output_legacy(
+        config, data, output_table_path=table,
+        output_phage_table_path=phage_table,
+        reliability_cutoff=reliability_cutoff, phage_score=phage_score,
     )
     dt = time.time() - t0
     logger.info(

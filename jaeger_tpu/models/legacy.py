@@ -75,7 +75,10 @@ class _SharedConvTower(nn.Module):
             for ca, cb, ba, bb in res_convs:
                 r = ba(gelu(ca(h)))
                 r = bb(gelu(cb(r)))
-                h = h + r if self.add_residual else r
+                # rc_resnet_block ends with a gelu — on the residual sum
+                # when add_residual, else on the block output
+                # (reference v1/layers.py:141-147)
+                h = gelu(h + r) if self.add_residual else gelu(r)
             outs.append(h)
         return sum(outs)
 
@@ -333,11 +336,17 @@ def encode_amino_windows(bases, lengths, crop_size: int):
     TRIMER_INT == these tokens; pinned live in
     ``tests/test_encode_live_parity.py``) — distinct from the modern
     ``AA`` alphabet, which sends stops to 0.
+
+    ``masking=True`` because the v1 lookup tables are case-sensitive
+    with ``default_value=0`` (``preprocess/v1/convert.py:21,37,53``):
+    any codon touching a soft-masked (lowercase) or ambiguous base maps
+    to token 0 in the reference — pinned live end-to-end in
+    ``tests/test_legacy_e2e_live.py``.
     """
     from jaeger_tpu.ops.encode import encode_frames
 
     return encode_frames(bases, lengths, crop_size=crop_size,
-                         alphabet="AA_V1")
+                         masking=True, alphabet="AA_V1")
 
 
 def encode_murphy_windows(bases, lengths, crop_size: int):

@@ -58,11 +58,17 @@ def test_converted_tree_matches_model():
         assert t1 == t2
 
 
+#: Captured from the LIVE reference model (WRes_model_embeddings +
+#: load_weights on this SavedModel's weights, TF CPU) on the first four
+#: test_contigs windows — NOT from this implementation, so the pin is
+#: non-circular.  The original self-captured goldens hid a real bug:
+#: the tower was missing rc_resnet_block's trailing gelu
+#: (v1/layers.py:141-147) and produced wrong (but confident) logits.
 GOLDEN_LOGITS = np.array(
-    [[18.91302, -45.18705, 32.38448, 55.65975],
-     [27.28505, -48.53145, 30.45763, 65.97242],
-     [21.60337, -35.82043, 20.58445, 70.72578],
-     [37.0039, -53.12393, 26.99385, 48.84635]], dtype=np.float32,
+    [[1.5382838, 2.9926429, -8.1851845, -1.7888622],
+     [0.432796, 5.409757, -8.499824, -4.1124396],
+     [1.4189093, 2.1239934, -7.0766964, -0.8428301],
+     [0.08749372, 3.6451898, -5.12516, -2.6344242]], dtype=np.float32,
 )
 
 
@@ -85,9 +91,10 @@ def test_converted_forward_golden():
         np.asarray(out["output"], np.float32), GOLDEN_LOGITS,
         rtol=2e-4, atol=2e-3,
     )
-    # trained model is confident
+    # trained model picks a clear winner on every window (the live
+    # reference's own max-prob over these windows bottoms out at ~0.65)
     probs = jax.nn.softmax(np.asarray(out["output"], np.float64), axis=-1)
-    assert probs.max(axis=1).min() > 0.9
+    assert probs.max(axis=1).min() > 0.6
 
 
 def test_end_to_end_golden_tsv(tmp_path):
