@@ -1129,7 +1129,13 @@ class MaskedBiLSTM(nn.Module):
         out_mask = None if self.ignore_mask else mask
         if self.return_sequences:
             return out.reshape(b, f, length, 2 * self.units), out_mask
-        return out[:, -1, :].reshape(b, f, 2 * self.units), out_mask
+        # Keras Bidirectional(return_sequences=False): each direction
+        # contributes its own FINAL state — the forward pass's output at
+        # the last timestep, the backward pass's at the FIRST original
+        # timestep (its last processed step). Pinned live in
+        # tests/test_legacy_lstm_live_parity.py.
+        last = jnp.concatenate([fwd[:, -1, :], bwd[:, 0, :]], axis=-1)
+        return last.reshape(b, f, 2 * self.units), out_mask
 
 
 # ---------------------------------------------------------------------------

@@ -4,8 +4,8 @@ Uses the reference's bundled test SavedModel
 (``data/models/test/jaeger_fragment_graph``, read-only) as the conversion
 fixture: the checkpoint parser must recover every tensor with full names,
 the converted tree must match the WResModel structure exactly, and the
-forward pass is pinned to golden logits (captured once from this
-implementation; guards converter/architecture drift).
+forward pass is pinned to golden logits captured from the LIVE
+reference model (see GOLDEN_LOGITS below).
 """
 
 from pathlib import Path
