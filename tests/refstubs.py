@@ -100,3 +100,61 @@ def install() -> None:
 
     if "/root/reference/src" not in sys.path:
         sys.path.insert(0, "/root/reference/src")
+
+
+def install_prophage() -> None:
+    """Upgrade the ruptures/kneed import-only shims to FUNCTIONAL stubs
+    backed by our CPD implementations, and stub pyrodigal_gv with our
+    gene caller — so the reference's prophage pipeline (segment /
+    refine_prophage_boundaries / prophage_report) runs live with the
+    engine components shared.  What live-parity tests then pin is all
+    of the reference's first-party logic around those engines: the
+    penalty sweep + knee selection + sensitivity filter + range merge,
+    boundary snapping arithmetic, and the att-repeat report."""
+    import sys
+    import types
+
+    from jaeger_tpu.postprocess import genes as _genes
+    from jaeger_tpu.postprocess.cpd import (
+        KneeLocator as _KneeLocator,
+        kernel_cpd_linear,
+    )
+
+    rpt = sys.modules.setdefault("ruptures", types.ModuleType("ruptures"))
+
+    class KernelCPD:
+        def __init__(self, kernel="linear", min_size=2, jump=5):
+            if kernel != "linear":
+                raise NotImplementedError(kernel)
+            self._min_size = min_size
+            self._signal = None
+
+        def fit(self, signal):
+            self._signal = signal
+            return self
+
+        def predict(self, pen):
+            return kernel_cpd_linear(
+                self._signal, pen=pen, min_size=self._min_size
+            )
+
+    rpt.KernelCPD = KernelCPD
+
+    kn = sys.modules.setdefault("kneed", types.ModuleType("kneed"))
+    kn.KneeLocator = _KneeLocator
+
+    pg = sys.modules.setdefault(
+        "pyrodigal_gv", types.ModuleType("pyrodigal_gv"))
+
+    class _Gene:
+        def __init__(self, start, end):
+            self.begin, self.end = start + 1, end  # 1-based closed
+
+    class ViralGeneFinder:
+        def __init__(self, meta=True):
+            pass
+
+        def find_genes(self, sequence):
+            return [_Gene(s, e) for s, e in _genes.find_genes(sequence)]
+
+    pg.ViralGeneFinder = ViralGeneFinder
