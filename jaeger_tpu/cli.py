@@ -213,38 +213,41 @@ def health() -> None:
 @click.option("-o", "--output", "output_dir", default=None, type=click.Path())
 @click.option("--epochs", default=None, type=int,
               help="Override classifier epochs.")
-@click.option("--steps-per-epoch", default=None, type=int)
-@click.option("--self-supervised-pretraining", is_flag=True, default=False,
+@click.option("--steps-per-epoch", "--steps_per_epoch", default=None, type=int)
+@click.option("--self-supervised-pretraining", "--self_supervised_pretraining", is_flag=True, default=False,
               help="Run the ArcFace projection pretraining branch first.")
-@click.option("--generate-reliability-data", is_flag=True, default=None,
+@click.option("--generate-reliability-data", "--generate_reliability_data", is_flag=True, default=None,
               help="Generate ID/OOD reliability data with the classifier.")
-@click.option("--from-last-checkpoint", is_flag=True, default=False,
+@click.option("--from-last-checkpoint", "--from_last_checkpoint", is_flag=True, default=False,
               help="Resume from the most advanced branch checkpoint.")
 @click.option("-f", "--force", is_flag=True, default=False,
               help="Train into a non-empty output directory anyway.")
-@click.option("--ignore-convergence", is_flag=True, default=False,
+@click.option("--ignore-convergence", "--ignore_convergence", is_flag=True, default=False,
               help="Retrain branches even if convergence markers exist.")
-@click.option("--only-classification-head", "--only-heads",
+@click.option("--only-classification-head", "--only-heads", "--only_classification_head", "--only_heads",
               "only_classification_head", is_flag=True, default=False,
               help="Freeze the representation learner; fine-tune heads "
                    "only.")
-@click.option("--only-reliability-head", is_flag=True, default=False,
+@click.option("--only-reliability-head", "--only_reliability_head", is_flag=True, default=False,
               help="Skip projection/classifier; train the reliability "
                    "branch only.")
-@click.option("--only-save", is_flag=True, default=False,
+@click.option("--only-save", "--only_save", is_flag=True, default=False,
               help="Save the model with last-checkpoint weights without "
                    "training.")
-@click.option("--id-threshold", default=None, type=float,
+@click.option("--id-threshold", "--id_threshold", default=None, type=float,
               help="Reliability data: confidence above which a correct "
                    "prediction counts as in-distribution.")
-@click.option("--synthetic-ood-threshold", default=None, type=float,
+@click.option("--synthetic-ood-threshold", "--synthetic_ood_threshold", default=None, type=float,
               help="Reliability data: confidence above which a synthetic "
                    "corrupted sequence is kept as OOD.")
+@click.option("--synthetic-ood-multiplier", "--synthetic_ood_multiplier", default=None, type=float,
+              help="Reliability data: synthetic sequences generated per "
+                   "real record (overrides the config).")
 def train(config_path, output_dir, epochs, steps_per_epoch,
           self_supervised_pretraining, generate_reliability_data,
           from_last_checkpoint, force, ignore_convergence,
           only_classification_head, only_reliability_head, only_save,
-          id_threshold, synthetic_ood_threshold):
+          id_threshold, synthetic_ood_threshold, synthetic_ood_multiplier):
     """Train a fragment classifier from a YAML config."""
     from jaeger_tpu.commands.train import train_fragment_core
 
@@ -259,6 +262,7 @@ def train(config_path, output_dir, epochs, steps_per_epoch,
         only_reliability_head=only_reliability_head, only_save=only_save,
         id_threshold=id_threshold,
         synthetic_ood_threshold=synthetic_ood_threshold,
+        synthetic_ood_multiplier=synthetic_ood_multiplier,
     )
 
 

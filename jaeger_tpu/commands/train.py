@@ -317,6 +317,7 @@ def train_fragment_core(
     only_save: bool = False,
     id_threshold: float | None = None,
     synthetic_ood_threshold: float | None = None,
+    synthetic_ood_multiplier: float | None = None,
 ) -> dict:
     config = load_model_config(config_path)
     model_cfg = config.get("model", {})
@@ -608,18 +609,40 @@ def train_fragment_core(
         )
     rel_paths = _fragment_paths(train_cfg, "fragment_reliability_data")
     if rel_cfg and rel_epochs > 0 and not only_save:
-        if generate_reliability and train_paths:
+        if generate_reliability:
             from jaeger_tpu.dataops.reliability_generator import (
                 generate_reliability_data,
             )
 
             # knobs from training.reliability_data_generation (reference
-            # YAML schema: synthetic_ood_multiplier, inference_batch_size,
-            # perturbations — flagship config parity)
+            # YAML schema: raw_csv_paths, output_dir,
+            # synthetic_ood_multiplier, inference_batch_size,
+            # perturbations — reference commands/train.py:895-940)
             gen_cfg = train_cfg.get("reliability_data_generation", {}) or {}
+            raw_csvs = gen_cfg.get("raw_csv_paths") or {}
+            raw_train = (
+                raw_csvs.get("train")
+                or (train_paths[0] if train_paths else None)
+                or gen_cfg.get("raw_csv_path")
+            )
+            if not raw_train:
+                raise ValueError(
+                    "--generate_reliability_data requires raw CSV "
+                    "sequences. Set reliability_data_generation."
+                    "raw_csv_paths.train in the config or provide CSV "
+                    "classifier training data."
+                )
+            if rel_paths.get("train", {}).get("paths"):
+                logger.warning(
+                    "--generate_reliability_data is active; ignoring "
+                    "fragment_reliability_data paths provided in the "
+                    "config"
+                )
+            gen_out = (gen_cfg.get("output_dir")
+                       or str(out_root / "reliability_data"))
             rel_paths = generate_reliability_data(
-                model, variables, train_paths[0],
-                str(out_root / "reliability_data"), crop_nt,
+                model, variables, raw_train,
+                gen_out, crop_nt,
                 id_threshold=float(
                     id_threshold if id_threshold is not None
                     else gen_cfg.get("id_threshold", 0.8)),
@@ -628,10 +651,17 @@ def train_fragment_core(
                     if synthetic_ood_threshold is not None
                     else gen_cfg.get("synthetic_ood_threshold", 0.8)),
                 synthetic_ood_multiplier=float(
-                    gen_cfg.get("synthetic_ood_multiplier", 1.0)),
+                    synthetic_ood_multiplier
+                    if synthetic_ood_multiplier is not None
+                    else gen_cfg.get("synthetic_ood_multiplier", 1.0)),
                 batch_size=int(
                     gen_cfg.get("inference_batch_size", 512)),
                 perturbations=gen_cfg.get("perturbations"),
+                val_fraction=float(gen_cfg.get("val_fraction", 0.1)),
+                raw_val_csv_path=(
+                    gen_cfg.get("raw_csv_paths") or {}).get("val"),
+                synthetic_source_sample_size=gen_cfg.get(
+                    "synthetic_source_sample_size"),
             )
         rel_train = rel_paths.get("train", {}).get("paths", [])
         rel_val = rel_paths.get("validation", {}).get("paths", [])

@@ -24,11 +24,13 @@ logger = logging.getLogger("jaeger_tpu")
 
 
 def _predict_csv_rows(model, variables, rows: list[tuple[int, str]],
-                      crop_nt: int, batch_size: int = 512):
-    """Run the classifier over (label, seq) rows -> (pred, conf) arrays."""
+                      crop_nt: int, batch_size: int = 512,
+                      return_logits: bool = False):
+    """Run the classifier over (label, seq) rows -> (pred, conf) arrays
+    (plus (logits, probs) when ``return_logits``)."""
     import jax.numpy as jnp
 
-    preds, confs = [], []
+    preds, confs, all_logits, all_probs = [], [], [], []
     for i in range(0, len(rows), batch_size):
         chunk = rows[i : i + batch_size]
         n = len(chunk)
@@ -48,7 +50,28 @@ def _predict_csv_rows(model, variables, rows: list[tuple[int, str]],
         p = p / p.sum(axis=1, keepdims=True)
         preds.append(np.argmax(p, axis=1))
         confs.append(p.max(axis=1))
-    return np.concatenate(preds), np.concatenate(confs)
+        if return_logits:
+            all_logits.append(logits)
+            all_probs.append(p)
+    preds = np.concatenate(preds)
+    confs = np.concatenate(confs)
+    if return_logits:
+        return preds, confs, np.concatenate(all_logits), \
+            np.concatenate(all_probs)
+    return preds, confs
+
+
+def _num_classes(model, variables, crop_nt: int) -> int:
+    """Classifier output width (one tiny forward on an empty batch)."""
+    import jax.numpy as jnp
+
+    out = model.apply(
+        variables,
+        {"bases": jnp.full((1, crop_nt), BASE_N, dtype=jnp.uint8),
+         "lengths": jnp.zeros((1,), dtype=jnp.int32)},
+        train=False,
+    )
+    return int(out["prediction"].shape[-1])
 
 
 def normalize_perturbations(cfg: dict | None) -> list[dict]:
@@ -229,6 +252,110 @@ def generate_synthetic_sequences(records: list[tuple[int, str]],
     return out
 
 
+def downsample_to_match(real_records: list[tuple[int, str]],
+                        synthetic_records: list[tuple[int, str]],
+                        rng: np.random.Generator) -> list[tuple[int, str]]:
+    """Stratified downsample of real records to the synthetic count.
+
+    RNG-call-identical to the reference's ``_downsample_to_match``
+    (``dataops/reliability_generator.py:485-520``; pinned seed-for-seed
+    in ``tests/test_relgen_live_parity.py``): per-label targets are
+    ``round(n_synth * label_fraction)``, rounding gaps fill one index at
+    a time, and the result is shuffled.
+    """
+    n_real, n_synth = len(real_records), len(synthetic_records)
+    if n_real <= n_synth or n_synth == 0:
+        return real_records
+    labels = np.array([label for label, _ in real_records], dtype=np.int32)
+    kept: list[int] = []
+    for label in np.unique(labels):
+        idx = np.where(labels == label)[0]
+        n_target = int(round(n_synth * len(idx) / n_real))
+        if n_target > 0:
+            kept.extend(rng.choice(idx, size=n_target,
+                                   replace=False).tolist())
+    while len(kept) < n_synth:
+        remaining = [i for i in range(n_real) if i not in kept]
+        if not remaining:
+            break
+        kept.append(int(rng.choice(remaining)))
+    rng.shuffle(kept)
+    return [real_records[i] for i in kept]
+
+
+def sample_records_for_synthetic_generation(
+    records: list[tuple[int, str]], target_size: int,
+    rng: np.random.Generator,
+) -> list[tuple[int, str]]:
+    """Stratified source sample for synthetic generation.
+
+    RNG-call-identical to the reference's
+    ``_sample_records_for_synthetic_generation``
+    (``dataops/reliability_generator.py:523-555``; pinned seed-for-seed):
+    per-label targets keep at least one record, overshoot trims by
+    shuffle+pop, and the result is shuffled.
+    """
+    n = len(records)
+    if n <= target_size:
+        return records
+    labels = np.array([label for label, _ in records], dtype=np.int32)
+    kept: list[int] = []
+    for label in np.unique(labels):
+        idx = np.where(labels == label)[0]
+        n_target = max(1, int(round(target_size * len(idx) / n)))
+        if n_target >= len(idx):
+            kept.extend(idx.tolist())
+        else:
+            kept.extend(rng.choice(idx, size=n_target,
+                                   replace=False).tolist())
+    while len(kept) > target_size:
+        rng.shuffle(kept)
+        kept.pop()
+    rng.shuffle(kept)
+    return [records[i] for i in kept]
+
+
+def prediction_csv_header(num_classes: int) -> list[str]:
+    """Reference ``_prediction_csv_header`` column order
+    (``dataops/reliability_generator.py:381-386``)."""
+    return (["seq_id", "label"]
+            + [f"logit_{i}" for i in range(num_classes)]
+            + [f"prob_{i}" for i in range(num_classes)])
+
+
+def _load_predictions_csv(path: Path, expected_labels: np.ndarray,
+                          num_classes: int) -> np.ndarray | None:
+    """Reuse an existing predictions CSV when its rows and labels match
+    (reference resume semantics, ``reliability_generator.py:262-348``);
+    returns the probability matrix or ``None`` to recompute."""
+    try:
+        with open(path) as fh:
+            header = fh.readline().strip().split(",")
+            if header[:2] != ["seq_id", "label"]:
+                return None
+            rows = [ln.rstrip("\n").split(",") for ln in fh if ln.strip()]
+    except OSError:
+        return None
+    if len(rows) != len(expected_labels):
+        logger.warning(
+            f"existing {path.name} has {len(rows)} rows, expected "
+            f"{len(expected_labels)}; recomputing")
+        return None
+    try:
+        labels = np.array([int(r[1]) for r in rows], dtype=np.int32)
+        probs = np.array(
+            [[float(v) for v in r[2 + num_classes: 2 + 2 * num_classes]]
+             for r in rows], dtype=np.float64)
+    except (ValueError, IndexError):
+        return None
+    if probs.shape[1] != num_classes or not np.array_equal(
+            labels, expected_labels):
+        logger.warning(f"{path.name} does not match records; recomputing")
+        return None
+    logger.info(f"reusing predictions from {path}")
+    return probs
+
+
 def generate_reliability_data(
     model,
     variables,
@@ -243,17 +370,28 @@ def generate_reliability_data(
     batch_size: int = 512,
     perturbations: dict | None = None,
     chunk_size: int = 100_000,
+    raw_val_csv_path: str | None = None,
+    synthetic_source_sample_size: int | None = None,
+    balance_to_synthetic: bool = True,
+    write_predictions: bool = True,
 ) -> dict:
     """Build reliability CSVs; returns the builder-shaped paths dict.
 
-    Streams the raw CSV in ``chunk_size``-row chunks — each chunk is
-    classified, its confident rows written out immediately (ID=1 when
-    correct, OOD=0 when wrong), and synthetic perturbed OOD rows are
-    generated FROM that chunk and kept only when the classifier is
-    still confident on them. Memory stays bounded at one chunk
-    regardless of CSV size (production-scale parity: the reference's
-    907-LoC generator streams through subprocess-isolated chunks).
-    The train/val split is a deterministic per-record draw.
+    Reference semantics (``dataops/reliability_generator.py:588-907``)
+    with a streaming engine: the raw CSV is classified in
+    ``chunk_size``-row chunks (confident-correct -> ID(1),
+    confident-wrong -> OOD(0)); synthetic perturbed sequences generated
+    FROM each chunk are kept as OOD only when the classifier is still
+    confident on them; real records are stratified-downsampled to the
+    surviving synthetic count (:func:`downsample_to_match`); a dedicated
+    ``raw_val_csv_path`` is processed the same way when given, otherwise
+    the pool is shuffled and split at ``val_fraction`` (reference
+    order: val first). A self-describing ``<stem>_preds.csv``
+    (seq_id/label/logits/probs) is written per input and reused on
+    rerun when rows+labels match. Divergences (documented): our RNG is
+    seeded (the reference's is not, so its outputs are irreproducible),
+    and ``synthetic_source_sample_size`` applies per chunk (stratified,
+    multiplier rescaled) instead of globally, keeping memory bounded.
     """
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
@@ -266,9 +404,16 @@ def generate_reliability_data(
             "validation": {"paths": [str(val_csv)], "class": [], "label": []},
         }
 
-    def read_chunks():
+    rng = np.random.default_rng(seed)
+
+    def read_chunks(path):
+        """Yield (rows, seq_ids) in chunk_size chunks; the last CSV
+        column is the sequence id when >= 3 columns (reference
+        ``_read_csv_records_with_ids``)."""
         chunk: list[tuple[int, str]] = []
-        with open(raw_csv_path) as fh:
+        ids: list[str] = []
+        row_no = 0
+        with open(path) as fh:
             for line in fh:
                 parts = line.strip().split(",")
                 if len(parts) >= 2:
@@ -276,37 +421,65 @@ def generate_reliability_data(
                         chunk.append((int(parts[0]), parts[1]))
                     except ValueError:
                         continue
+                    ids.append(parts[-1] if len(parts) >= 3 else str(row_no))
+                    row_no += 1
                 if len(chunk) >= chunk_size:
-                    yield chunk
-                    chunk = []
+                    yield chunk, ids
+                    chunk, ids = [], []
         if chunk:
-            yield chunk
+            yield chunk, ids
 
-    rng = random.Random(seed)
-    n_id = n_real_ood = n_synth = n_synth_kept = n_rows = 0
-    with open(train_csv, "w") as tfh, open(val_csv, "w") as vfh:
+    def process_csv(path):
+        """Classify one CSV -> (id_records, ood_records, synth_kept)."""
+        id_records: list[tuple[int, str]] = []
+        ood_records: list[tuple[int, str]] = []
+        synth_kept: list[tuple[int, str]] = []
+        n_rows = n_synth = 0
+        preds_path = output_dir / (Path(path).stem + "_preds.csv")
 
-        def emit(label: int, seq: str) -> None:
-            fh = vfh if rng.random() < val_fraction else tfh
-            fh.write(f"{label},{seq}\n")
+        cached_probs = None
+        if write_predictions and preds_path.exists():
+            all_labels = np.array(
+                [lab for rows, _ in read_chunks(path) for lab, _ in rows],
+                dtype=np.int32)
+            num_classes = _num_classes(model, variables, crop_nt)
+            cached_probs = _load_predictions_csv(
+                preds_path, all_labels, num_classes)
 
-        for ci, rows in enumerate(read_chunks()):
+        preds_rows: list[str] = []
+        for ci, (rows, seq_ids) in enumerate(read_chunks(path)):
+            if cached_probs is not None:
+                probs = cached_probs[n_rows: n_rows + len(rows)]
+                preds = np.argmax(probs, axis=1)
+                confs = probs.max(axis=1)
+            else:
+                preds, confs, logits, probs = _predict_csv_rows(
+                    model, variables, rows, crop_nt, batch_size,
+                    return_logits=True)
+                if write_predictions:
+                    for sid, (lab, _), lg, pr in zip(
+                            seq_ids, rows, logits, probs):
+                        preds_rows.append(
+                            f"{sid},{lab},"
+                            + ",".join(f"{v:.7g}" for v in lg) + ","
+                            + ",".join(f"{v:.7g}" for v in pr))
             n_rows += len(rows)
-            preds, confs = _predict_csv_rows(
-                model, variables, rows, crop_nt, batch_size)
             for (label, seq), pred, conf in zip(rows, preds, confs):
                 if conf < id_threshold:
                     continue
                 if pred == label:
-                    emit(1, seq)
-                    n_id += 1
+                    id_records.append((1, seq))
                 else:
-                    emit(0, seq)
-                    n_real_ood += 1
+                    ood_records.append((0, seq))
 
+            src, mult = rows, synthetic_ood_multiplier
+            if (synthetic_source_sample_size is not None
+                    and synthetic_source_sample_size < len(rows)):
+                src = sample_records_for_synthetic_generation(
+                    rows, synthetic_source_sample_size, rng)
+                mult = synthetic_ood_multiplier * (len(rows) / len(src))
             synth = generate_synthetic_sequences(
-                rows, synthetic_ood_multiplier, perturbations,
-                crop_size=crop_nt, seed=seed + ci)
+                src, mult, perturbations, crop_size=crop_nt, seed=seed + ci)
             n_synth += len(synth)
             synth_rows = [(0, s) for s in synth]
             _, s_confs = _predict_csv_rows(
@@ -314,17 +487,50 @@ def generate_reliability_data(
             for (_, seq), conf in zip(synth_rows, s_confs):
                 # kept only when the classifier is (wrongly) confident
                 if conf >= synthetic_ood_threshold:
-                    emit(0, seq)
-                    n_synth_kept += 1
+                    synth_kept.append((0, seq))
 
-    if n_rows == 0:
-        train_csv.unlink(missing_ok=True)
-        val_csv.unlink(missing_ok=True)
-        raise ValueError(f"no records in {raw_csv_path}")
-    logger.info(
-        f"reliability data: {n_id} ID, {n_real_ood} real OOD, "
-        f"{n_synth_kept}/{n_synth} synthetic OOD kept"
-    )
+        if write_predictions and cached_probs is None and preds_rows:
+            num_classes = (len(preds_rows[0].split(",")) - 2) // 2
+            with open(preds_path, "w") as fh:
+                fh.write(",".join(prediction_csv_header(num_classes)) + "\n")
+                fh.write("\n".join(preds_rows) + "\n")
+            logger.info(f"wrote predictions to {preds_path}")
+        if n_rows == 0:
+            raise ValueError(f"no records in {path}")
+        logger.info(
+            f"{Path(path).name}: {len(id_records)} ID, "
+            f"{len(ood_records)} real OOD, "
+            f"{len(synth_kept)}/{n_synth} synthetic OOD kept")
+        return id_records, ood_records, synth_kept
+
+    id_recs, ood_recs, synth_recs = process_csv(raw_csv_path)
+    real = id_recs + ood_recs
+    if balance_to_synthetic:
+        before = len(real)
+        real = downsample_to_match(real, synth_recs, rng)
+        if len(real) < before:
+            logger.info(
+                f"downsampled real records {before} -> {len(real)} to "
+                f"match {len(synth_recs)} synthetic OOD")
+
+    if raw_val_csv_path:
+        v_id, v_ood, v_synth = process_csv(raw_val_csv_path)
+        v_real = v_id + v_ood
+        if balance_to_synthetic:
+            v_real = downsample_to_match(v_real, v_synth, rng)
+        val_records = v_real + v_synth
+        train_records = real + synth_recs
+        rng.shuffle(train_records)
+    else:
+        pool = real + synth_recs
+        rng.shuffle(pool)
+        n_val = int(len(pool) * val_fraction)
+        val_records, train_records = pool[:n_val], pool[n_val:]
+
+    for recs, path in ((train_records, train_csv), (val_records, val_csv)):
+        with open(path, "w") as fh:
+            for label, seq in recs:
+                fh.write(f"{label},{seq}\n")
     return {
         "train": {"paths": [str(train_csv)], "class": [], "label": []},
         "validation": {"paths": [str(val_csv)], "class": [], "label": []},

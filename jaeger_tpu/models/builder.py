@@ -548,6 +548,14 @@ class JaegerModel(nn.Module):
 
         # --- 6. reliability head (nnlib/builder.py:624-838) ---
         rel_cfg = _rel_cfg if _need_rel else None
+        if rel_cfg and aux.get("nmd") is None:
+            # reference parity: clear build-time error instead of a
+            # missing-output crash later (nnlib/builder.py:636-640)
+            raise ValueError(
+                "reliability_model is configured but the representation "
+                "learner produced no NMD tensor. Add an `nmd` layer or "
+                "set return_nmd: true on a layer that supports it."
+            )
         if rel_cfg and aux.get("nmd") is not None:
             mode = rel_cfg.get("mode", "nmd")
             rel_in = aux["nmd"]

@@ -84,16 +84,16 @@ def install() -> None:
                 getattr(pl, _cls, None) is object:
             setattr(pl, _cls, type(_cls, (), {}))
 
-    # Import-only shims for the prophage-plotting deps: the reference's
-    # predict_legacy imports postprocess.prophages at MODULE scope
-    # (ruptures/kneed/pycirclize), but the non-prophage paths under test
-    # never call them.
-    rpt = sys.modules.setdefault("ruptures", types.ModuleType("ruptures"))
-    if not isinstance(getattr(rpt, "KernelCPD", None), type):
-        rpt.KernelCPD = type("KernelCPD", (), {})
-    kn = sys.modules.setdefault("kneed", types.ModuleType("kneed"))
-    if not isinstance(getattr(kn, "KneeLocator", None), type):
-        kn.KneeLocator = type("KneeLocator", (), {})
+    # FUNCTIONAL stubs for the prophage deps (ruptures/kneed/
+    # pyrodigal_gv).  The reference's prophages.py binds
+    # ``from kneed import KneeLocator`` at MODULE scope and
+    # predict_legacy imports it transitively, so whichever test module
+    # is collected first freezes the stub objects into the reference
+    # module — import-only dummies here made the reference's segment()
+    # silently return no prophages in whole-suite runs (test-order
+    # dependent).  Installing the functional stubs up front makes the
+    # bindings order-independent.
+    install_prophage()
     pc = sys.modules.setdefault("pycirclize", types.ModuleType("pycirclize"))
     if not isinstance(getattr(pc, "Circos", None), type):
         pc.Circos = type("Circos", (), {})

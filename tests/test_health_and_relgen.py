@@ -164,3 +164,76 @@ def test_reliability_generator_chunked_streaming(tmp_path, rng):
     assert len(train) + len(val) == 120
     labels = {int(r.split(",")[0]) for r in train + val}
     assert labels <= {0, 1}
+
+    # self-describing predictions CSV (reference _preds.csv artifact)
+    preds = (tmp_path / "out" / "raw_preds.csv").read_text().splitlines()
+    assert preds[0] == ("seq_id,label,logit_0,logit_1,logit_2,"
+                        "prob_0,prob_1,prob_2")
+    assert len(preds) == 61
+    assert preds[1].split(",")[0] == "0"  # row-index seq id
+
+    # rerun with the reliability CSVs removed reuses the predictions file
+    # (reference resume semantics) and reproduces identical outputs
+    import os
+
+    t0 = open(paths["train"]["paths"][0]).read()
+    os.unlink(paths["train"]["paths"][0])
+    os.unlink(paths["validation"]["paths"][0])
+    mtime = os.path.getmtime(tmp_path / "out" / "raw_preds.csv")
+    again = generate_reliability_data(
+        model, variables, str(csv), str(tmp_path / "out"), crop_nt,
+        id_threshold=0.0, synthetic_ood_threshold=0.0,
+        chunk_size=16, seed=3, batch_size=8,
+    )
+    assert open(again["train"]["paths"][0]).read() == t0
+    assert os.path.getmtime(tmp_path / "out" / "raw_preds.csv") == mtime
+
+
+def test_reliability_generator_balancing_and_val_csv(tmp_path, rng):
+    """Real records are stratified-downsampled to the synthetic count
+    (reference _downsample_to_match) and a dedicated raw val CSV flows
+    into reliability_val.csv (reference raw_csv_paths.val)."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "tmc", Path(__file__).with_name("test_modern_convert.py"))
+    tmc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tmc)
+
+    from jaeger_tpu.dataops.reliability_generator import (
+        generate_reliability_data,
+    )
+    from jaeger_tpu.models.builder import ModelBuilder
+
+    b = ModelBuilder(tmc.CONFIG)
+    model, variables = b.init()
+    _, crop_nt = b.crop
+
+    train_csv = tmp_path / "raw.csv"
+    val_csv = tmp_path / "rawval.csv"
+    for path, n in ((train_csv, 60), (val_csv, 20)):
+        with open(path, "w") as fh:
+            for i in range(n):
+                seq = "".join(rng.choice(list("ACGT"), size=180))
+                fh.write(f"{i % 3},{seq}\n")
+
+    paths = generate_reliability_data(
+        model, variables, str(train_csv), str(tmp_path / "rel"), crop_nt,
+        id_threshold=0.0, synthetic_ood_threshold=0.0,
+        synthetic_ood_multiplier=0.5, seed=5, batch_size=16,
+        raw_val_csv_path=str(val_csv),
+    )
+    train = open(paths["train"]["paths"][0]).read().splitlines()
+    val = open(paths["validation"]["paths"][0]).read().splitlines()
+    # 60 real downsampled to 30 synthetic + the 30 synthetic
+    assert len(train) == 60
+    # val: 20 real downsampled to 10 synthetic + 10 synthetic
+    assert len(val) == 20
+    # dedicated-val mode: no rows leak between the two sources
+    train_seqs = {r.split(",", 1)[1] for r in train}
+    val_seqs = {r.split(",", 1)[1] for r in val}
+    assert not (train_seqs & val_seqs)
+    # both preds artifacts exist
+    assert (tmp_path / "rel" / "raw_preds.csv").exists()
+    assert (tmp_path / "rel" / "rawval_preds.csv").exists()

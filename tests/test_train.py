@@ -451,3 +451,87 @@ def test_class_frequency_bias_init(tmp_path, rng):
     np.testing.assert_allclose(
         np.asarray(v2["params"]["classifier"]["dense_0"]["bias"]),
         expect, rtol=1e-6)
+
+
+def test_generate_reliability_train_wiring(tmp_path, rng, caplog):
+    """--generate_reliability_data wiring parity (reference
+    commands/train.py:895-940): reliability_data_generation's
+    raw_csv_paths.{train,val} and output_dir are honored, configured
+    fragment_reliability_data paths are ignored with a warning, the
+    builder errors clearly when reliability_model has no NMD source,
+    and a missing raw CSV raises the reference's guidance."""
+    import logging
+
+    import yaml
+
+    from jaeger_tpu.commands.train import train_fragment_core
+
+    from tests.test_resume_e2e import _write_fixture
+
+    cfg_path = _write_fixture(tmp_path, rng)
+    cfg = yaml.safe_load(cfg_path.read_text())
+
+    # reliability_model without any NMD tap -> reference's clear error
+    cfg["model"]["reliability_model"] = {
+        "mode": "nmd",
+        "hidden_layers": [{"name": "dense",
+                           "config": {"units": 1, "dtype": "float32"}}],
+    }
+    cfg["training"]["classifier_epochs"] = 1
+    cfg["training"]["classifier_train_steps"] = 2
+    cfg["training"]["reliability_epochs"] = 1
+    cfg["training"]["reliability_train_steps"] = 2
+    cfg["training"]["loss_reliability"] = "binary_crossentropy"
+    cfg_path.write_text(yaml.safe_dump(cfg, sort_keys=False))
+    with pytest.raises(ValueError, match="produced no NMD tensor"):
+        train_fragment_core(str(cfg_path), output_dir=str(tmp_path / "m0"),
+                            use_mesh=False, save=False,
+                            generate_reliability=True)
+
+    # add the tap; point generation at dedicated raw CSVs + output_dir
+    cfg["model"]["representation_learner"]["hidden_layers"].append(
+        {"name": "masked_batchnorm", "config": {"return_nmd": True}})
+    raw_train = tmp_path / "raw_train.csv"
+    raw_val = tmp_path / "raw_val.csv"
+    for path, n in ((raw_train, 40), (raw_val, 12)):
+        with open(path, "w") as fh:
+            for i in range(n):
+                seq = "".join(rng.choice(list("ACGT"), size=100))
+                fh.write(f"{i % 3},{seq}\n")
+    gen_out = tmp_path / "relgen_custom"
+    cfg["training"]["reliability_data_generation"] = {
+        "raw_csv_paths": {"train": str(raw_train), "val": str(raw_val)},
+        "output_dir": str(gen_out),
+        "id_threshold": 0.0,
+        "synthetic_ood_threshold": 0.0,
+        "synthetic_ood_multiplier": 0.5,
+        "inference_batch_size": 16,
+    }
+    # configured fragment paths must be ignored with a warning
+    cfg["training"]["fragment_reliability_data"] = {
+        "train": [{"class": ["x"], "path": [str(raw_train)], "label": [0]}],
+    }
+    cfg_path.write_text(yaml.safe_dump(cfg, sort_keys=False))
+
+    with caplog.at_level(logging.WARNING, logger="jaeger_tpu"):
+        r = train_fragment_core(
+            str(cfg_path), output_dir=str(tmp_path / "m1"),
+            use_mesh=False, save=False, generate_reliability=True)
+    assert any("ignoring" in rec.message and "fragment_reliability_data"
+               in rec.message for rec in caplog.records)
+    assert r["history"]["reliability"]
+    # generation landed in the configured output_dir, named per input
+    assert (gen_out / "reliability_train.csv").exists()
+    assert (gen_out / "reliability_val.csv").exists()
+    assert (gen_out / "raw_train_preds.csv").exists()
+    assert (gen_out / "raw_val_preds.csv").exists()
+
+    # no raw CSV anywhere -> the reference's guidance error
+    cfg["training"]["reliability_data_generation"] = {}
+    cfg["training"]["fragment_classifier_data"] = {}
+    cfg["training"]["classifier_epochs"] = 0
+    cfg_path.write_text(yaml.safe_dump(cfg, sort_keys=False))
+    with pytest.raises(ValueError, match="raw_csv_paths.train"):
+        train_fragment_core(str(cfg_path), output_dir=str(tmp_path / "m2"),
+                            use_mesh=False, save=False,
+                            generate_reliability=True)
