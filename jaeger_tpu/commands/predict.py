@@ -77,10 +77,12 @@ BUNDLED_DEMO_MODEL = (
 )
 
 
-def resolve_model_path(model: str | None) -> str:
+def resolve_model_path(model: str | None,
+                       registry_path: str | None = None) -> str:
     """Resolve a model argument: path, registered name, or the bundled
     demo model when omitted (model discovery parity: reference
-    ``utils/misc.py:334-400``)."""
+    ``utils/misc.py:334-400``; ``registry_path`` is the reference's
+    ``--config`` registry override, ``cli.py:208-212``)."""
     if model is None:
         logger.info(
             "no model given; using the bundled demo model "
@@ -91,7 +93,7 @@ def resolve_model_path(model: str | None) -> str:
         return model
     from jaeger_tpu.utils.registry import AvailableModels
 
-    return AvailableModels().resolve(model)
+    return AvailableModels(registry_path=registry_path).resolve(model)
 
 
 def _build_refined_contig_df(data_full: dict, taus: dict, mode: str = "gated",
@@ -260,6 +262,8 @@ def run_core(
     dtype = {
         "float32": jnp.float32, "bfloat16": jnp.bfloat16,
         "bf16": jnp.bfloat16, "fp32": jnp.float32,
+        # the reference's fp16 choice: bf16 is the MXU half-precision
+        "fp16": jnp.bfloat16, "float16": jnp.bfloat16,
     }[precision]
     from jaeger_tpu.models.ensemble import is_ensemble, load_ensemble
 

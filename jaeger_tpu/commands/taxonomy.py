@@ -136,7 +136,8 @@ class CosineIndex:
 
 
 def _embed_fasta(model_path: str, fasta: str, fsize: int, batch: int,
-                 precision: str = "bfloat16"):
+                 precision: str = "bfloat16", stride: int | None = None,
+                 workers: int = 0):
     """(per-window embeddings, per-window contig headers)."""
     import jax.numpy as jnp
 
@@ -149,7 +150,8 @@ def _embed_fasta(model_path: str, fasta: str, fsize: int, batch: int,
     model, variables, config, _ = load_model(model_path, dtype=dtype)
     engine = InferenceEngine(model, variables, batch_size=batch)
     outputs, kept = engine.predict_batches(
-        window_batches(fasta, fragsize=fsize, stride=fsize)
+        window_batches(fasta, fragsize=fsize,
+                       stride=(stride or fsize), workers=workers)
     )
     if not outputs:
         raise ValueError(f"no windows produced from {fasta}")
@@ -165,6 +167,10 @@ def build_taxdb(
     out_dir: str,
     fsize: int = 2000,
     batch: int = 256,
+    stride: int | None = None,
+    precision: str = "bfloat16",
+    workers: int = 0,
+    overwrite: bool = False,
 ) -> Path:
     """Embed reference genomes and build the cosine taxonomy index.
 
@@ -172,6 +178,9 @@ def build_taxdb(
     (reference ``taxonomy.py:243-253``).
     """
     out_dir = Path(out_dir)
+    if (out_dir / "genomes_index.npz").exists() and not overwrite:
+        raise SystemExit(
+            f"taxonomy db already exists at {out_dir}; use -f/--overwrite")
     out_dir.mkdir(parents=True, exist_ok=True)
     mapping: dict[str, int] = {}
     with open(acc2taxid) as fh:
@@ -183,7 +192,9 @@ def build_taxdb(
                 except ValueError:
                     continue
 
-    embeddings, headers = _embed_fasta(model_path, fasta, fsize, batch)
+    embeddings, headers = _embed_fasta(model_path, fasta, fsize, batch,
+                                       precision=precision, stride=stride,
+                                       workers=workers)
     taxids = np.array(
         [mapping.get(h.split()[0], 0) for h in headers], np.int64
     )
@@ -215,13 +226,19 @@ def predict_taxonomy(
     fraction: float = 0.6,
     fsize: int = 2000,
     batch: int = 256,
+    stride: int | None = None,
+    precision: str = "bfloat16",
+    workers: int = 0,
+    overwrite: bool = False,
 ) -> Path:
     """Assign a lineage per contig via embedding k-NN + majority LCA."""
     db_dir = Path(db_dir)
     index = CosineIndex.load(db_dir / "genomes_index.npz")
     taxdb = TaxDb(db_dir / "tax")
 
-    embeddings, headers = _embed_fasta(model_path, fasta, fsize, batch)
+    embeddings, headers = _embed_fasta(model_path, fasta, fsize, batch,
+                                       precision=precision, stride=stride,
+                                       workers=workers)
     scores, idx = index.search(embeddings, k=k)
     window_taxids = index.taxids[idx]  # (n, k)
 
@@ -243,6 +260,9 @@ def predict_taxonomy(
 
     df = pd.DataFrame(rows)
     output = Path(output)
+    if output.exists() and not overwrite:
+        raise SystemExit(
+            f"output {output} already exists; use -f/--overwrite")
     output.parent.mkdir(parents=True, exist_ok=True)
     df.to_csv(output, sep="\t", index=False, float_format="%.4f")
     logger.info(f"taxonomy predictions written to {output}")

@@ -318,18 +318,31 @@ def train_fragment_core(
     id_threshold: float | None = None,
     synthetic_ood_threshold: float | None = None,
     synthetic_ood_multiplier: float | None = None,
+    masking: bool | None = None,
+    precision: str | None = None,
+    meta: str | None = None,
 ) -> dict:
     config = load_model_config(config_path)
     model_cfg = config.get("model", {})
     train_cfg = config.get("training", {})
     sp = model_cfg.get("string_processor", {})
 
+    # CLI masking override (reference cli.py --masking/--no-masking:
+    # takes precedence over model.use_masking)
+    if masking is not None:
+        model_cfg["use_masking"] = bool(masking)
+
     # mixed-precision policy (reference commands/train.py:61-63,635-647:
     # mixed_bfloat16 global policy): compute in bf16, params stay f32
-    # (our layers force f32 islands for norm statistics internally)
-    policy = str(train_cfg.get("mixed_precision", "") or "").lower()
+    # (our layers force f32 islands for norm statistics internally).
+    # --precision overrides the config (fp16 maps to bf16 on the MXU).
+    policy = str(
+        precision if precision is not None
+        else train_cfg.get("mixed_precision", "") or "").lower()
     compute_dtype = (
-        jnp.bfloat16 if policy in ("bfloat16", "mixed_bfloat16", "bf16")
+        jnp.bfloat16
+        if policy in ("bfloat16", "mixed_bfloat16", "bf16", "fp16",
+                      "mixed_float16", "float16")
         else jnp.float32
     )
     builder = ModelBuilder(config, dtype=compute_dtype)
@@ -787,6 +800,14 @@ def train_fragment_core(
             save_model(variables, config, out_root)
             results["model_path"] = str(out_root)
             logger.info(f"model saved to {out_root}")
+        if meta:
+            # container-orchestration metadata file (reference
+            # nnlib/builder.py:1463-1470)
+            import json as _json
+
+            Path(meta).write_text(_json.dumps(
+                {"model_path": str(out_root),
+                 "experiment_path": str(Path(out_root).parent)}, indent=2))
     return results
 
 

@@ -212,7 +212,9 @@ def dataset_core(input: str, out_prefix: str, frag_len: int = 2048,
                  dedupe: bool | str = "minhash",
                  dedupe_threshold: float = 0.8,
                  seq_col: int | None = None,
-                 class_col: int | None = None) -> dict:
+                 class_col: int | None = None,
+                 method: str = "ANI",
+                 outtype: str = "CSV") -> dict:
     """Build a train/val/test fragment dataset from genomes.
 
     Parity role: reference ``commands/utils.py:226-246`` (``dataset_core``)
@@ -231,7 +233,9 @@ def dataset_core(input: str, out_prefix: str, frag_len: int = 2048,
     if dedupe == "minhash" or dedupe is True:
         from jaeger_tpu.dataops.dedupe import MinHashDeduper
 
-        deduper = MinHashDeduper(threshold=dedupe_threshold)
+        deduper = MinHashDeduper(threshold=dedupe_threshold,
+                                 mode=("aa" if str(method).upper() == "AAI"
+                                       else "nt"))
     for seq, rec_label in _iter_dataset_records(
         input, seq_col, class_col, label
     ):
@@ -258,16 +262,44 @@ def dataset_core(input: str, out_prefix: str, frag_len: int = 2048,
         "val": frags[n_train : n_train + n_val],
         "test": frags[n_train + n_val :],
     }
-    for name, rows in splits.items():
-        with open(f"{out_prefix}_{name}.csv", "w") as fh:
-            for rec_label, frag in rows:
-                fh.write(f"{rec_label},{frag}\n")
+    if str(outtype).upper() == "FASTA":
+        for name, rows in splits.items():
+            with open(f"{out_prefix}_{name}.fasta", "w") as fh:
+                for i, (rec_label, frag) in enumerate(rows):
+                    fh.write(f">{name}_{i}_class_{rec_label}\n{frag}\n")
+    else:
+        for name, rows in splits.items():
+            with open(f"{out_prefix}_{name}.csv", "w") as fh:
+                for rec_label, frag in rows:
+                    fh.write(f"{rec_label},{frag}\n")
     return {k: len(v) for k, v in splits.items()}
 
 
 def optimize_data_core(input: str, output: str, format: str = "translated",
+                       units: str = "nuc", overlap: float | None = None,
                        **kwargs) -> dict:
-    """CSV -> NPZ conversion entry (reference ``commands/utils.py:552``)."""
+    """CSV -> NPZ conversion entry (reference ``commands/utils.py:552``).
+
+    ``units='codon'`` converts crop sizes through the crop contract
+    (``3*codons + 5``) and scales strides by 3; ``overlap`` (fraction of
+    each crop) overrides stride (reference ``commands/utils.py:634-650``).
+    """
     from jaeger_tpu.dataops.convert import convert_dataset
 
+    crop_size = kwargs.get("crop_size", 500)
+    if isinstance(crop_size, int):
+        crop_size = [crop_size]
+    crop_size = [int(c) for c in crop_size]
+    if units not in ("nuc", "codon"):
+        raise ValueError("units must be 'nuc' or 'codon'")
+    if units == "codon":
+        from jaeger_tpu.seqops.crop import codons_to_nucleotides
+
+        crop_size = [codons_to_nucleotides(c) for c in crop_size]
+        kwargs["stride"] = int(kwargs.get("stride", 0)) * 3
+        if kwargs.get("strides") is not None:
+            kwargs["strides"] = [s * 3 for s in kwargs["strides"]]
+    if kwargs.get("strides") is None and overlap is not None:
+        kwargs["strides"] = [int(cs * (1 - overlap)) for cs in crop_size]
+    kwargs["crop_size"] = crop_size
     return convert_dataset(input, output, format=format, **kwargs)

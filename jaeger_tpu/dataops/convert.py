@@ -293,6 +293,10 @@ def convert_dataset(
     shuffle_seed: int = 42,
     shard_size: int | None = None,
     workers: int = 0,
+    num_workers: int | None = None,
+    dtype: str = "auto",
+    max_length: int = 5000,  # deprecated, ignored (reference parity)
+    max_memory_mb: int | None = None,
 ) -> dict:
     """Convert a ``label,sequence`` CSV into an NPZ dataset.
 
@@ -307,6 +311,8 @@ def convert_dataset(
     fmt = format.lower()
     if fmt not in ("translated", "nucleotide", "both"):
         raise ValueError(f"invalid format {format!r}")
+    if num_workers is not None and not workers:
+        workers = int(num_workers)  # reference spelling
     crop_sizes = (
         [int(crop_size)] if isinstance(crop_size, int) else
         [int(c) for c in crop_size]
@@ -321,6 +327,29 @@ def convert_dataset(
     if isinstance(nmap, str):
         nmap = json.loads(nmap)
     _, _, dicodon = _codon_lut(codon_map)
+
+    # smallest integer dtype that fits the vocabulary (reference
+    # _select_dtype, convert.py:1320-1350); one-hot floats stay float32
+    if one_hot:
+        sel_dtype = np.dtype(np.float32)
+    elif str(dtype).lower() != "auto":
+        sel_dtype = np.dtype(str(dtype).lower())
+    else:
+        max_token = 0
+        if fmt in ("translated", "both"):
+            _, vocab, _ = _codon_lut(codon_map)
+            max_token = vocab + 1  # +1 pad shift
+        if fmt in ("nucleotide", "both"):
+            nm = nmap if isinstance(nmap, dict) else _DEFAULT_NUCLEOTIDE_MAP
+            max_token = max(max_token, max(nm.values()))
+        if max_token < 128:
+            sel_dtype = np.dtype(np.int8)
+        elif max_token < 256:
+            sel_dtype = np.dtype(np.uint8)
+        elif max_token < 32768:
+            sel_dtype = np.dtype(np.int16)
+        else:
+            sel_dtype = np.dtype(np.int32)
 
     seqs, labels = _read_csv(input_path)
     if len(seqs) == 0:
@@ -345,6 +374,11 @@ def convert_dataset(
     )
 
     max_crop = max(crop_sizes)
+    if shard_size is None and max_memory_mb is not None:
+        # RAM-budget dispatch (reference _convert_to_npz_streaming):
+        # shard so one materialized shard stays inside the budget
+        per_row = 6 * max_crop * sel_dtype.itemsize + 64
+        shard_size = max(1024, int(max_memory_mb * 2**20 / per_row))
 
     def materialize(rows_idx: np.ndarray) -> dict:
         n = len(rows_idx)
@@ -363,6 +397,7 @@ def convert_dataset(
             )
             tl = valid_codon_lengths(lengths, max_crop, dicodon)
             data["translated_lengths"] = tl
+            toks = toks.astype(sel_dtype, copy=False)
             if not pad:
                 obj = np.empty(n, dtype=object)
                 for j in range(n):
@@ -376,6 +411,7 @@ def convert_dataset(
             nuc = encode_nucleotide_batch(
                 bases, lengths, max_crop, nmap, one_hot, pad_int
             )
+            nuc = nuc.astype(sel_dtype, copy=False)
             if not pad:
                 obj = np.empty(n, dtype=object)
                 for j in range(n):

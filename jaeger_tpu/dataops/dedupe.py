@@ -31,6 +31,39 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return x ^ (x >> np.uint64(31))
 
 
+def minhash_sketch_aa(seq: str, k: int = 7, size: int = 32) -> np.ndarray:
+    """AA-level sketch for AAI-style dereplication (reference mmseqs2
+    ``--method AAI``): the sequence is translated in all six frames with
+    the standard code, the per-frame AA k-mers are hashed, and the
+    sketch keeps the smallest ``size`` hashes across frames — so
+    nucleotide-level synonymous changes that preserve the protein still
+    collide."""
+    from jaeger_tpu.seqops.maps import GENETIC_CODE
+
+    comp = str.maketrans("ACGTacgt", "TGCAtgca")
+    frames = []
+    for s in (seq.upper(), seq.translate(comp)[::-1].upper()):
+        for off in range(3):
+            frames.append("".join(
+                GENETIC_CODE.get(s[i : i + 3], "X")
+                for i in range(off, len(s) - 2, 3)))
+    hashes: list[np.ndarray] = []
+    for aa in frames:
+        if len(aa) < k:
+            continue
+        b = np.frombuffer(aa.encode("ascii"), dtype=np.uint8)
+        n = b.shape[0] - k + 1
+        h = np.zeros(n, dtype=np.uint64)
+        for i in range(k):
+            h = (h * np.uint64(131)
+                 + b[i : n + i].astype(np.uint64)) & _MASK64
+        hashes.append(_splitmix64(h))
+    if not hashes:
+        return np.empty(0, dtype=np.uint64)
+    merged = np.unique(np.concatenate(hashes))
+    return merged[: min(size, merged.size)]
+
+
 def minhash_sketch(seq: str, k: int = 15, size: int = 32) -> np.ndarray:
     """Sorted ``size`` smallest hashes of the canonical k-mers of *seq*.
 
@@ -67,13 +100,16 @@ class MinHashDeduper:
     """
 
     def __init__(self, threshold: float = 0.8, k: int = 15,
-                 size: int = 32, bands: int = 8):
+                 size: int = 32, bands: int = 8, mode: str = "nt"):
         if not 0 < threshold <= 1:
             raise ValueError(f"threshold must be in (0, 1]: {threshold}")
+        if mode not in ("nt", "aa"):
+            raise ValueError(f"mode must be 'nt' (ANI) or 'aa' (AAI): {mode}")
         self.threshold = threshold
-        self.k = k
+        self.k = 7 if mode == "aa" and k == 15 else k
         self.size = size
         self.bands = bands
+        self.mode = mode
         self._sketches: list[np.ndarray] = []
         self._band_index: dict[tuple, list[int]] = {}
 
@@ -86,7 +122,8 @@ class MinHashDeduper:
 
     def is_duplicate(self, seq: str) -> bool:
         """Check *seq* against kept fragments; keep it when novel."""
-        sk = minhash_sketch(seq, self.k, self.size)
+        sketch_fn = minhash_sketch_aa if self.mode == "aa" else minhash_sketch
+        sk = sketch_fn(seq, self.k, self.size)
         if sk.size == 0:
             return False  # degenerate: keep, exact layers catch repeats
         cand: set[int] = set()

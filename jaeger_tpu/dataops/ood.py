@@ -116,13 +116,46 @@ class OODDatasetBuilder:
         return {"total": len(out_rows), "id": n_id, "ood": len(out_rows) - n_id}
 
 
+#: numeric label -> class-name mapping used when parsing
+#: ``__class=<label>`` contig-id suffixes against a prediction TSV
+#: (reference ``dataops/ood.py:30-37``)
+PREDICTION_MAP = {
+    "0": "bacteria", "1": "phage", "2": "eukarya",
+    "3": "archaea", "4": "plasmid", "5": "virus",
+}
+
+
+def load_correct_predictions(predictions_path: str | Path) -> set[str]:
+    """Contig ids whose Jaeger prediction matches the ``__class=``
+    suffix encoded in the id (reference ``_load_correct_predictions``,
+    ``dataops/ood.py:104-128``): column 0 is the contig id, column 2
+    the predicted class name."""
+    correct: set[str] = set()
+    with open(predictions_path) as fh:
+        header = fh.readline()
+        for line in fh:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) < 3 or "__class=" not in parts[0]:
+                continue
+            contig_id, true_label = parts[0].rsplit("__class=", 1)
+            true_class = PREDICTION_MAP.get(true_label, true_label)
+            if true_class == parts[2]:
+                correct.add(contig_id)
+    return correct
+
+
 def shuffle_core(input: str, output: str, method: str = "dinuc",
                  kmer: int = 2, n_shuffles: int = 1,
                  tandem_repeats: int = 0, seed: int = 42,
-                 output_format: str = "csv", seq_col: int = 1) -> dict:
+                 output_format: str = "csv", seq_col: int = 1,
+                 class_col: int | None = None,
+                 input_predictions: str | None = None) -> dict:
     """CLI entry: build a shuffled-negative OOD dataset."""
+    correct_ids = (load_correct_predictions(input_predictions)
+                   if input_predictions else None)
     return OODDatasetBuilder(
         input, output, shuffle_method=method, kmer=kmer,
         n_shuffles=n_shuffles, tandem_repeats=tandem_repeats, seed=seed,
         output_format=output_format, seq_col=seq_col,
+        correct_ids=correct_ids,
     ).build()

@@ -592,6 +592,19 @@ class ModelBuilder:
         self.model_cfg = config.get("model", config)
         self.train_cfg = config.get("training", {})
         self.dtype = dtype
+        # model-level masking gate (reference nnlib/builder.py:259,1020:
+        # every layer config inherits model.use_masking as its default)
+        if "use_masking" in self.model_cfg:
+            gate = bool(self.model_cfg["use_masking"])
+            for section in ("representation_learner", "classifier",
+                            "projection", "reliability_model"):
+                sec = self.model_cfg.get(section) or {}
+                for group in (sec.get("hidden_layers") or [],
+                              (sec.get("branch") or {}).get(
+                                  "hidden_layers") or []):
+                    for layer in group:
+                        layer.setdefault("config", {})
+                        layer["config"].setdefault("use_masking", gate)
 
     @property
     def string_processor(self) -> dict:

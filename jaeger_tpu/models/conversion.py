@@ -97,11 +97,15 @@ def _dequantize_tree(params):
     return out
 
 
-def quantize_bundle(model_path: str, output_path: str) -> dict:
-    """Write an int8-weight variant of a model bundle.
+def quantize_bundle(model_path: str, output_path: str,
+                    mode: str = "dynamic") -> dict:
+    """Write a quantized-weight variant of a model bundle.
 
-    Weights are stored int8 + per-channel scales and dequantized at load
-    (``load_quantized``); activations stay bf16/f32. Returns size stats.
+    ``dynamic``/``full_int8`` store weights int8 + per-channel scales,
+    dequantized at load (``load_quantized``); ``float16`` stores
+    bfloat16 weights (the MXU half-precision format — reference
+    ``utils quantize --mode float16``, TFLite zoo replaced). Activations
+    stay bf16/f32. Returns size stats.
     """
     import yaml
 
@@ -109,7 +113,30 @@ def quantize_bundle(model_path: str, output_path: str) -> dict:
     output_path = Path(output_path)
     output_path.mkdir(parents=True, exist_ok=True)
 
+    if mode not in ("dynamic", "full_int8", "float16"):
+        raise ValueError(f"unknown quantization mode: {mode}")
     _, variables, config, classes = load_model(model_path)
+    if mode == "float16":
+        half = jax.tree.map(
+            lambda a: (np.asarray(a, dtype=jnp.bfloat16)
+                       if np.asarray(a).dtype == np.float32
+                       else np.asarray(a)),
+            variables["params"])
+        payload = {"params": half}
+        if "batch_stats" in variables:
+            payload["batch_stats"] = jax.tree.map(
+                np.asarray, variables["batch_stats"])
+        (output_path / "params.msgpack").write_bytes(
+            serialization.to_bytes(payload))
+        (output_path / "project.yaml").write_text(
+            yaml.safe_dump(config, sort_keys=False))
+        (output_path / "classes.yaml").write_text(yaml.safe_dump(classes))
+        (output_path / "quantization.yaml").write_text(
+            yaml.safe_dump({"scheme": "bfloat16-weights"}))
+        orig = (model_path / "params.msgpack").stat().st_size
+        new = (output_path / "params.msgpack").stat().st_size
+        return {"original_bytes": orig, "quantized_bytes": new,
+                "ratio": round(orig / max(new, 1), 2), "mode": mode}
     q_params, meta = _quantize_tree(variables["params"])
     payload = {"params": q_params}
     if "batch_stats" in variables:
