@@ -742,22 +742,18 @@ def convert(input_path, output_path, itype):
               type=click.Path(exists=True, dir_okay=False))
 @click.option("-o", "--output", "output_dir", default=None,
               type=click.Path(),
-              help="Directory to write the summary JSON into.")
+              help="Directory for the reference artifact set: class/"
+                   "reliability/entropy/energy plots + "
+                   "jaeger_output_with_pvals.tsv (Welch top1-vs-top2 "
+                   "p-values).")
 def stats(input_path, output_dir):
-    """Summary statistics for a prediction TSV."""
+    """Summary statistics (and plots) for a prediction TSV."""
     import json
 
     from jaeger_tpu.commands.utils import stats_core
 
-    text = json.dumps(stats_core(input_path), indent=2, default=str)
-    if output_dir:
-        out = Path(output_dir)
-        out.mkdir(parents=True, exist_ok=True)
-        target = out / (Path(input_path).stem + "_stats.json")
-        target.write_text(text + "\n")
-        click.echo(f"stats written to {target}")
-    else:
-        click.echo(text)
+    summary = stats_core(input_path, output=output_dir)
+    click.echo(json.dumps(summary, indent=2, default=str))
 
 
 @utils.command("split")

@@ -151,11 +151,51 @@ def fragment_core(input: str, output: str, fsize: int = 2000,
     return count
 
 
-def stats_core(input: str, score_column: str | None = None) -> dict:
-    """Summary statistics over a prediction TSV.
+def add_topk_significance(df) -> "object":
+    """Welch one-tailed p-value per contig: top-1 vs top-2 class score.
 
-    Parity role: reference ``commands/utils.py:300-...`` — per-class
-    counts and score distributions from a jaeger output table.
+    Reference ``commands/utils.py:488-511``: mean ``*_score`` and
+    ``*_var`` columns at n = total windows feed
+    :func:`jaeger_tpu.utils.stats.welch_t_one_tailed`; adds a ``pval``
+    column.
+    """
+    import numpy as np
+
+    from jaeger_tpu.utils.stats import welch_t_one_tailed
+
+    mean_cols = [c for c in df.columns
+                 if c.endswith("_score") and "reliability" not in c]
+    var_cols = [c for c in df.columns if c.endswith("_var")]
+    win_cols = [c for c in df.columns
+                if c.endswith("_windows") and "reliability" not in c]
+    mean_scores = df[mean_cols].to_numpy(dtype=float)
+    var_scores = df[var_cols].to_numpy(dtype=float)
+    windows = df[win_cols].to_numpy(dtype=float).sum(axis=-1)
+    rows = np.arange(mean_scores.shape[0])[:, None]
+    top2 = np.flip(np.argsort(mean_scores, axis=-1), axis=-1)[:, :2]
+    sm, sv = mean_scores[rows, top2], var_scores[rows, top2]
+    pvals = []
+    for means, variances, n in zip(sm, sv, windows):
+        _, _, p = welch_t_one_tailed(
+            mean1=means[0], var1=variances[0], n1=n,
+            mean2=means[1], var2=variances[1], n2=n)
+        pvals.append(p)
+    df["pval"] = pvals
+    return df
+
+
+def stats_core(input: str, score_column: str | None = None,
+               output: str | None = None) -> dict:
+    """Summary statistics (and plots) over a prediction TSV.
+
+    Parity role: reference ``commands/utils.py:300-548`` (stats_core).
+    Always returns the JSON-able summary; with ``output`` also writes
+    the reference's artifact set into that directory: class-percentage
+    countplots (reliability- and p-value-thresholded), per-class
+    reliability/entropy/energy violins, per-class score-density grid,
+    length-quantile reliability violins, and
+    ``jaeger_output_with_pvals.tsv`` (the input table + a Welch
+    top1-vs-top2 ``pval`` column).
     """
     import pandas as pd
 
@@ -175,6 +215,112 @@ def stats_core(input: str, score_column: str | None = None) -> dict:
             }
     if "length" in df.columns:
         out["total_bp"] = int(df["length"].sum())
+
+    if output is None:
+        return out
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import pandas.api.types as ptypes
+    import seaborn as sns
+
+    out_dir = Path(output)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    sns.set_context("paper", font_scale=1.2)
+    reliability_ok = ("reliability_score" in df.columns
+                      and ptypes.is_numeric_dtype(df["reliability_score"]))
+
+    def _countplot(frame, hue, path, title):
+        ax = sns.countplot(data=frame, x="prediction", hue=hue,
+                           palette="pastel", stat="percent")
+        for patch in ax.patches:
+            pct = patch.get_height()
+            if pct > 0:
+                ax.text(patch.get_x() + patch.get_width() / 2,
+                        patch.get_height(), f"{pct:.1f}%",
+                        ha="center", va="bottom", fontsize=10)
+        ax.set_ylabel("Percentage")
+        ax.set_xlabel("Prediction")
+        ax.set_title(title)
+        sns.despine()
+        plt.tight_layout()
+        plt.savefig(path, dpi=150, bbox_inches="tight")
+        plt.close()
+
+    def _violin(frame, x, y, path, xlabel, title):
+        ax = sns.violinplot(frame, x=x, y=y)
+        sns.stripplot(frame, x=x, y=y, s=1, alpha=0.1, color="gray",
+                      ax=ax)
+        ax.set_ylabel(y.replace("_", " ").capitalize())
+        ax.set_xlabel(xlabel)
+        ax.set_title(title)
+        sns.despine()
+        plt.tight_layout()
+        plt.savefig(path, dpi=150, bbox_inches="tight")
+        plt.close()
+
+    if len(df) > 1:
+        if reliability_ok:
+            df["above_threshold"] = df["reliability_score"].apply(
+                lambda x: "passed" if x >= 0.8 else "failed")
+            _countplot(df, "above_threshold",
+                       out_dir / "class_percentages.png",
+                       "Class Distribution (%)")
+            _violin(df, "prediction", "reliability_score",
+                    out_dir / "reliability_scores.png", "Class",
+                    "Per-class distribution of reliability scores")
+        if "entropy" in df.columns:
+            _violin(df, "prediction", "entropy", out_dir / "entropy.png",
+                    "Class", "Per-class distribution of entropy")
+        if "energy" in df.columns:
+            _violin(df, "prediction", "energy", out_dir / "energy.png",
+                    "Class", "Per-class distribution of energy")
+        try:
+            df_long = pd.melt(
+                df[["contig_id", "length", "prediction"]
+                   + [c for c in df.columns if c.endswith("_score")
+                      and c != "reliability_score"]],
+                id_vars=["contig_id", "length", "prediction"],
+                var_name="score_class", value_name="scores")
+            g = sns.FacetGrid(df_long, row="prediction",
+                              hue="score_class", margin_titles=False,
+                              height=2, aspect=3.5)
+            g.map(sns.kdeplot, "scores", fill=True, common_norm=False,
+                  alpha=0.2, linewidth=0.5)
+            g.add_legend()
+            g.set_axis_labels("Score", "Density")
+            g.savefig(out_dir / "class_scores.png", dpi=150,
+                      bbox_inches="tight")
+            plt.close()
+        except Exception as e:  # matches the reference's tolerance
+            logger.warning(f"class-score grid was not created: {e}")
+        if reliability_ok and "length" in df.columns:
+            try:
+                bins = pd.qcut(df["length"], q=5)
+                labels = [f"{int(i.left)}-{int(i.right)}"
+                          for i in bins.cat.categories]
+                df["length_bin"] = pd.qcut(df["length"], q=5,
+                                           labels=labels)
+                _violin(df, "length_bin", "reliability_score",
+                        out_dir / "reliability_scores_by_length.png",
+                        "Length range",
+                        "Length-wise (quantile) distribution of "
+                        "reliability scores")
+            except Exception as e:
+                logger.warning(f"length-quantile plot not created: {e}")
+
+    df = add_topk_significance(df)
+    df.to_csv(out_dir / "jaeger_output_with_pvals.tsv", index=None,
+              sep="\t", float_format="%.3f")
+    if len(df) > 1:
+        df["above_pval_threshold"] = df["pval"].apply(
+            lambda x: "passed" if x <= 0.05 else "failed")
+        _countplot(df, "above_pval_threshold",
+                   out_dir / "class_percentages_pval.png",
+                   "Class Distribution (%)")
+    out["pvals_tsv"] = str(out_dir / "jaeger_output_with_pvals.tsv")
     return out
 
 
