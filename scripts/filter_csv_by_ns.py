@@ -1,15 +1,16 @@
 #!/usr/bin/env python
 """Drop fragment-CSV rows with long ambiguous-nucleotide runs.
 
-Role parity: reference ``scripts/filter_csv_by_ns.py`` — keep rows of a
-``label,sequence[,...]`` CSV whose sequence has no run of more than
-``--max-run`` consecutive N/n characters; rows are copied verbatim,
-only the second field is inspected; per-class kept/removed counts are
-printed.
+Parity: reference ``scripts/filter_csv_by_ns.py`` (pinned live,
+byte-for-byte, in ``tests/test_scripts_live_parity.py``) — keep rows of
+a ``label,sequence[,...]`` CSV whose sequence has no run of more than
+``--max-run`` consecutive N/n characters; rows are copied verbatim and
+only the second field is inspected; headers/malformed rows pass through
+verbatim; per-class kept/removed counts are printed.
 
 Usage:
     python scripts/filter_csv_by_ns.py train.csv -o filtered.csv \
-        [--max-run 10]
+        [--max-run 5]
 """
 
 from __future__ import annotations
@@ -24,18 +25,26 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("input", type=Path)
     ap.add_argument("-o", "--output", type=Path, required=True)
-    ap.add_argument("--max-run", type=int, default=10)
+    ap.add_argument("--max-run", type=int, default=5)
     args = ap.parse_args()
 
-    run = re.compile(f"[Nn]{{{args.max_run + 1},}}")
+    run = re.compile(rb"[Nn]{%d,}" % (args.max_run + 1))
     kept: Counter = Counter()
     removed: Counter = Counter()
-    with open(args.input) as fin, open(args.output, "w") as fout:
+    unparsed = 0
+    with open(args.input, "rb") as fin, open(args.output, "wb") as fout:
         for line in fin:
-            parts = line.rstrip("\n").split(",")
-            if len(parts) < 2:
+            parts = line.split(b",", 2)
+            try:
+                label = int(parts[0])
+            except (ValueError, IndexError):
+                unparsed += 1
+                fout.write(line)  # header/malformed: verbatim
                 continue
-            label = parts[0]
+            if len(parts) < 2:
+                unparsed += 1
+                fout.write(line)
+                continue
             if run.search(parts[1]):
                 removed[label] += 1
             else:
@@ -45,6 +54,8 @@ def main() -> int:
     for label in sorted(set(kept) | set(removed)):
         print(f"label {label}: kept {kept[label]}, "
               f"removed {removed[label]}")
+    if unparsed:
+        print(f"passed through {unparsed} unparsed row(s)")
     print(f"wrote {sum(kept.values())} rows to {args.output}")
     return 0
 
