@@ -20,6 +20,21 @@ import numpy as np
 
 logger = logging.getLogger("jaeger_tpu")
 
+#: reference rank-prefix table for the full-lineage string
+#: (``commands/taxonomy.py:36-69``)
+_RANK_PREFIXES = {
+    "superkingdom": "d", "kingdom": "k", "subkingdom": "sk",
+    "superphylum": "sp", "phylum": "p", "subphylum": "sph",
+    "superclass": "sc", "class": "c", "subclass": "ssc",
+    "infraclass": "ic", "superorder": "so", "order": "o",
+    "suborder": "sor", "infraorder": "io", "parvorder": "po",
+    "superfamily": "sf", "family": "f", "subfamily": "sfa",
+    "tribe": "t", "subtribe": "st", "genus": "g", "subgenus": "sg",
+    "species group": "sg", "species subgroup": "ssg", "species": "s",
+    "subspecies": "ss", "strain": "str", "varietas": "v", "forma": "fo",
+    "realm": "r", "subrealm": "sr",
+}
+
 
 # ---------------------------------------------------------------------------
 # Minimal NCBI taxdump handling (replaces taxopy)
@@ -84,6 +99,20 @@ class TaxDb:
             self.name.get(t, str(t)) for t in self.lineage(taxid)
             if self.rank.get(t) != "no rank" or t == taxid
         )
+
+    def ranked_lineage(self, taxid: int) -> str:
+        """``d__Name;p__Name;...`` lineage string at reference format
+        (``commands/taxonomy.py:36-78``): ranked nodes only, leaf ->
+        root order like taxopy's ``rank_name_dictionary``, each
+        prefixed with the reference's abbreviated rank code."""
+        parts = []
+        for t in reversed(self.lineage(taxid)):
+            rank = self.rank.get(t, "")
+            if rank in ("", "no rank"):
+                continue
+            prefix = _RANK_PREFIXES.get(rank, rank[0] if rank else "?")
+            parts.append(f"{prefix}__{self.name.get(t, str(t))}")
+        return ";".join(parts)
 
 
 # ---------------------------------------------------------------------------
@@ -252,7 +281,7 @@ def predict_taxonomy(
             "taxid": lca,
             "rank": taxdb.rank.get(lca, ""),
             "name": taxdb.name.get(lca, str(lca)),
-            "lineage": taxdb.lineage_names(lca),
+            "lineage": taxdb.ranked_lineage(lca),
             "n_windows": int(m.sum()),
             "mean_knn_similarity": float(scores[m].mean()),
         })

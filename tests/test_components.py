@@ -185,6 +185,9 @@ class TestTaxonomy:
         assert db.majority_lca([3, 5]) == 1           # split vote -> root
         assert db.majority_lca([3, 3, 5], fraction=0.6) == 3
         assert "Bacteria" in db.lineage_names(3)
+        # reference rank-prefixed lineage string (commands/taxonomy.py:72)
+        assert db.ranked_lineage(3) == "s__E.coli;d__Bacteria"
+        assert db.ranked_lineage(1) == ""  # root: no ranked nodes
 
     def test_cosine_index(self, tmp_path):
         from jaeger_tpu.commands.taxonomy import CosineIndex
