@@ -80,7 +80,17 @@ def _resolve_int8_bundle(model_path: str) -> str:
     )
 
 
+def _package_version() -> str:
+    from importlib.metadata import PackageNotFoundError, version
+
+    try:
+        return version("jaeger-tpu")
+    except PackageNotFoundError:
+        return "0.1.0"
+
+
 @click.group()
+@click.version_option(_package_version(), prog_name="jaeger-tpu")
 @click.option("-v", "--verbose", count=True)
 def main(verbose: int) -> None:
     """jaeger-tpu: TPU-native phage and prophage detection."""

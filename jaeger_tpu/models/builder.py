@@ -570,6 +570,16 @@ class JaegerModel(nn.Module):
                 rel_in = jnp.concatenate(
                     [aux["nmd"].astype(jnp.float32), sig], axis=-1
                 ).astype(self.dtype)
+            expected_dim = rel_cfg.get("input_shape")
+            if (expected_dim is not None
+                    and int(expected_dim) != int(rel_in.shape[-1])):
+                # reference parity: nnlib/builder.py:658-667
+                raise ValueError(
+                    f"reliability_model.input_shape ({expected_dim}) does "
+                    "not match computed reliability input dimension "
+                    f"({int(rel_in.shape[-1])}). Set input_shape to None "
+                    f"or omit it when using mode={mode!r}."
+                )
             rel, _, _ = LayerStack(
                 name="reliability",
                 layer_configs=_freeze_layers(rel_cfg.get("hidden_layers", [])),

@@ -359,3 +359,45 @@ def test_all_parseable_reference_configs_build():
         assert n_params > 1000, name
         built.append(name)
     assert len(built) == 9
+
+
+def test_reliability_input_shape_mismatch_raises():
+    """reference integration parity (test_builder_nmd_merge.py:113):
+    an explicit reliability_model.input_shape that disagrees with the
+    computed NMD input dimension raises the reference's error."""
+    import copy
+
+    import pytest
+
+    from jaeger_tpu.models.builder import ModelBuilder
+
+    cfg = {
+        "model": {
+            "name": "m", "seed": 0, "classifier_out_dim": 3,
+            "embedding": {"use_embedding_layer": True,
+                          "input_type": "translated",
+                          "embedding_size": 4},
+            "string_processor": {"crop_size": 30, "seq_onehot": False},
+            "representation_learner": {
+                "hidden_layers": [
+                    {"name": "masked_conv1d",
+                     "config": {"filters": 4, "kernel_size": 3}},
+                    {"name": "masked_batchnorm",
+                     "config": {"return_nmd": True}},
+                ],
+                "pooling": "average",
+            },
+            "classifier": {
+                "hidden_layers": [{"name": "dense", "config": {"units": 3}}],
+            },
+            "reliability_model": {
+                "mode": "nmd", "input_shape": 999,
+                "hidden_layers": [{"name": "dense", "config": {"units": 1}}],
+            },
+        },
+    }
+    with pytest.raises(ValueError, match="does not match"):
+        ModelBuilder(cfg).init(batch=1)
+    ok = copy.deepcopy(cfg)
+    ok["model"]["reliability_model"]["input_shape"] = 4  # = NMD width
+    ModelBuilder(ok).init(batch=1)
