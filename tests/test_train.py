@@ -535,3 +535,47 @@ def test_generate_reliability_train_wiring(tmp_path, rng, caplog):
         train_fragment_core(str(cfg_path), output_dir=str(tmp_path / "m2"),
                             use_mesh=False, save=False,
                             generate_reliability=True)
+
+
+def test_dvf_template_one_epoch_training(tmp_path, rng):
+    """The shipped DVF-style nucleotide template trains end-to-end for
+    one epoch and saves a loadable bundle (reference integration parity:
+    tests/integration/test_dvf_training.py)."""
+    import numpy as np
+    import yaml
+
+    from jaeger_tpu.commands.train import train_fragment_core
+    from jaeger_tpu.models.artifacts import load_model
+
+    cfg = yaml.safe_load(
+        open("train_config/fragment_3class_500bp_dvf.yaml"))
+    csv = tmp_path / "train.csv"
+    pools = {0: "ATGCATGC", 1: "GGGGCCCC", 2: "AAAATTTT"}
+    with open(csv, "w") as fh:
+        for i in range(48):
+            label = i % 3
+            seq = "".join(rng.choice(list(pools[label]), size=500))
+            fh.write(f"{label},{seq}\n")
+    cfg["training"]["batch_size"] = 16
+    cfg["training"]["classifier_epochs"] = 1
+    cfg["training"]["classifier_train_steps"] = 3
+    cfg["training"]["fragment_classifier_data"] = {
+        "train": [{"class": ["a", "b", "c"], "path": [str(csv)],
+                   "label": [0, 1, 2]}],
+    }
+    cfg_path = tmp_path / "dvf.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg, sort_keys=False))
+    out = tmp_path / "dvf_model"
+    r = train_fragment_core(str(cfg_path), output_dir=str(out),
+                            use_mesh=False)
+    assert r["history"]["classifier"]
+    assert np.isfinite(r["history"]["classifier"][-1]["loss"])
+    model, variables, config, classes = load_model(out)
+    import jax.numpy as jnp
+
+    outp = model.apply(
+        variables,
+        {"bases": jnp.zeros((2, 500), jnp.uint8),
+         "lengths": jnp.full((2,), 500, jnp.int32)},
+        train=False)
+    assert outp["prediction"].shape == (2, 3)
