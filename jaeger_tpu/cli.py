@@ -72,7 +72,10 @@ def _resolve_int8_bundle(model_path: str) -> str:
 
     cands = [_P(model_path), _P(str(model_path).rstrip("/") + "_int8")]
     for c in cands:
-        if (c / "params_int8.msgpack").exists():
+        # load_model only takes the int8 path when params.msgpack is
+        # absent — a dir holding both would silently run float weights
+        if (c / "params_int8.msgpack").exists() and not (
+                c / "params.msgpack").exists():
             return str(c)
     raise click.UsageError(
         f"no int8 bundle found for '{model_path}'; create one with "
