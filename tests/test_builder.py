@@ -401,3 +401,65 @@ def test_reliability_input_shape_mismatch_raises():
     ok = copy.deepcopy(cfg)
     ok["model"]["reliability_model"]["input_shape"] = 4  # = NMD width
     ModelBuilder(ok).init(batch=1)
+
+
+def test_model_level_use_masking_gate(rng):
+    """model.use_masking: false propagates to every layer config as the
+    default (reference nnlib/builder.py:259,1020) — masked and unmasked
+    builds differ on short (padded) windows and agree on full windows."""
+    import copy
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jaeger_tpu.models.builder import ModelBuilder
+
+    cfg = {
+        "model": {
+            "name": "m", "seed": 0, "classifier_out_dim": 3,
+            "embedding": {"use_embedding_layer": True,
+                          "input_type": "translated",
+                          "embedding_size": 4},
+            "string_processor": {"crop_size": 60, "seq_onehot": False},
+            "representation_learner": {
+                "hidden_layers": [
+                    {"name": "masked_conv1d",
+                     "config": {"filters": 4, "kernel_size": 3}},
+                    {"name": "masked_batchnorm"},
+                    {"name": "gelu"},
+                ],
+                "pooling": "average",
+            },
+            "classifier": {
+                "hidden_layers": [{"name": "dense", "config": {"units": 3}}],
+            },
+        },
+    }
+    masked = copy.deepcopy(cfg)
+    unmasked = copy.deepcopy(cfg)
+    unmasked["model"]["use_masking"] = False
+    bm, bu = ModelBuilder(masked), ModelBuilder(unmasked)
+    # the gate landed in every layer config
+    for name, lcfg in [(e["name"], e.get("config", {}))
+                       for e in unmasked["model"]["representation_learner"]
+                       ["hidden_layers"]]:
+        assert lcfg.get("use_masking") is False, name
+
+    mm, vm = bm.init()
+    mu, vu = bu.init()
+    bases = jnp.asarray(
+        rng.integers(0, 4, size=(2, 60)).astype(np.uint8))
+    short = {"bases": bases, "lengths": jnp.asarray([60, 33], jnp.int32)}
+    om_s = np.asarray(mm.apply(vm, short, train=False)["prediction"])
+    ou_s = np.asarray(mu.apply(vu, short, train=False)["prediction"])
+    assert om_s.shape == ou_s.shape == (2, 3)
+    assert np.isfinite(om_s).all() and np.isfinite(ou_s).all()
+    # the gate changes the numerics (mask semantics disabled)
+    assert not np.allclose(om_s[1], ou_s[1], atol=1e-5)
+    # an explicit per-layer setting beats the model-level default
+    mixed = copy.deepcopy(unmasked)
+    mixed["model"]["representation_learner"]["hidden_layers"][0][
+        "config"]["use_masking"] = True
+    ModelBuilder(mixed)
+    assert mixed["model"]["representation_learner"]["hidden_layers"][0][
+        "config"]["use_masking"] is True
