@@ -95,6 +95,15 @@ def _load() -> ctypes.CDLL | None:
     lib.jt_dust_mask.argtypes = [
         ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
     ]
+    lib.jt_contig_ids.restype = ctypes.c_long
+    lib.jt_contig_ids.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_char_p,
+    ]
+    lib.jt_window_counts.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_long), ctypes.c_long,
+        ctypes.c_long, ctypes.POINTER(ctypes.c_long),
+    ]
     lib.jt_smith_waterman.restype = ctypes.c_long
     lib.jt_smith_waterman.argtypes = [
         ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p, ctypes.c_long,
@@ -168,6 +177,44 @@ def dust_mask_native(seq: str, window: int = 64, threshold: int = 20) -> str:
     buf = ctypes.create_string_buffer(seq.encode("ascii"), len(seq))
     lib.jt_dust_mask(buf, len(seq), window, threshold)
     return buf.raw[: len(seq)].decode("ascii")
+
+
+def contig_ids_native(seq: str, dustmask: bool = True, window: int = 64,
+                      threshold: int = 20):
+    """Uppercase + SDUST + base-ID encode in one native call.
+
+    Equivalent to ``encode_ascii(dust_mask(seq.upper()))`` but without the
+    intermediate Python strings (hot path of ``seqops.windows``).
+    """
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    raw = seq.encode("ascii")
+    out = np.empty(len(raw), dtype=np.uint8)
+    lib.jt_contig_ids(raw, len(raw), 1 if dustmask else 0, window,
+                      threshold, out.ctypes.data_as(ctypes.c_char_p))
+    return out
+
+
+def window_counts_native(ids, starts, width: int):
+    """(n_windows, 4) A/T/G/C counts over uppercase base IDs per window."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    ids = np.ascontiguousarray(ids, dtype=np.uint8)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    out = np.empty((starts.shape[0], 4), dtype=np.int64)
+    lib.jt_window_counts(
+        ids.ctypes.data_as(ctypes.c_char_p),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        starts.shape[0], width,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+    )
+    return out
 
 
 def smith_waterman_native(query: str, ref: str, open_: int = 100,

@@ -302,6 +302,51 @@ long jt_dust_mask(char* seq, long len, int window, int threshold) {
     return n;
 }
 
+// Uppercase + SDUST soft-mask + base-ID encode in ONE pass over the contig.
+// Replaces the hot-path round trip str->bytes->sdust->str->bytes->LUT that
+// `seqops.windows._contig_rows` paid per contig (dust soft-masking encoded
+// directly as lowercase IDs 5-8). Returns the dust-interval count.
+long jt_contig_ids(const char* seq, long len, int do_dust, int window,
+                   int threshold, unsigned char* out) {
+    std::vector<char> up(len);
+    for (long i = 0; i < len; ++i) {
+        char c = seq[i];
+        up[i] = (c >= 'a' && c <= 'z') ? (char)(c - 32) : c;
+    }
+    for (long i = 0; i < len; ++i)
+        out[i] = ASCII_LUT[(unsigned char)up[i]];
+    if (!do_dust) return 0;
+    std::vector<long> iv;
+    sdust_all(up.data(), len, window, threshold, iv);
+    long n = (long)iv.size() / 2;
+    for (long i = 0; i < n; ++i)
+        for (long p = iv[2 * i]; p < iv[2 * i + 1]; ++p)
+            if (out[p] < 4) out[p] = (unsigned char)(out[p] + 5);
+    return n;
+}
+
+// Per-window composition over UPPERCASE base IDs only (soft-masked bases
+// excluded, matching the reference's case-sensitive counts). out is
+// (n_windows, 4) int64 laid out A, T, G, C.
+void jt_window_counts(const unsigned char* ids, const long* starts,
+                      long n_windows, long width, long* out) {
+    for (long w = 0; w < n_windows; ++w) {
+        long a = 0, t = 0, g = 0, c = 0;
+        const unsigned char* p = ids + starts[w];
+        for (long k = 0; k < width; ++k) {
+            switch (p[k]) {
+                case 0: ++a; break;
+                case 1: ++t; break;
+                case 2: ++g; break;
+                case 3: ++c; break;
+                default: break;
+            }
+        }
+        out[w * 4] = a; out[w * 4 + 1] = t;
+        out[w * 4 + 2] = g; out[w * 4 + 3] = c;
+    }
+}
+
 // ---------------------------------------------------------------------------
 // Affine-gap Smith-Waterman with traceback (parasail-convention scoring)
 // ---------------------------------------------------------------------------

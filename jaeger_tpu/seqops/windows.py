@@ -149,54 +149,109 @@ def iter_contigs(
         yield header, encode_ascii(sequence), seqlen
 
 
+def _contig_ids(sequence: str, dustmask: bool) -> np.ndarray:
+    """Uppercase + optional DUST soft-mask + base-ID encode.
+
+    Native fast path does all three in ONE C call without intermediate
+    Python strings; the fallback reproduces it exactly (pinned by
+    tests/test_native.py).
+    """
+    import os
+
+    if os.environ.get("JAEGER_TPU_NATIVE", "1") != "0":
+        try:
+            from jaeger_tpu import native
+
+            if native.available():
+                return native.contig_ids_native(
+                    sequence, dustmask, window=64, threshold=20)
+        except Exception:
+            pass
+    sequence = sequence.upper()
+    if dustmask:
+        sequence = dust_mask(sequence, window_size=64, score_threshold=20)
+    return encode_ascii(sequence)
+
+
+def _window_counts(ids: np.ndarray, starts: np.ndarray,
+                   width: int) -> np.ndarray:
+    """(n_windows, 4) per-window A/T/G/C counts over UPPERCASE base IDs
+    only — soft-masked (lowercase, ids 5-8) bases are excluded, matching
+    the reference's case-sensitive counts (io.py:124-133; pinned live)."""
+    import os
+
+    if os.environ.get("JAEGER_TPU_NATIVE", "1") != "0":
+        try:
+            from jaeger_tpu import native
+
+            if native.available():
+                return native.window_counts_native(ids, starts, width)
+        except Exception:
+            pass
+    ends = starts + width
+    out = np.empty((starts.shape[0], 4), dtype=np.int64)
+    for col in range(4):  # base IDs 0=A 1=T 2=G 3=C
+        pos = np.flatnonzero(ids == col)
+        out[:, col] = (np.searchsorted(pos, ends)
+                       - np.searchsorted(pos, starts))
+    return out
+
+
 def _contig_rows(header, seq, fragsize, stride, dynamic_stride,
                  dynamic_stride_threshold, min_len, dustmask,
                  replace_comma=True):
     """Per-contig heavy work: uppercase + DUST + encode + window slicing
-    + composition. Runs on worker threads under ``workers > 1`` (the
-    native dust masker and numpy release the GIL); returns
-    ``(header, [(win_bases, meta_without_hidx), ...])``.
+    + composition, fully vectorized (no per-window Python). Runs on
+    worker threads under ``workers > 1`` (the native calls and numpy
+    release the GIL). Returns ``(header, bases2d | None, meta2d | None)``
+    where ``bases2d`` is ``(W, w<=fragsize) uint8`` and ``meta2d`` is
+    ``(W, 10) float64`` with columns
+    ``[length, start, contig_end, ordinal, seqlen, g, c, a, t, gc_skew]``.
     """
     seqlen = len(seq)
-    sequence = seq.strip().upper()
-    if dustmask:
-        sequence = dust_mask(sequence, window_size=64, score_threshold=20)
+    sequence = seq.strip()
     if replace_comma:
         header = header.strip().replace(",", "___")
-    ids = encode_ascii(sequence)
-    upper = UPPER_LUT[ids]
-    rows: list[tuple[np.ndarray, tuple]] = []
-    if seqlen >= fragsize:
-        starts = window_indices(
+    ids = _contig_ids(sequence, dustmask)
+    if seqlen >= fragsize and ids.shape[0] >= fragsize:
+        starts = np.asarray(window_indices(
             seqlen, fragsize, stride, dynamic_stride,
-            dynamic_stride_threshold
-        )
-        last = len(starts) - 1
-        # per-base cumulative counts: every window's composition is two
-        # O(1) lookups instead of an O(fragsize) bincount
-        # composition counts exclude soft-masked (lowercase) bases like
-        # the reference's case-sensitive ``sequence.count("G")``
-        # (io.py:124-133; pinned live)
-        cum = np.zeros((4, upper.shape[0] + 1), dtype=np.int64)
-        for bi in range(4):
-            np.cumsum(ids == bi, out=cum[bi, 1:])
-        for i, index in enumerate(starts):
-            end = index + fragsize
-            a = int(cum[0, end] - cum[0, index])
-            t = int(cum[1, end] - cum[1, index])
-            g = int(cum[2, end] - cum[2, index])
-            c = int(cum[3, end] - cum[3, index])
-            rows.append((
-                ids[index:end],
-                (fragsize, index, 1 if i == last else 0, i, seqlen,
-                 g, c, a, t, _gc_skew(g, c)),
-            ))
-    elif seqlen >= min_len:
+            dynamic_stride_threshold,
+        ), dtype=np.int64)
+        counts = _window_counts(ids, starts, fragsize)
+        a, t = counts[:, 0], counts[:, 1]
+        g, c = counts[:, 2], counts[:, 3]
+        # reference ``safe_divide`` rounds to 2 decimals with Python's
+        # round(), which rounds the decimal expansion exactly — np.round
+        # scales by 100 first and disagrees on half-way-straddling values
+        # (caught by the live fuzz parity test), so skew stays scalar
+        n_win_ = g.shape[0]
+        skew = np.fromiter(
+            (_gc_skew(gv, cv) for gv, cv in zip(g.tolist(), c.tolist())),
+            dtype=np.float64, count=n_win_)
+        wins = ids[starts[:, None] + np.arange(fragsize)]
+        n_win = starts.shape[0]
+        meta = np.empty((n_win, 10), dtype=np.float64)
+        meta[:, 0] = fragsize
+        meta[:, 1] = starts
+        meta[:, 2] = 0.0
+        meta[-1, 2] = 1.0
+        meta[:, 3] = np.arange(n_win)
+        meta[:, 4] = seqlen
+        meta[:, 5] = g
+        meta[:, 6] = c
+        meta[:, 7] = a
+        meta[:, 8] = t
+        meta[:, 9] = skew
+        return header, wins, meta
+    if seqlen >= min_len:
         g, c, a, t = _composition(ids)
-        rows.append((
-            ids, (seqlen, 0, 1, 0, seqlen, g, c, a, t, _gc_skew(g, c))
-        ))
-    return header, rows
+        meta = np.array(
+            [[ids.shape[0], 0, 1, 0, seqlen, g, c, a, t, _gc_skew(g, c)]],
+            dtype=np.float64,
+        )
+        return header, ids[None, :], meta
+    return header, None, None
 
 
 def window_batches(
@@ -231,16 +286,21 @@ def window_batches(
         min_len = fragsize
 
     cap = fragsize
-    buf_bases: list[np.ndarray] = []
-    meta: list[tuple] = []
+    # per-contig blocks of (bases2d, meta2d-with-hidx); batch boundaries
+    # split blocks so batches stay exactly `batch_capacity` rows, like the
+    # old per-window accumulation did
+    blocks: list[tuple[np.ndarray, np.ndarray]] = []
+    n_buf = 0
     headers: list[str] = []
 
     def flush() -> WindowBatch:
-        n = len(buf_bases)
-        bases = np.full((n, cap), BASE_N, dtype=np.uint8)
-        for i, b in enumerate(buf_bases):
-            bases[i, : b.shape[0]] = b
-        cols = np.array(meta, dtype=np.float64)
+        bases = np.full((n_buf, cap), BASE_N, dtype=np.uint8)
+        row = 0
+        for b2, _ in blocks:
+            bases[row: row + b2.shape[0], : b2.shape[1]] = b2
+            row += b2.shape[0]
+        cols = (np.concatenate([m for _, m in blocks], axis=0)
+                if blocks else np.zeros((0, 11), dtype=np.float64))
         batch = WindowBatch(
             bases=bases,
             length=cols[:, 0].astype(np.int32),
@@ -295,23 +355,31 @@ def window_batches(
                     dynamic_stride_threshold, min_len, dustmask,
                 )
 
-    for header, rows in processed():
-        if not rows:
-            # sub-min_len contigs still consume a header slot (parity
-            # with the reference's global contig indexing)
-            headers.append(header)
-            continue
+    for header, wins, meta10 in processed():
+        # sub-min_len contigs still consume a header slot (parity with
+        # the reference's global contig indexing)
         headers.append(header)
+        if wins is None:
+            continue
         hidx = len(headers) - 1
-        for win, m in rows:
-            buf_bases.append(win)
-            meta.append((m[0], hidx) + m[1:])
-            if len(buf_bases) >= batch_capacity:
+        n_win = meta10.shape[0]
+        meta11 = np.empty((n_win, 11), dtype=np.float64)
+        meta11[:, 0] = meta10[:, 0]
+        meta11[:, 1] = hidx
+        meta11[:, 2:] = meta10[:, 1:]
+        off = 0
+        while off < n_win:
+            take = min(n_win - off, batch_capacity - n_buf)
+            blocks.append((wins[off: off + take],
+                           meta11[off: off + take]))
+            n_buf += take
+            off += take
+            if n_buf >= batch_capacity:
                 yield flush()
-                buf_bases, meta = [], []
+                blocks, n_buf = [], 0
                 # keep headers: contig indices refer into the shared list
 
-    if buf_bases:
+    if n_buf:
         yield flush()
 
 
