@@ -281,7 +281,10 @@ def run_core(
 
     term_repeats = None
     if scan_termini:
-        term_repeats = scan_for_terminal_repeats(str(windowing_input))
+        # reference predict.py:679-685 scans every contig >= the runtime
+        # --fsize (not a fixed floor) with the command's worker count
+        term_repeats = scan_for_terminal_repeats(
+            str(windowing_input), fsize=fsize, workers=workers)
 
     # --- device strategy (parity: reference predict.py:656-664 picks
     # MirroredStrategy when >1 GPU) — auto-construct a 1-D data mesh over
@@ -511,17 +514,21 @@ def run_core(
             gc_skews=skews_obj,
             gcs=gcs_obj,
         )
+    # per-window aux rows in the reference's concat order (full-window
+    # pass first, then the short-window pass — predict.py:771-816)
+    win_order = np.argsort(
+        np.asarray(meta.seqlen, np.int64) < fsize, kind="stable")
     if save_embedding and "embedding" in outputs:
         np.savez_compressed(
             output_dir / f"{stem}_embeddings{aux_suffix}.npz",
-            embedding=np.asarray(outputs["embedding"]),
-            headers=np.asarray(meta.headers, dtype=str),
+            embedding=np.asarray(outputs["embedding"])[win_order],
+            headers=np.asarray(meta.headers, dtype=str)[win_order],
         )
     if save_nmd and "nmd" in outputs:
         np.savez_compressed(
             output_dir / f"{stem}_nmd{aux_suffix}.npz",
-            nmd=np.asarray(outputs["nmd"]),
-            headers=np.asarray(meta.headers, dtype=str),
+            nmd=np.asarray(outputs["nmd"])[win_order],
+            headers=np.asarray(meta.headers, dtype=str)[win_order],
         )
     dt = time.time() - t0
     logger.info(

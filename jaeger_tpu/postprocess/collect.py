@@ -201,7 +201,7 @@ def reduce_windows(
             if meta.start is not None else None
         ),
     }
-    return data, data_full
+    return _two_pass_order(data, fsize), _two_pass_order(data_full, fsize)
 
 
 def data_from_device_stats(
@@ -256,7 +256,7 @@ def data_from_device_stats(
     prophage_contam = (pred_sum[:, 1] < pred_var[:, 1]) & (consensus == 0)
     host_contam = (pred_sum[:, 1] < pred_var[:, 1]) & (consensus == 1)
 
-    return {
+    return _two_pass_order({
         "headers": headers,
         "length": lengths,
         "consensus": consensus,
@@ -273,7 +273,41 @@ def data_from_device_stats(
         "repeats": term_repeats,
         "gc": gcs,
         "ns": ns,
-    }
+    }, fsize)
+
+
+#: per-contig fields permuted together when reordering a data dict
+_PER_CONTIG_KEYS = (
+    "headers", "length", "lengths", "consensus", "per_class_counts",
+    "pred_sum", "pred_var", "frag_pred", "ood", "entropy", "energy",
+    "host_contam", "prophage_contam", "gc", "ns", "gcs", "gc_skews",
+    "predictions", "starts",
+)
+
+
+def _two_pass_order(data: dict, fsize: int) -> dict:
+    """Reorder per-contig arrays to the reference's row order.
+
+    The reference predict runs the full-window pass first and APPENDS the
+    ``min_len <= len < fsize`` short-window pass after it (reference
+    ``commands/predict.py:771-816``), so its TSV lists every full-size
+    contig (input order) before any short contig (input order). Our
+    single bucketed stream interleaves them in input order; permute the
+    per-contig fields to match (stable within each group).
+    """
+    lengths = np.asarray(data.get("length", data.get("lengths")))
+    order = np.argsort(lengths < fsize, kind="stable")
+    if np.array_equal(order, np.arange(order.size)):
+        return data
+    for key in _PER_CONTIG_KEYS:
+        v = data.get(key)
+        if v is None:
+            continue
+        if isinstance(v, np.ndarray):
+            data[key] = v[order]
+        elif isinstance(v, list):
+            data[key] = [v[i] for i in order]
+    return data
 
 
 def _frac_above(values, threshold: float = 0.5) -> float:

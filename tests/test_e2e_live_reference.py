@@ -118,12 +118,13 @@ def reference_artifact(tmp_path_factory):
 
 
 def _run_reference_predict(model_dir: Path, out_dir: Path,
-                           min_len: int, crf: bool = False) -> Path:
+                           min_len: int, crf: bool = False,
+                           fasta: Path = FASTA) -> Path:
     import jaeger.commands.predict as ref_predict
 
     ref_predict.version = lambda *_: "0.0.0-live"
     ref_predict.run_core(
-        model_path=str(model_dir), config=None, input=str(FASTA),
+        model_path=str(model_dir), config=None, input=str(fasta),
         output=str(out_dir), fsize=500, stride=500, min_len=min_len,
         batch=96, workers=2, mem=4, verbose=1,
         cpu=True, xla=False, onnx=False, int8=False, quantized=False,
@@ -136,13 +137,13 @@ def _run_reference_predict(model_dir: Path, out_dir: Path,
         refine_merge_split=False, refine_contig_hedge_margin=0.0,
         lc=None, pc=None, rc=None, dynamic_stride=False, dustmask=True,
     )
-    tsvs = list(out_dir.glob("*/test_contigs.tsv"))
+    tsvs = list(out_dir.glob(f"*/{fasta.stem}.tsv"))
     assert len(tsvs) == 1
     return tsvs[0]
 
 
 def _run_our_predict(model_dir: Path, out_dir: Path, min_len: int,
-                     crf: bool = False) -> Path:
+                     crf: bool = False, fasta: Path = FASTA) -> Path:
     from jaeger_tpu.commands.predict import run_core
     from jaeger_tpu.models.artifacts import save_model
     from jaeger_tpu.models.modern_convert import convert_modern_weights
@@ -157,7 +158,7 @@ def _run_our_predict(model_dir: Path, out_dir: Path, min_len: int,
     save_model(variables, cfg, bundle)
 
     run_core(
-        input_path=str(FASTA), output_dir=str(out_dir / "pred"),
+        input_path=str(fasta), output_dir=str(out_dir / "pred"),
         model_path=str(bundle), fsize=500, stride=500, min_len=min_len,
         batch=96, precision="float32",
         crf_switch_cost=3.0 if crf else None, crf_prior="biological",
@@ -182,6 +183,83 @@ def test_full_pipeline_tsv_byte_identical(reference_artifact, tmp_path,
     assert our_tsv.read_bytes() == ref_tsv.read_bytes()
     # the phage-call table must agree too (reliability+score cutoffs)
     ref_ph = ref_tsv.with_name("test_contigs_phages.tsv")
+    our_ph = next(our_tsv.parent.glob("*_phages_jaeger.tsv"), None)
+    if ref_ph.exists() or our_ph is not None:
+        assert ref_ph.exists() and our_ph is not None
+        assert our_ph.read_bytes() == ref_ph.read_bytes()
+
+
+# ---------------------------------------------------------------------------
+# Fuzzed full-pipeline parity: adversarial FASTA through BOTH live pipelines
+# ---------------------------------------------------------------------------
+
+_IUPAC = "RYSWKMBDHVNryswkmbdhvn"
+
+
+def _fuzz_fasta(path: Path, seed: int) -> Path:
+    """Adversarial FASTA around the fsize=500/min_len=137 windowing edges:
+    exact/off-by-one window lengths, sub-min_len contigs (consume contig-id
+    slots without emitting windows — regression for the segment-densify fix),
+    N-heavy contigs (writer's N%<0.3 filter), soft-mask + IUPAC runs, a
+    multi-window long contig, and >96 interleaved tiny contigs between two
+    windowed ones (one device batch spans a contig-id gap > batch size)."""
+    rng = np.random.default_rng(seed)
+
+    def contig(n: int, n_run: int = 0, soft: bool = False,
+               iupac: bool = False) -> str:
+        seq = rng.choice(list("ATGC"), size=max(n, 1))
+        if soft and n > 60:
+            s = int(rng.integers(0, n - 50))
+            seq[s:s + 40] = [c.lower() for c in seq[s:s + 40]]
+        if n_run and n > n_run + 2:
+            s = int(rng.integers(0, n - n_run))
+            seq[s:s + n_run] = "N"
+        if iupac:
+            for _ in range(int(rng.integers(1, 10))):
+                seq[int(rng.integers(0, n))] = _IUPAC[
+                    int(rng.integers(0, len(_IUPAC)))]
+        return "".join(seq)
+
+    lines = []
+
+    def emit(name: str, seq: str, width: int = 70) -> None:
+        lines.append(f">{name}")
+        lines.extend(seq[i:i + width] for i in range(0, len(seq), width))
+
+    emit("edge_499", contig(499))
+    emit("edge_500", contig(500, soft=True))
+    emit("edge_501", contig(501, iupac=True))
+    emit("short_136", contig(136))        # < min_len: header slot only
+    emit("short_137", contig(137))        # == min_len: short-window path
+    emit("short_300 with a description", contig(300, soft=True))
+    emit("n_heavy", contig(450, n_run=200))   # N% > 0.3: writer filters
+    emit("long_multiwin", contig(2600, soft=True, iupac=True))
+    # >96 sub-min_len contigs between two windowed contigs: inside one
+    # device batch the contig-id span exceeds the batch size
+    for i in range(110):
+        emit(f"tiny_{i}", contig(int(rng.integers(20, 120))))
+    emit("tail_full", contig(1200, soft=True))
+    path.write_text("\n".join(lines) + "\n")
+    return path
+
+
+@pytest.mark.parametrize("seed,crf,gz", [(11, False, False), (12, True, False),
+                                         (13, False, True)])
+def test_fuzz_full_pipeline_tsv_byte_identical(reference_artifact, tmp_path,
+                                               seed, crf, gz):
+    fasta = _fuzz_fasta(tmp_path / f"fuzz_{seed}.fasta", seed)
+    if gz:
+        import gzip
+
+        gz_path = tmp_path / f"fuzz_{seed}.fasta.gz"
+        gz_path.write_bytes(gzip.compress(fasta.read_bytes()))
+        fasta = gz_path
+    ref_tsv = _run_reference_predict(reference_artifact, tmp_path / "ref",
+                                     min_len=137, crf=crf, fasta=fasta)
+    our_tsv = _run_our_predict(reference_artifact, tmp_path / "ours",
+                               min_len=137, crf=crf, fasta=fasta)
+    assert our_tsv.read_bytes() == ref_tsv.read_bytes()
+    ref_ph = ref_tsv.with_name(f"{fasta.stem}_phages.tsv")
     our_ph = next(our_tsv.parent.glob("*_phages_jaeger.tsv"), None)
     if ref_ph.exists() or our_ph is not None:
         assert ref_ph.exists() and our_ph is not None

@@ -104,6 +104,28 @@ class TestReduce:
         assert "window_summary" in df.columns
         assert (tmp_path / "phage.tsv").exists()
 
+    def test_two_pass_row_order(self):
+        """Short contigs (seqlen < fsize) list AFTER all full-size
+        contigs — the reference runs the full-window pass first and
+        appends the short-window pass (predict.py:771-816); pinned
+        end-to-end by tests/test_e2e_live_reference.py fuzz cases."""
+        rng = np.random.default_rng(2)
+        meta = self._meta([1, 2, 1, 3])
+        # c0 and c2 are short-pass contigs
+        meta.seqlen[0] = 400
+        meta.seqlen[3] = 900
+        logits = rng.normal(size=(7, 3)).astype(np.float32)
+        data, full = collect.reduce_windows(
+            logits, meta, fsize=2000, num_classes=3,
+            class_names=["chromosome", "phage", "plasmid"],
+        )
+        assert list(data["headers"]) == ["c1", "c3", "c0", "c2"]
+        assert list(data["length"]) == [4000, 6000, 400, 900]
+        # per-contig window groups permute with the rows
+        assert [len(p) for p in full["predictions"]] == [2, 3, 1, 1]
+        np.testing.assert_array_equal(full["predictions"][0], logits[1:3])
+        np.testing.assert_array_equal(full["predictions"][2], logits[:1])
+
     def test_binary_head(self):
         rng = np.random.default_rng(1)
         meta = self._meta([4])
