@@ -170,6 +170,83 @@ def test_boundary_refinement_matches_live(refined):
     assert ref["big___contig"], "no refined regions produced"
 
 
+@pytest.mark.parametrize("seed", [31, 32, 33])
+def test_fuzz_full_chain_matches_live(seed, tmp_path):
+    """Randomized scenarios through the WHOLE chain: random contig
+    counts/lengths, 0..3 planted bands per contig (including bands at
+    window 0, at the last window, and adjacent bands that the overlap
+    merge must fuse), contigs under the lc cutoff, and a byte-compared
+    final report."""
+    rng = np.random.default_rng(seed)
+    n_contigs = int(rng.integers(2, 5))
+    headers, predictions, lengths, gcs, gc_skews, seqs = [], [], [], [], [], []
+    for ci in range(n_contigs):
+        n_win = int(rng.integers(80, 220))
+        logits = rng.normal(0.0, 0.3, size=(n_win, 4)).astype(np.float32)
+        logits[:, 0] += 1.0
+        n_bands = int(rng.integers(0, 4))
+        for _ in range(n_bands):
+            w = int(rng.integers(12, 40))
+            pos = rng.choice(["start", "end", "mid"])
+            if pos == "start":
+                s = 0
+            elif pos == "end":
+                s = n_win - w
+            else:
+                s = int(rng.integers(0, n_win - w))
+            logits[s:s + w, 1] += 5.0
+            logits[s:s + w, 0] -= 1.0
+        headers.append(f"contig_{seed}_{ci}")
+        predictions.append(logits)
+        lengths.append(n_win * FSIZE)
+        gcs.append(rng.uniform(0.3, 0.7, size=n_win))
+        gc_skews.append(rng.uniform(-0.4, 0.4, size=n_win))
+        seqs.append(_random_seq(rng, n_win * FSIZE))
+
+    fasta = tmp_path / "fuzz.fasta"
+    with open(fasta, "w") as fh:
+        for h, s in zip(headers, seqs):
+            fh.write(f">{h}\n{s}\n")
+
+    kwargs = dict(
+        headers=np.array(headers), predictions=predictions,
+        lengths=np.array(lengths), gc_skews=gc_skews, gcs=gcs,
+    )
+    kw = dict(KW, lc=150 * FSIZE)  # some contigs fall under the cutoff
+    ref_df = ref_pp.logits_to_df_v2(CLASS_MAP, kw, **kwargs)
+    our_df = our_pp.logits_to_df_v2(CLASS_MAP, kw, **kwargs)
+    assert set(ref_df) == set(our_df)
+    for key in ref_df:
+        pd.testing.assert_frame_equal(our_df[key][0], ref_df[key][0],
+                                      check_dtype=False)
+
+    ref_cords = ref_pp.segment(ref_df, tmp_path / "r", sensitivity=1.5)
+    our_cords = our_pp.segment(our_df, tmp_path / "o", sensitivity=1.5)
+    assert set(ref_cords) == set(our_cords)
+    for key in ref_cords:
+        np.testing.assert_array_equal(our_cords[key][0], ref_cords[key][0])
+        np.testing.assert_allclose(our_cords[key][1], ref_cords[key][1],
+                                   rtol=0, atol=0)
+    if not ref_cords:
+        return
+
+    ref_refined = ref_pb.refine_prophage_boundaries(ref_cords, fasta, FSIZE)
+    our_refined = our_genes.refine_prophage_boundaries(our_cords, fasta, FSIZE)
+    assert set(ref_refined) == set(our_refined)
+    for key in ref_refined:
+        assert ([tuple(t) for t in our_refined[key]]
+                == [tuple(t) for t in ref_refined[key]])
+
+    ref_out, our_out = tmp_path / "ref_rep", tmp_path / "our_rep"
+    ref_out.mkdir(), our_out.mkdir()
+    ref_pp.prophage_report(FSIZE, str(fasta), ref_cords, ref_out,
+                           refined_boundaries=ref_refined)
+    our_pp.prophage_report(FSIZE, str(fasta), our_cords, our_out,
+                           refined_boundaries=our_refined)
+    assert ((our_out / "prophages_jaeger.tsv").read_bytes()
+            == (ref_out / "prophages_jaeger.tsv").read_bytes())
+
+
 def test_prophage_report_matches_live_byte_for_byte(
     refined, scenario, tmp_path_factory
 ):
