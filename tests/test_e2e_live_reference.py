@@ -90,14 +90,31 @@ def _reference_config(out_dir: Path) -> dict:
     }
 
 
-@pytest.fixture(scope="module")
-def reference_artifact(tmp_path_factory):
-    """Build + randomize + save a real modern artifact via the
-    reference builder; returns the model directory."""
+#: representation-learner stack exercising the attention/long-context
+#: families end-to-end (each is weight-conversion golden-pinned in
+#: test_modern_convert_real.py; here the FULL predict pipeline runs them)
+_RICH_LAYERS = [
+    {"name": "masked_conv1d", "config": {"filters": 8, "kernel_size": 3}},
+    {"name": "masked_batchnorm", "config": {"return_nmd": True}},
+    {"name": "transformer_encoder",
+     "config": {"embed_dim": 8, "num_heads": 2, "feed_forward_dim": 16,
+                "dropout_rate": 0.0}},
+    {"name": "hyena_block",
+     "config": {"dim": 8, "order": 2, "filter_hidden": 8,
+                "filter_layers": 2, "dropout": 0.0}},
+    {"name": "masked_bilstm",
+     "config": {"units": 4, "return_sequences": True}},
+]
+
+
+def _build_artifact(tmp_path_factory, cfg_patch=None, name="e2etest"):
     import yaml
 
-    out_dir = tmp_path_factory.mktemp("e2e_live")
+    out_dir = tmp_path_factory.mktemp(f"e2e_live_{name}")
     cfg = _reference_config(out_dir)
+    cfg["model"]["name"] = name
+    if cfg_patch:
+        cfg["model"].update(cfg_patch)
     cfg_path = out_dir / "config.yaml"
     cfg_path.write_text(yaml.safe_dump(cfg, sort_keys=False))
     cfg["config_path"] = str(cfg_path)
@@ -115,6 +132,24 @@ def reference_artifact(tmp_path_factory):
         w.assign(vals.astype("float32"))
     b.save_model(jm)
     return out_dir / "model"
+
+
+@pytest.fixture(scope="module")
+def reference_artifact(tmp_path_factory):
+    """Build + randomize + save a real modern artifact via the
+    reference builder; returns the model directory."""
+    return _build_artifact(tmp_path_factory)
+
+
+@pytest.fixture(scope="module")
+def reference_artifact_rich(tmp_path_factory):
+    """Same, with a transformer+Hyena+BiLSTM representation learner."""
+    return _build_artifact(
+        tmp_path_factory,
+        cfg_patch={"representation_learner": {
+            "hidden_layers": _RICH_LAYERS, "pooling": "max"}},
+        name="e2erich",
+    )
 
 
 def _run_reference_predict(model_dir: Path, out_dir: Path,
