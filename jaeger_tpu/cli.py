@@ -216,8 +216,9 @@ def main(verbose: int) -> None:
 @click.option("--quantized", default=None,
               type=click.Choice(["dynamic", "float16", "full_int8"]),
               help="Use a quantized model: dynamic/full_int8 load the "
-                   "int8 bundle made by 'jaeger utils quantize'; float16 "
-                   "selects bf16 compute.")
+                   "int8 bundle made by 'jaeger utils quantize' (a "
+                   "full_int8 bundle runs its convs on the int8 MXU "
+                   "path); float16 selects bf16 compute.")
 @click.option("--xla", is_flag=True, default=False,
               help="Enable XLA JIT (always on here; accepted for "
                    "compatibility).")
@@ -908,12 +909,18 @@ def convert_weights(input_path, output_path, family, config_path,
 @click.option("-o", "--output", "output_path", required=True)
 @click.option("--mode", default="dynamic", show_default=True,
               type=click.Choice(["dynamic", "float16", "full_int8"]),
-              help="dynamic/full_int8: int8 per-channel weight bundle; "
-                   "float16: bfloat16-weight bundle.")
+              help="dynamic: int8 per-channel weight bundle (dequantized "
+                   "at load); full_int8: weights int8 + calibrated "
+                   "activation scales -> int8 MXU execution at predict "
+                   "time; float16: bfloat16-weight bundle.")
 @click.option("-v", "--verbose", count=True)
 def quantize(model_path, output_path, mode, verbose):
     """Write a quantized variant of a model bundle."""
     _apply_verbosity(verbose)
+    # host-side artifact tool (like the reference's TFLite/ONNX
+    # converters): calibration runs on CPU — deterministic, and no
+    # accelerator compile wait for a packaging step
+    _apply_device_flags(cpu=True)
     from jaeger_tpu.models.conversion import quantize_bundle
 
     stats = quantize_bundle(model_path, output_path, mode=mode)

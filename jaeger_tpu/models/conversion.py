@@ -97,15 +97,86 @@ def _dequantize_tree(params):
     return out
 
 
+def _calibration_batches(crop_nt: int, n: int = 256, batch: int = 64,
+                         seed: int = 0):
+    """Synthetic calibration windows (random bases + soft-mask runs), the
+    reference's synthetic-one-hot INT8 calibration strategy
+    (``nnlib/conversion.py:306`` ``_quantize_onnx_int8``)."""
+    rng = np.random.default_rng(seed)
+    bases = rng.integers(0, 4, size=(n, crop_nt)).astype(np.uint8)
+    # a quarter of the windows get soft-mask runs so the calibrated range
+    # covers masked (zeroed) activations too
+    for i in range(0, n, 4):
+        lo = int(rng.integers(0, crop_nt // 2))
+        hi = lo + int(rng.integers(10, crop_nt // 2))
+        bases[i, lo:hi] += 5  # soft-masked IDs 5-8
+    lengths = np.full((n,), crop_nt, dtype=np.int32)
+    for s in range(0, n, batch):
+        yield bases[s:s + batch], lengths[s:s + batch]
+
+
+def _build_quant_tree(params, calib):
+    """Mirror the calib tree into {kernel_q, w_scale, act_scale} entries
+    keyed by the owning conv module's path."""
+    out = {}
+    for key, val in calib.items():
+        if not isinstance(val, dict):
+            continue
+        if "absmax" in val and not isinstance(val["absmax"], dict):
+            kernel = np.asarray(params[key]["kernel"], dtype=np.float32)
+            w_scale = np.max(np.abs(kernel), axis=(0, 1)) / 127.0
+            w_scale = np.maximum(w_scale, 1e-12).astype(np.float32)
+            kq = np.clip(np.round(kernel / w_scale), -127, 127)
+            a_scale = max(float(val["absmax"]) / 127.0, 1e-8)
+            out[key] = {
+                "kernel_q": kq.astype(np.int8),
+                "w_scale": w_scale,
+                "act_scale": np.float32(a_scale),
+            }
+        else:
+            sub = _build_quant_tree(params.get(key, {}), val)
+            if sub:
+                out[key] = sub
+    return out
+
+
+def calibrate_int8(model, variables, crop_nt: int, n: int = 256) -> dict:
+    """Run synthetic calibration batches through the float model recording
+    each conv input's absmax (``MaskedConv1D``'s ``calib`` sow), then
+    quantize those convs' kernels per-channel -> a ``quant`` variables
+    collection enabling int8 MXU execution at apply time."""
+    calib = None
+
+    def _merge(a, b):
+        return jax.tree.map(lambda x, y: np.maximum(np.asarray(x),
+                                                    np.asarray(y)), a, b)
+
+    for bases, lengths in _calibration_batches(crop_nt, n=n):
+        _, mut = model.apply(
+            variables, {"bases": jnp.asarray(bases),
+                        "lengths": jnp.asarray(lengths)},
+            train=False, mutable=["calib"],
+        )
+        got = jax.tree.map(np.asarray, mut.get("calib", {}))
+        calib = got if calib is None else _merge(calib, got)
+    if not calib:
+        return {}
+    return _build_quant_tree(variables["params"], calib)
+
+
 def quantize_bundle(model_path: str, output_path: str,
                     mode: str = "dynamic") -> dict:
     """Write a quantized-weight variant of a model bundle.
 
-    ``dynamic``/``full_int8`` store weights int8 + per-channel scales,
-    dequantized at load (``load_quantized``); ``float16`` stores
-    bfloat16 weights (the MXU half-precision format — reference
-    ``utils quantize --mode float16``, TFLite zoo replaced). Activations
-    stay bf16/f32. Returns size stats.
+    ``dynamic`` stores weights int8 + per-channel scales, dequantized at
+    load (``load_quantized``); ``full_int8`` additionally calibrates
+    activation scales on synthetic windows and stores a ``quant``
+    collection that switches the convs to int8 MXU execution at apply
+    time (the reference's TFLite/ONNX static-INT8 engines,
+    ``nnlib/conversion.py:233-306``); ``float16`` stores bfloat16
+    weights (the MXU half-precision format — reference
+    ``utils quantize --mode float16``, TFLite zoo replaced).
+    Returns size stats.
     """
     import yaml
 
@@ -143,6 +214,20 @@ def quantize_bundle(model_path: str, output_path: str,
         payload["batch_stats"] = jax.tree.map(
             np.asarray, variables["batch_stats"]
         )
+    scheme = "int8-per-channel-weights"
+    quant_convs = 0
+    if mode == "full_int8":
+        # static quantization: calibrate activation scales at the bf16
+        # execution dtype so the stored per-tensor ranges match what the
+        # int8 engine will see at predict time
+        qbuilder = ModelBuilder(config, dtype=jnp.bfloat16)
+        qmodel = qbuilder.build()
+        _, crop_nt = qbuilder.crop
+        quant = calibrate_int8(qmodel, variables, crop_nt)
+        if quant:
+            payload["quant"] = quant
+            scheme = "int8-exec-static"
+            quant_convs = len(jax.tree.leaves(quant)) // 3
     blob = serialization.to_bytes(payload)
     (output_path / "params_int8.msgpack").write_bytes(blob)
     (output_path / "project.yaml").write_text(
@@ -150,8 +235,9 @@ def quantize_bundle(model_path: str, output_path: str,
     )
     (output_path / "classes.yaml").write_text(yaml.safe_dump(classes))
     (output_path / "quantization.yaml").write_text(
-        yaml.safe_dump({"scheme": "int8-per-channel-weights",
-                        "quantized_kernels": len(meta)})
+        yaml.safe_dump({"scheme": scheme,
+                        "quantized_kernels": len(meta),
+                        "int8_exec_convs": quant_convs})
     )
     orig = (model_path / "params.msgpack").stat().st_size
     new = (output_path / "params_int8.msgpack").stat().st_size
@@ -159,6 +245,7 @@ def quantize_bundle(model_path: str, output_path: str,
         "original_bytes": orig, "quantized_bytes": new,
         "ratio": round(orig / max(new, 1), 2),
         "quantized_kernels": len(meta),
+        "int8_exec_convs": quant_convs,
     }
 
 
@@ -180,6 +267,11 @@ def load_quantized(path: str | Path, dtype=jnp.float32):
     variables = {"params": params}
     if "batch_stats" in raw:
         variables["batch_stats"] = raw["batch_stats"]
+    if "quant" in raw:
+        # full_int8 bundle: the quant collection flips the convs it covers
+        # to int8 MXU execution inside MaskedConv1D (calibrated activation
+        # scales; models/layers.py)
+        variables["quant"] = raw["quant"]
     classes_file = path / "classes.yaml"
     classes = (
         yaml.safe_load(classes_file.read_text())

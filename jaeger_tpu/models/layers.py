@@ -189,12 +189,47 @@ class MaskedConv1D(nn.Module):
         else:
             conv_in = x.reshape(b * f, length, c).astype(self.dtype)
             conv_kernel = kernel.astype(self.dtype)
-        y = jax.lax.conv_general_dilated(
-            conv_in, conv_kernel,
-            (self.strides,), pad,
-            rhs_dilation=(self.dilation_rate,),
-            dimension_numbers=("NWC", "WIO", "NWC"),
-        )
+        if (fold_table is None and not self.is_initializing()
+                and self.is_mutable_collection("calib")):
+            # int8 calibration pass: record the conv input's dynamic range
+            # (per-tensor absmax, reduced across batches by the caller)
+            self.sow(
+                "calib", "absmax",
+                jnp.max(jnp.abs(conv_in)).astype(jnp.float32),
+                reduce_fn=jnp.maximum, init_fn=lambda: jnp.float32(0.0),
+            )
+        if fold_table is None and self.has_variable("quant", "kernel_q"):
+            # int8 MXU execution (opt-in via a calibrated full_int8 bundle,
+            # models/conversion.py): quantize the activation with the
+            # calibrated per-tensor scale, convolve int8xint8 -> int32 on
+            # the MXU's double-rate integer path, dequantize per channel.
+            # Role parity: the reference's TFLite/ONNX static-INT8 engines
+            # (nnlib/conversion.py:233-306). Measured ~1.18x on the conv
+            # chain (requant is elementwise-bound; see docs/optimizations.md).
+            kq = self.get_variable("quant", "kernel_q")
+            w_scale = self.get_variable("quant", "w_scale")
+            a_scale = self.get_variable("quant", "act_scale")
+            inv = (1.0 / a_scale).astype(self.dtype)
+            xq = jnp.clip(
+                jnp.round(conv_in * inv), -127.0, 127.0
+            ).astype(jnp.int8)
+            acc = jax.lax.conv_general_dilated(
+                xq, kq,
+                (self.strides,), pad,
+                rhs_dilation=(self.dilation_rate,),
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                preferred_element_type=jnp.int32,
+            )
+            y = acc.astype(self.dtype) * (
+                w_scale * a_scale
+            ).astype(self.dtype)
+        else:
+            y = jax.lax.conv_general_dilated(
+                conv_in, conv_kernel,
+                (self.strides,), pad,
+                rhs_dilation=(self.dilation_rate,),
+                dimension_numbers=("NWC", "WIO", "NWC"),
+            )
         if bias is not None:
             y = y + bias.astype(self.dtype)
         y = get_activation(self.activation)(y)
