@@ -135,6 +135,25 @@ def test_calib_collection_does_not_leak(int8_bundle):
     assert np.isfinite(np.asarray(out["prediction"], np.float32)).all()
 
 
+def test_cli_quantize_full_int8(int8_bundle, tmp_path):
+    """utils quantize --mode full_int8 end-to-end through click (forces
+    the CPU platform for calibration — a host-side packaging tool)."""
+    import yaml
+    from click.testing import CliRunner
+
+    from jaeger_tpu import cli as cli_mod
+
+    path = int8_bundle[0]
+    res = CliRunner().invoke(
+        cli_mod.main,
+        ["utils", "quantize", "-m", str(path),
+         "-o", str(tmp_path / "cliq"), "--mode", "full_int8"])
+    assert res.exit_code == 0, res.output
+    meta = yaml.safe_load((tmp_path / "cliq" / "quantization.yaml")
+                          .read_text())
+    assert meta["scheme"] == "int8-exec-static"
+
+
 def test_stablehlo_export_of_int8_bundle(int8_bundle, tmp_path):
     """utils convert-graph --int8: the exported program embeds the int8
     convs (export loads the bundle's quant collection transparently)."""
