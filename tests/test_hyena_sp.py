@@ -54,3 +54,26 @@ def test_causality_under_sharding(seq_mesh, rng):
     np.testing.assert_allclose(out1[:, :48], out2[:, :48],
                                rtol=1e-4, atol=1e-4)
     assert np.abs(out1[:, 48:] - out2[:, 48:]).max() > 1e-3
+
+
+def test_bf16_direct_matches_fft_form(rng):
+    """The bf16 Toeplitz-matmul dispatch equals the FFT convolution up to
+    bf16 output rounding (models/layers.py::causal_fft_convolve)."""
+    import jax.numpy as jnp
+
+    from jaeger_tpu.models.layers import (
+        _causal_toeplitz_convolve, causal_fft_convolve)
+
+    u = rng.standard_normal((3, 8, 161)).astype(np.float32)
+    h = (rng.standard_normal((8, 161)) *
+         np.exp(-np.arange(161) / 30.0)).astype(np.float32)
+    ref = np.asarray(causal_fft_convolve(jnp.asarray(u), jnp.asarray(h)))
+    direct = np.asarray(_causal_toeplitz_convolve(
+        jnp.asarray(u), jnp.asarray(h)))
+    np.testing.assert_allclose(direct, ref, rtol=0, atol=2e-4)
+    # the public entry dispatches on dtype: bf16 in, bf16 out, same values
+    bf = np.asarray(causal_fft_convolve(
+        jnp.asarray(u, jnp.bfloat16), jnp.asarray(h, jnp.bfloat16)
+    ).astype(jnp.float32))
+    scale = np.maximum(np.abs(ref), 1.0)
+    assert np.max(np.abs(bf - ref) / scale) < 0.05  # bf16 rounding
