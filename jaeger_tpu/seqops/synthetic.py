@@ -1,13 +1,18 @@
-"""Synthetic / corrupted sequence generators.
+"""Synthetic / corrupted sequence generators for OOD training data.
 
-Parity target: reference ``seqops/synthetic.py:17-217`` — homopolymers,
-tandem repeats, biased and low-entropy sequences, and the windowed
-perturbations (sub-sequence repeats, tandem-repeat windows, N-stretches,
-chimera mixes) used to build out-of-distribution training data.
+Behavioral parity target: reference ``seqops/synthetic.py`` (generators)
+and its use from ``dataops/synthetic_perturbations.py:319``.  The RNG
+*draw stream* (which ``random.*`` calls happen, in what order, with what
+arguments) is pinned seed-for-seed by ``tests/test_synthetic_live_parity``
+— so every function below consumes randomness exactly like the reference
+does, while the surrounding computation is structured independently
+(tiling, run-partitioning and placement are done with prefix-offset
+arithmetic rather than the reference's cursor walks).
 """
 
 from __future__ import annotations
 
+import itertools
 import random
 
 import numpy as np
@@ -15,6 +20,12 @@ import numpy as np
 from jaeger_tpu.seqops.stats import shannon_entropy
 from jaeger_tpu.seqops.transform import dinuc_shuffle, kmer_shuffle
 
+_DNA = "ACGT"
+
+
+# ---------------------------------------------------------------------------
+# whole-sequence generators
+# ---------------------------------------------------------------------------
 
 def generate_homopolymer(length: int, base: str = "A") -> str:
     return base * length
@@ -28,9 +39,10 @@ def generate_random_tandem_repeats(
     num_sequences: int,
     motif_length_range: tuple = (3, 30),
     copy_number: int = 2000,
-    alphabet=("A", "C", "G", "T"),
+    alphabet=tuple(_DNA),
     max_len: int = 2048,
 ) -> list[str]:
+    """*num_sequences* random-motif tandem repeats, each capped at *max_len*."""
     out = []
     for _ in range(num_sequences):
         motif_len = random.randint(*motif_length_range)
@@ -40,34 +52,66 @@ def generate_random_tandem_repeats(
 
 
 def generate_biased_sequence(length: int, freqs: dict | None = None) -> str:
-    if freqs is None:
-        freqs = {"A": 0.7, "C": 0.1, "G": 0.1, "T": 0.1}
+    freqs = freqs or {"A": 0.7, "C": 0.1, "G": 0.1, "T": 0.1}
     return "".join(
-        random.choices(list(freqs.keys()), weights=list(freqs.values()),
-                       k=length)
+        random.choices(list(freqs), weights=list(freqs.values()), k=length)
     )
 
 
 def generate_low_entropy_sequence(length: int, window_size: int,
                                   threshold: float,
                                   max_attempts: int = 10000) -> str:
+    """Rejection-sample a biased sequence whose every *window_size* slice
+    stays under the entropy *threshold*."""
+    n_windows = length - window_size + 1
     for _ in range(max_attempts):
         seq = generate_biased_sequence(length)
-        if all(
-            shannon_entropy(seq[i : i + window_size]) < threshold
-            for i in range(length - window_size + 1)
-        ):
+        if all(shannon_entropy(seq[i:i + window_size]) < threshold
+               for i in range(n_windows)):
             return seq
     raise ValueError(
         f"failed to generate a low-entropy sequence in {max_attempts} tries"
     )
 
 
-def _random_window(seq_len: int, window_fraction: float) -> tuple[int, int]:
-    window_len = max(1, int(seq_len * window_fraction))
-    start = random.randint(0, max(0, seq_len - window_len))
-    return start, start + window_len
+# ---------------------------------------------------------------------------
+# shared internals
+# ---------------------------------------------------------------------------
 
+def _pick_window(seq_len: int, window_fraction: float) -> tuple[int, int]:
+    """Uniform-start window spanning *window_fraction* of the sequence."""
+    span = max(1, int(seq_len * window_fraction))
+    lo = random.randint(0, max(0, seq_len - span))
+    return lo, lo + span
+
+
+def _tile(unit: str, width: int) -> str:
+    """Repeat *unit* cyclically until exactly *width* characters."""
+    reps = -(-width // len(unit))  # ceil division
+    return (unit * reps)[:width]
+
+
+def _split_total_into_runs(total: int, runs: int) -> list[int]:
+    """Partition *total* into *runs* strictly-positive integers.
+
+    Draw-stream compatible with the reference's sequential scheme: run i
+    takes ``randint(1, left - still_reserved)`` where *still_reserved*
+    holds back one unit for each later run; the final run absorbs the
+    remainder.
+    """
+    left = total
+    sizes: list[int] = []
+    for still_reserved in range(runs - 1, 0, -1):
+        take = random.randint(1, left - still_reserved)
+        sizes.append(take)
+        left -= take
+    sizes.append(left)
+    return sizes
+
+
+# ---------------------------------------------------------------------------
+# windowed perturbations
+# ---------------------------------------------------------------------------
 
 def apply_shuffle(seq: str) -> str:
     chars = list(seq)
@@ -92,17 +136,13 @@ def apply_kmer_shuffle(seq: str, k: int = 2) -> str:
 
 
 def apply_subseq_repeat_window(seq: str, window_fraction: float = 0.25) -> str:
-    """Replace a random window with a repeated subsequence of the input."""
+    """Overwrite a random window by cycling a random slice of *seq* itself."""
     if not seq:
         return seq
-    seq_len = len(seq)
-    start, end = _random_window(seq_len, window_fraction)
-    window_len = end - start
-    sub_len = random.randint(1, min(window_len, seq_len))
-    sub_start = random.randint(0, seq_len - sub_len)
-    sub = seq[sub_start : sub_start + sub_len]
-    fill = (sub * (window_len // sub_len + 1))[:window_len]
-    return seq[:start] + fill + seq[end:]
+    lo, hi = _pick_window(len(seq), window_fraction)
+    take = random.randint(1, min(hi - lo, len(seq)))
+    at = random.randint(0, len(seq) - take)
+    return seq[:lo] + _tile(seq[at:at + take], hi - lo) + seq[hi:]
 
 
 def apply_tandem_repeat_window(
@@ -111,20 +151,19 @@ def apply_tandem_repeat_window(
     window_fraction: float = 0.25,
     num_repeats: int | None = None,
 ) -> str:
-    """Replace a random window with a tandem repeat of a random motif."""
+    """Overwrite a random window by cycling a random short motif.
+
+    With *num_repeats*, the cycled unit is the motif pre-repeated that
+    many times (reference semantics — affects only truncation phase).
+    """
     if not seq:
         return seq
-    seq_len = len(seq)
-    start, end = _random_window(seq_len, window_fraction)
-    window_len = end - start
-    motif_len = random.randint(*motif_length_range)
-    motif = "".join(random.choices("ACGT", k=motif_len))
-    if num_repeats:
-        block = motif * num_repeats
-        fill = (block * (window_len // len(block) + 1))[:window_len]
-    else:
-        fill = (motif * (window_len // motif_len + 1))[:window_len]
-    return seq[:start] + fill + seq[end:]
+    lo, hi = _pick_window(len(seq), window_fraction)
+    motif = "".join(
+        random.choices(_DNA, k=random.randint(*motif_length_range))
+    )
+    unit = motif * num_repeats if num_repeats and num_repeats > 0 else motif
+    return seq[:lo] + _tile(unit, hi - lo) + seq[hi:]
 
 
 def apply_n_stretch(
@@ -133,55 +172,52 @@ def apply_n_stretch(
     max_stretches: int = 3,
     point_n_share: float = 0.2,
 ) -> str:
-    """Replace a sampled fraction of the sequence with Ns — part scattered
-    single positions, part contiguous non-overlapping stretches."""
+    """Mask a sampled fraction of *seq* with Ns.
+
+    The N budget splits into contiguous runs (1..*max_stretches*, placed
+    non-overlapping) plus a *point_n_share* tail of scattered single
+    positions.  Run placement: the sampled ``cuts`` index positions in
+    the *kept* (non-run) subsequence, so run *i* lands at absolute offset
+    ``cuts[i] + len(runs before it)`` — no cursor walk needed.
+    """
     if not seq:
         return seq
     seq_len = len(seq)
     fraction = random.uniform(*n_fraction_range)
-    total_n = min(seq_len, max(1, round(seq_len * fraction)))
-    n_points = min(total_n, round(total_n * point_n_share))
-    stretch_n = total_n - n_points
+    budget = min(seq_len, max(1, round(seq_len * fraction)))
+    scatter = min(budget, round(budget * point_n_share))
+    run_total = budget - scatter
 
-    chars = list(seq)
-    if stretch_n > 0:
-        n_stretches = random.randint(1, max(1, min(max_stretches, stretch_n)))
-        remaining = stretch_n
-        lengths = []
-        for i in range(n_stretches - 1):
-            take = random.randint(1, remaining - (n_stretches - 1 - i))
-            lengths.append(take)
-            remaining -= take
-        lengths.append(remaining)
-        n_keep = seq_len - stretch_n
-        cuts = sorted(random.choices(range(n_keep + 1), k=n_stretches))
-        gaps = (
-            [cuts[0]]
-            + [cuts[i + 1] - cuts[i] for i in range(n_stretches - 1)]
-            + [n_keep - cuts[-1]]
+    out = np.frombuffer(seq.encode("ascii"), dtype=np.uint8).copy()
+    if run_total > 0:
+        n_runs = random.randint(1, max(1, min(max_stretches, run_total)))
+        run_lens = _split_total_into_runs(run_total, n_runs)
+        kept = seq_len - run_total
+        cuts = sorted(random.choices(range(kept + 1), k=n_runs))
+        run_starts = (
+            np.fromiter(cuts, dtype=np.int64)
+            + np.fromiter(itertools.accumulate([0] + run_lens[:-1]),
+                          dtype=np.int64, count=n_runs)
         )
-        pos = 0
-        for i in range(n_stretches):
-            pos += gaps[i]
-            chars[pos : pos + lengths[i]] = "N" * lengths[i]
-            pos += lengths[i]
-    if n_points > 0:
-        free = [i for i, c in enumerate(chars) if c != "N"]
-        for i in random.sample(free, k=min(n_points, len(free))):
-            chars[i] = "N"
-    return "".join(chars)
+        for at, width in zip(run_starts, run_lens):
+            out[at:at + width] = ord("N")
+    if scatter > 0:
+        open_idx = np.flatnonzero(out != ord("N"))
+        hit = random.sample(list(open_idx), k=min(scatter, open_idx.size))
+        out[np.asarray(hit, dtype=np.int64)] = ord("N")
+    return out.tobytes().decode("ascii")
 
 
 def apply_mix(sequences: list[str], output_length: int | None = None,
               pad_value: str = "N") -> str:
-    """Chimeric mix of one random subsegment per source sequence.
+    """Chimeric mix: one random subsegment per source sequence.
 
-    Reference semantics (``seqops/synthetic.py:217-264``, RNG
-    stream-identical): without *output_length* the sources concatenate
-    whole; otherwise ``n-1`` sorted sample cuts partition the output
-    length into per-source segment budgets, each source contributes a
-    random-start subsegment of (at most) its budget, and the result is
-    padded with *pad_value* up to *output_length*.
+    Reference semantics (RNG stream-identical): without *output_length*
+    the sources concatenate whole.  Otherwise ``n-1`` sorted sample marks
+    partition the output length into per-source budgets (degenerate
+    *output_length* < n: one base each for sources 1..output_length),
+    each source contributes a random-start slice of at most its budget,
+    and the result is right-padded with *pad_value*.
     """
     if not sequences:
         raise ValueError("apply_mix requires at least one sequence")
@@ -194,23 +230,19 @@ def apply_mix(sequences: list[str], output_length: int | None = None,
 
     n = len(sequences)
     if output_length < n:
-        cuts = list(range(output_length)) + [output_length]
+        budgets = [0] + [1] * output_length + [0] * (n - output_length - 1)
     else:
-        cuts = sorted(random.sample(range(output_length), k=n - 1))
-    cuts = [0] + cuts + [output_length]
-    segment_lengths = [cuts[i + 1] - cuts[i] for i in range(n)]
+        edges = [0, *sorted(random.sample(range(output_length), k=n - 1)),
+                 output_length]
+        budgets = [b - a for a, b in zip(edges, edges[1:])]
 
-    segments: list[str] = []
-    for seq, seg_len in zip(sequences, segment_lengths):
-        seq_len = len(seq)
-        if seq_len == 0 or seg_len <= 0:
-            segments.append("")
+    pieces = []
+    for src, budget in zip(sequences, budgets):
+        if not src or budget <= 0:
             continue
-        actual_len = min(seg_len, seq_len)
-        start = random.randint(0, seq_len - actual_len)
-        segments.append(seq[start : start + actual_len])
+        width = min(budget, len(src))
+        at = random.randint(0, len(src) - width)
+        pieces.append(src[at:at + width])
 
-    chimera = "".join(segments)
-    if len(chimera) < output_length:
-        chimera += pad_value * (output_length - len(chimera))
-    return chimera
+    chimera = "".join(pieces)
+    return chimera + pad_value * max(0, output_length - len(chimera))
