@@ -107,8 +107,12 @@ def _calibration_batches(crop_nt: int, n: int = 256, batch: int = 64,
     # a quarter of the windows get soft-mask runs so the calibrated range
     # covers masked (zeroed) activations too
     for i in range(0, n, 4):
-        lo = int(rng.integers(0, crop_nt // 2))
-        hi = lo + int(rng.integers(10, crop_nt // 2))
+        lo = int(rng.integers(0, max(1, crop_nt // 2)))
+        # clamp the run length so tiny/toy crops (crop_nt <= 20) still
+        # calibrate instead of raising low >= high (advisor, round 2)
+        run_hi = max(2, crop_nt // 2)
+        run_lo = min(10, run_hi - 1)
+        hi = lo + int(rng.integers(run_lo, run_hi))
         bases[i, lo:hi] += 5  # soft-masked IDs 5-8
     lengths = np.full((n,), crop_nt, dtype=np.int32)
     for s in range(0, n, batch):

@@ -198,7 +198,12 @@ class MaskedConv1D(nn.Module):
                 jnp.max(jnp.abs(conv_in)).astype(jnp.float32),
                 reduce_fn=jnp.maximum, init_fn=lambda: jnp.float32(0.0),
             )
-        if fold_table is None and self.has_variable("quant", "kernel_q"):
+        if (fold_table is None and not train
+                and self.has_variable("quant", "kernel_q")):
+            # (train=True falls through to the float path below: kernel_q is
+            # a constant, so training through the int8 branch would silently
+            # starve the kernel param of gradient — full_int8 bundles
+            # fine-tune on their float params instead.)
             # int8 MXU execution (opt-in via a calibrated full_int8 bundle,
             # models/conversion.py): quantize the activation with the
             # calibrated per-tensor scale, convolve int8xint8 -> int32 on
@@ -209,9 +214,13 @@ class MaskedConv1D(nn.Module):
             kq = self.get_variable("quant", "kernel_q")
             w_scale = self.get_variable("quant", "w_scale")
             a_scale = self.get_variable("quant", "act_scale")
-            inv = (1.0 / a_scale).astype(self.dtype)
+            # quantize/dequantize elementwise math runs in f32: bf16's 8
+            # mantissa bits can shift the rounding bin for large activations
+            # and truncate int32 accumulators above 256. Still elementwise-
+            # bound, so throughput is unaffected.
+            inv32 = (1.0 / a_scale).astype(jnp.float32)
             xq = jnp.clip(
-                jnp.round(conv_in * inv), -127.0, 127.0
+                jnp.round(conv_in.astype(jnp.float32) * inv32), -127.0, 127.0
             ).astype(jnp.int8)
             acc = jax.lax.conv_general_dilated(
                 xq, kq,
@@ -220,8 +229,9 @@ class MaskedConv1D(nn.Module):
                 dimension_numbers=("NWC", "WIO", "NWC"),
                 preferred_element_type=jnp.int32,
             )
-            y = acc.astype(self.dtype) * (
-                w_scale * a_scale
+            y = (
+                acc.astype(jnp.float32)
+                * (w_scale.astype(jnp.float32) * a_scale.astype(jnp.float32))
             ).astype(self.dtype)
         else:
             y = jax.lax.conv_general_dilated(
@@ -1181,6 +1191,10 @@ class MaskedBiLSTM(nn.Module):
 # L*D budget for the direct Toeplitz path: the (D, L, L) f32 operator
 # must stay well under HBM (D*L^2*4 bytes; 134 MB at D=32, L=1024)
 _DIRECT_CONV_MAX_L = 1024
+# cap on the materialized (D, L, L) f32 Toeplitz operator, the real HBM
+# budget behind the L cap: D=64 at L=1024 is 256 MB; a wider model dim
+# must not silently blow this up (advisor, round 2)
+_DIRECT_CONV_MAX_BYTES = 512 * 1024 * 1024
 
 
 def _causal_toeplitz_convolve(u32: jnp.ndarray, h32: jnp.ndarray):
@@ -1212,7 +1226,8 @@ def causal_fft_convolve(u: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
     u32 = u.astype(jnp.float32)
     h32 = h.astype(jnp.float32)
     L = u.shape[-1]
-    if orig == jnp.bfloat16 and L <= _DIRECT_CONV_MAX_L:
+    if (orig == jnp.bfloat16 and L <= _DIRECT_CONV_MAX_L
+            and h.shape[0] * L * L * 4 <= _DIRECT_CONV_MAX_BYTES):
         return _causal_toeplitz_convolve(u32, h32).astype(orig)
     n = 2 * L - 1
     H = jnp.fft.rfft(h32, n=n, axis=-1)

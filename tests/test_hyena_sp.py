@@ -77,3 +77,27 @@ def test_bf16_direct_matches_fft_form(rng):
     ).astype(jnp.float32))
     scale = np.maximum(np.abs(ref), 1.0)
     assert np.max(np.abs(bf - ref) / scale) < 0.05  # bf16 rounding
+
+
+def test_toeplitz_gate_on_operator_bytes(rng, monkeypatch):
+    """The bf16 direct dispatch is gated on the materialized (D, L, L)
+    operator size, not only L — a wide model dim must fall back to the
+    FFT form instead of silently materializing gigabytes (advisor r2)."""
+    from jaeger_tpu.models import layers as lyr
+
+    u = jnp.asarray(rng.standard_normal((1, 4, 32)), jnp.bfloat16)
+    h = jnp.asarray(rng.standard_normal((4, 32)) * 0.1, jnp.bfloat16)
+
+    calls = []
+    real = lyr._causal_toeplitz_convolve
+    monkeypatch.setattr(
+        lyr, "_causal_toeplitz_convolve",
+        lambda *a: calls.append(1) or real(*a))
+    lyr.causal_fft_convolve(u, h)
+    assert calls  # small operator: direct path taken
+
+    calls.clear()
+    monkeypatch.setattr(lyr, "_DIRECT_CONV_MAX_BYTES", 4 * 32 * 32 * 4 - 1)
+    out = lyr.causal_fft_convolve(u, h)
+    assert not calls  # over budget: FFT fallback
+    assert out.dtype == jnp.bfloat16

@@ -198,3 +198,61 @@ def test_int8_exec_through_engine(int8_bundle):
     pred = np.asarray(outs["prediction"], np.float32)
     assert pred.shape[0] == 8
     assert np.isfinite(pred).all()
+
+
+def test_int8_branch_skipped_at_train_time(int8_bundle):
+    """train=True must run the float path so the conv kernel params keep
+    a live gradient (advisor r2: kernel_q is a constant — training through
+    the int8 branch silently starves the kernel of gradient)."""
+    import jax
+
+    path, model, variables, b, qpath, _ = int8_bundle
+    from jaeger_tpu.models.conversion import load_quantized
+
+    qmodel, qvars, _, _ = load_quantized(qpath, dtype=jnp.float32)
+    inputs = _windows(b, n=4, seed=5)
+
+    def loss(params):
+        out = qmodel.apply(
+            {**qvars, "params": params}, inputs, train=True)
+        return jnp.sum(out["prediction"].astype(jnp.float32))
+
+    grads = jax.grad(loss)(qvars["params"])
+    leaves = [
+        np.asarray(g) for p, g in jax.tree_util.tree_leaves_with_path(grads)
+        if any(getattr(k, "key", "") == "kernel" for k in p)
+    ]
+    assert leaves and any(np.abs(g).max() > 0 for g in leaves)
+
+    # inference (train=False) still takes the int8 branch: the same
+    # kernels get exactly zero gradient there
+    def loss_inf(params):
+        out = qmodel.apply(
+            {**qvars, "params": params}, inputs, train=False)
+        return jnp.sum(out["prediction"].astype(jnp.float32))
+
+    gi = jax.grad(loss_inf)(qvars["params"])
+    # at least one non-folded conv kernel is int8 at inference
+    zeroed = [
+        np.asarray(g) for p, g in jax.tree_util.tree_leaves_with_path(gi)
+        if any(getattr(k, "key", "") == "kernel" for k in p)
+    ]
+    assert any(np.abs(g).max() == 0 for g in zeroed)
+
+
+def test_full_int8_calibrates_tiny_crop(tmp_path):
+    """crop_nt <= 20 must calibrate instead of raising low >= high
+    (advisor r2, models/conversion.py _calibration_batches)."""
+    import copy
+
+    from jaeger_tpu.models.conversion import quantize_bundle
+
+    cfg = copy.deepcopy(CFG)
+    cfg["model"]["string_processor"]["crop_size"] = 4  # crop_nt = 17
+    cfg["model"]["name"] = "conv_int8_tiny"
+    b = ModelBuilder(cfg)
+    model, variables = b.init()
+    path = tmp_path / "tiny"
+    save_model(variables, cfg, path)
+    stats = quantize_bundle(path, tmp_path / "q", mode="full_int8")
+    assert stats["int8_exec_convs"] >= 1
