@@ -4,16 +4,28 @@ The reference handles long context only algorithmically (Hyena FFT conv,
 SURVEY §5.7) on a single device; a full-length-contig model's activations
 (order+1 projection streams of (B, F, L, D)) are the memory wall. This
 module shards the **length** axis over a mesh axis: every dense
-projection, gate multiply and norm runs on its L/n shard, and only the
-causal long convolution gathers the (much smaller) single input stream
-``z`` across chips before each device computes just its own output slice.
+projection, gate multiply and norm runs on its L/n shard, and the causal
+long convolution streams source chunks around a ``ppermute`` ring in
+chunked overlap-save form — per-chip transient memory stays O(B·D·L/n)
+(one traveling chunk), never the O(B·D·L) a full ``all_gather`` would
+materialize (round-2 verdict item 2).
 
-Exactness: the convolution is causal, so device i's outputs depend only on
-chunks j <= i; computing ``causal_conv(gathered_z, h)`` and slicing the
-local segment is bit-identical to the unsharded op (pinned by tests on a
-virtual 8-device mesh). Peak per-chip activation memory drops from
-O((order+2) * B*F*L*D) to O(B*F*L*D/n * (order+2)) + one transient
-gathered stream per recurrence step.
+Math: with chunk size S = L/n, device i's output chunk is
+``y_i[t] = Σ_{k=0..i} C_k(z_{i-k})[t]`` where the block contribution
+``C_k(x)[t] = Σ_s x[s]·h[kS + t - s]`` is a linear convolution of the
+S-chunk with the 2S-1 filter segment ``g_k = h[kS-S+1 .. kS+S-1]``
+(zero-padded outside [0, L) — k=0's negative taps are exactly the
+causality guard). The ring sends each chunk one hop per step; step k
+adds ``C_k`` of the traveling chunk, masked to devices with ``i >= k``.
+
+Exactness: identical taps to the unsharded causal convolution, so the
+sharded op matches width 1 up to FFT rounding (pinned at widths 2/4/8 on
+the virtual CPU mesh; TSV-level byte identity pinned at the CLI).
+
+Like ``causal_fft_convolve`` (models/layers.py), block contributions
+dispatch on dtype: f32 keeps the FFT form; bf16 uses the banded-Toeplitz
+MXU matmul when the materialized (D, S, 2S-1) operator fits the byte
+budget.
 """
 
 from __future__ import annotations
@@ -22,13 +34,98 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from jaeger_tpu.models.layers import causal_fft_convolve
+from jaeger_tpu.models.layers import (
+    _DIRECT_CONV_MAX_BYTES,
+    _DIRECT_CONV_MAX_L,
+    causal_fft_convolve,
+)
+
+
+def _filter_segments(h: jnp.ndarray, n_chunks: int, S: int) -> jnp.ndarray:
+    """(D, L) full filters -> (n_chunks, D, 2S-1) block segments.
+
+    Segment k covers taps ``kS-S+1 .. kS+S-1`` with zeros outside the
+    causal [0, L) range.
+    """
+    D, L = h.shape
+    u = jnp.arange(2 * S - 1)
+    k = jnp.arange(n_chunks)
+    idx = k[:, None] * S - (S - 1) + u[None, :]          # (n, 2S-1)
+    valid = (idx >= 0) & (idx < L)
+    g = h[:, jnp.clip(idx, 0, L - 1)]                    # (D, n, 2S-1)
+    g = jnp.where(valid[None], g, 0.0)
+    return jnp.transpose(g, (1, 0, 2))                   # (n, D, 2S-1)
+
+
+def _block_contrib_fft(x32: jnp.ndarray, g32: jnp.ndarray) -> jnp.ndarray:
+    """C_k via FFT: x (B, D, S) chunk, g (D, 2S-1) segment -> (B, D, S).
+
+    Full linear convolution evaluated at output lags S-1 .. 2S-2.
+    """
+    S = x32.shape[-1]
+    n = 3 * S - 2
+    X = jnp.fft.rfft(x32, n=n, axis=-1)
+    G = jnp.fft.rfft(g32, n=n, axis=-1)
+    y = jnp.fft.irfft(X * G[None], n=n, axis=-1)
+    return y[..., S - 1:2 * S - 1]
+
+
+def _block_contrib_toeplitz(x32: jnp.ndarray, g32: jnp.ndarray):
+    """C_k as a banded-Toeplitz matmul (MXU path): T[d,t,s] = g[d, t-s+S-1]."""
+    S = x32.shape[-1]
+    lag = jnp.arange(S)[:, None] - jnp.arange(S)[None, :] + (S - 1)
+    T = g32[:, lag]                                      # (D, S, S)
+    return jnp.einsum("dts,bds->bdt", T, x32)
+
+
+def _block_contrib(x: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    orig = x.dtype
+    x32 = x.astype(jnp.float32)
+    g32 = g.astype(jnp.float32)
+    S = x.shape[-1]
+    if (orig == jnp.bfloat16 and S <= _DIRECT_CONV_MAX_L
+            and g.shape[0] * S * S * 4 <= _DIRECT_CONV_MAX_BYTES):
+        return _block_contrib_toeplitz(x32, g32).astype(orig)
+    return _block_contrib_fft(x32, g32).astype(orig)
+
+
+def ring_causal_conv(z_shard: jnp.ndarray, h: jnp.ndarray,
+                     axis_name: str) -> jnp.ndarray:
+    """Inside shard_map: (B, D, S) local chunk -> (B, D, S) local output
+    of the full-length causal convolution with (D, L) replicated filters.
+
+    Chunked overlap-save on a ppermute ring: step k convolves the chunk
+    that started k hops upstream against filter segment k, masked to
+    devices whose chunk index is >= k. Peak transient is ONE traveling
+    (B, D, S) chunk — O(L/n) — instead of the gathered (B, D, L) stream.
+    """
+    n = jax.lax.axis_size(axis_name)
+    S = z_shard.shape[2]
+    segs = _filter_segments(h, n, S)
+    me = jax.lax.axis_index(axis_name)
+
+    buf = z_shard
+    acc = jnp.zeros_like(z_shard)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    for k in range(n):
+        contrib = _block_contrib(buf, segs[k])
+        acc = acc + jnp.where(me >= k, contrib, jnp.zeros_like(contrib))
+        if k + 1 < n:
+            buf = jax.lax.ppermute(buf, axis_name, perm)
+    return acc
 
 
 def sharded_causal_conv(z_shard: jnp.ndarray, h: jnp.ndarray,
                         axis_name: str) -> jnp.ndarray:
-    """Inside shard_map: (B, D, S) local chunk -> (B, D, S) local output
-    of the full-length causal convolution with (D, L) filters."""
+    """Kept name from round 2; now the O(L/n)-memory ring form."""
+    return ring_causal_conv(z_shard, h, axis_name)
+
+
+def gathered_causal_conv(z_shard: jnp.ndarray, h: jnp.ndarray,
+                         axis_name: str) -> jnp.ndarray:
+    """Round-2 baseline: all_gather the full stream, convolve, slice the
+    local segment. O(B·D·L) transient per device — kept as the oracle the
+    ring form is tested against."""
     z_full = jax.lax.all_gather(z_shard, axis_name, axis=2, tiled=True)
     y_full = causal_fft_convolve(z_full, h)
     i = jax.lax.axis_index(axis_name)
@@ -49,7 +146,7 @@ def hyena_recurrence_sp(projections: list[jnp.ndarray],
     order = filters.shape[0]
     for i in range(order):
         gate = jnp.swapaxes(projections[i + 1], 1, 2)
-        conv = sharded_causal_conv(z, filters[i], axis_name)
+        conv = ring_causal_conv(z, filters[i], axis_name)
         z = conv * gate
     return jnp.swapaxes(z, 1, 2)
 

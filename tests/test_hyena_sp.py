@@ -16,6 +16,10 @@ def seq_mesh():
     return Mesh(np.array(jax.devices()), ("seq",))
 
 
+def _mesh_of(width):
+    return Mesh(np.array(jax.devices()[:width]), ("seq",))
+
+
 def _reference_recurrence(projections, filters):
     z = jnp.swapaxes(projections[0], 1, 2)
     for i in range(filters.shape[0]):
@@ -24,7 +28,10 @@ def _reference_recurrence(projections, filters):
     return jnp.swapaxes(z, 1, 2)
 
 
-def test_sharded_matches_reference(seq_mesh, rng):
+@pytest.mark.parametrize("width", [2, 4, 8])
+def test_sharded_matches_reference(width, rng):
+    """Ring overlap-save recurrence == unsharded FFT recurrence at every
+    mesh width (round-2 verdict: exactness pinned at widths 2/4/8)."""
     order, B, L, D = 2, 2, 64, 8
     projections = jnp.asarray(
         rng.normal(size=(order + 1, B, L, D)).astype(np.float32)
@@ -33,9 +40,58 @@ def test_sharded_matches_reference(seq_mesh, rng):
         rng.normal(size=(order, D, L)).astype(np.float32) * 0.1
     )
     ref = _reference_recurrence(projections, filters)
-    out = sequence_sharded_hyena_op(projections, filters, seq_mesh)
+    out = sequence_sharded_hyena_op(projections, filters, _mesh_of(width))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_ring_matches_gathered_oracle(seq_mesh, rng):
+    """The O(L/n)-memory ring conv equals the round-2 all_gather form."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from jaeger_tpu.parallel import hyena_sp
+
+    B, D, L = 2, 4, 64
+    z = jnp.asarray(rng.normal(size=(B, D, L)).astype(np.float32))
+    h = jnp.asarray(
+        (rng.normal(size=(D, L)) * np.exp(-np.arange(L) / 16.0))
+        .astype(np.float32))
+    from jax import shard_map
+
+    spec = P(None, None, "seq")
+    args = dict(mesh=seq_mesh, in_specs=(spec, P()), out_specs=spec)
+    zs = jax.device_put(z, NamedSharding(seq_mesh, spec))
+    ring = shard_map(
+        lambda a, b: hyena_sp.ring_causal_conv(a, b, "seq"), **args
+    )(zs, h)
+    gathered = shard_map(
+        lambda a, b: hyena_sp.gathered_causal_conv(a, b, "seq"), **args
+    )(zs, h)
+    np.testing.assert_allclose(np.asarray(ring), np.asarray(gathered),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_ring_conv_hlo_has_no_all_gather(seq_mesh):
+    """The memory story holds in the compiled program: the ring path
+    lowers to collective-permutes, never an all-gather of the stream."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from jaeger_tpu.parallel import hyena_sp
+    from jax import shard_map
+
+    B, D, L = 1, 4, 64
+    spec = P(None, None, "seq")
+    fn = jax.jit(shard_map(
+        lambda a, b: hyena_sp.ring_causal_conv(a, b, "seq"),
+        mesh=seq_mesh, in_specs=(spec, P()), out_specs=spec,
+    ))
+    z = jnp.zeros((B, D, L), jnp.float32)
+    h = jnp.zeros((D, L), jnp.float32)
+    txt = fn.lower(
+        jax.device_put(z, NamedSharding(seq_mesh, spec)), h
+    ).compile().as_text()
+    assert "collective-permute" in txt
+    assert "all-gather" not in txt
 
 
 def test_causality_under_sharding(seq_mesh, rng):
