@@ -134,6 +134,12 @@ def main(verbose: int) -> None:
 @click.option("--devices", default="auto", show_default=True,
               help="Data-parallel device count: 'auto' uses every local "
                    "device, an integer caps it (1 disables the mesh).")
+@click.option("--seq-shard", default=1, show_default=True, type=int,
+              help="Shard the sequence length of Hyena long convolutions "
+                   "over N devices (full-contig models whose per-window "
+                   "activations exceed one chip). Mutually exclusive "
+                   "with data parallelism; outputs are identical to "
+                   "--seq-shard 1.")
 @click.option("--workers", default=4, show_default=True,
               help="Host threads for the windowing pipeline (FASTA read "
                    "+ DUST + encode), like the reference's worker knob.")
@@ -235,7 +241,7 @@ def main(verbose: int) -> None:
 def predict(input_path, output_dir, model_path, model_path_override,
             registry_config, fsize, stride, batch,
             min_len, dustmask, dynamic_stride, dynamic_stride_threshold,
-            precision, devices,
+            precision, devices, seq_shard,
             workers, num_hosts, host_id,
             crf, crf_switch_cost,
             crf_prior, crf_transition_matrix, reliability_cutoff,
@@ -299,6 +305,7 @@ def predict(input_path, output_dir, model_path, model_path_override,
         dynamic_stride_threshold=dynamic_stride_threshold,
         precision=precision,
         devices=("auto" if devices == "auto" else int(devices)),
+        seq_shard=seq_shard,
         num_hosts=num_hosts, host_id=host_id, workers=workers,
         crf_switch_cost=(crf_switch_cost if crf else None),
         crf_prior=crf_prior,

@@ -172,6 +172,7 @@ def run_core(
     precision: str = "bfloat16",
     mesh=None,
     devices: int | str = "auto",
+    seq_shard: int = 1,
     num_hosts: int = 1,
     host_id: int | None = None,
     workers: int = 4,
@@ -275,6 +276,32 @@ def run_core(
         model, variables, config, classes = load_model(model_path, dtype=dtype)
     indices, labels = class_names_in_order(classes)
 
+    # --- sequence sharding (--seq-shard N): length-shard Hyena long
+    # convolutions over N devices (parallel/hyena_sp ppermute ring) for
+    # full-contig models whose per-window activations exceed one chip.
+    # The model is rebuilt with parallel.seq_axis so its Hyena blocks
+    # dispatch through the shard_map island; outputs are pinned byte-
+    # identical to width 1 (tests/test_hyena_seq_cli.py). ---
+    seq_mesh = None
+    if int(seq_shard) > 1:
+        import jax
+        from jax.sharding import Mesh
+
+        from jaeger_tpu.models.builder import ModelBuilder
+
+        n_avail = len(jax.devices())
+        width = max(1, min(int(seq_shard), n_avail))
+        if width > 1:
+            mcfg = config["model"] if "model" in config else config
+            mcfg.setdefault("parallel", {})["seq_axis"] = "seq"
+            model = ModelBuilder(config, dtype=dtype).build()
+            seq_mesh = Mesh(
+                np.asarray(jax.devices()[:width]), ("seq",))
+            mesh = None  # devices are spent on the sequence axis
+            devices = 1
+            logger.info(
+                f"sequence-sharded Hyena over {width} devices (seq axis)")
+
     warning = crop_length_warning(config, fsize)
     if warning:
         logger.warning(warning)
@@ -311,7 +338,7 @@ def run_core(
     if save_nmd:
         wanted.append("nmd")
     engine = InferenceEngine(
-        model, variables, batch_size=batch, mesh=mesh,
+        model, variables, batch_size=batch, mesh=mesh, seq_mesh=seq_mesh,
         output_keys=tuple(wanted),
     )
 

@@ -39,6 +39,7 @@ class InferenceEngine:
         variables,
         batch_size: int = 512,
         mesh=None,
+        seq_mesh=None,
         donate: bool = False,
         output_keys: tuple | None = None,
         pipeline_depth: int = 4,
@@ -56,6 +57,13 @@ class InferenceEngine:
         # unpacked on device inside the jitted program)
         self.pack_transfer = bool(pack_transfer)
         self.mesh = mesh
+        # seq_mesh: length-shard Hyena long convolutions over this mesh's
+        # "seq" axis (the model must be built with parallel.seq_axis; see
+        # predict --seq-shard). Mutually exclusive with the data mesh —
+        # the devices are spent on the sequence dimension.
+        self.seq_mesh = seq_mesh
+        if mesh is not None and seq_mesh is not None:
+            raise ValueError("mesh and seq_mesh are mutually exclusive")
         if mesh is not None:
             n_dev = mesh.devices.size
             self.batch_size = meshlib.pad_to_multiple(self.batch_size, n_dev)
@@ -119,8 +127,23 @@ class InferenceEngine:
             else:
                 fn = jax.jit(functools.partial(self._forward, dense=dense),
                              **jit_kwargs)
+            fn = self._with_seq_mesh(fn)
             self._compiled[key] = fn
         return fn
+
+    def _with_seq_mesh(self, fn):
+        """Wrap a jitted program so tracing + dispatch run under the
+        sequence mesh context (the Hyena shard_map island resolves its
+        mesh from the ambient jax.set_mesh)."""
+        if self.seq_mesh is None:
+            return fn
+
+        @functools.wraps(fn)
+        def wrapped(*args, **kwargs):
+            with jax.set_mesh(self.seq_mesh):
+                return fn(*args, **kwargs)
+
+        return wrapped
 
     def predict_windows(
         self, bases: np.ndarray, lengths: np.ndarray
@@ -226,7 +249,7 @@ class InferenceEngine:
                     self._data_sharding,
                 )
                 jit_kwargs["out_shardings"] = self._replicated
-            fn = jax.jit(forward_reduced, **jit_kwargs)
+            fn = self._with_seq_mesh(jax.jit(forward_reduced, **jit_kwargs))
             self._compiled[key] = fn
         return fn
 

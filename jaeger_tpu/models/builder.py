@@ -48,6 +48,7 @@ class LayerStack(nn.Module):
     layer_configs: tuple                 # tuple of (name, cfg) pairs
     pooling: str | None = None
     nmd_merge: dict | None = None
+    seq_axis: str | None = None          # length-shard Hyena over this axis
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -169,6 +170,7 @@ class LayerStack(nn.Module):
                     dropout=cfg.get("dropout", 0.0),
                     output_projection=cfg.get("output_projection", False),
                     filter_normalize=cfg.get("filter_normalize", False),
+                    seq_axis=self.seq_axis,
                 )(x, mask, train)
             elif name == "nmd":
                 # Standalone NMD taps feed only the reliability head.  When
@@ -459,13 +461,17 @@ class JaegerModel(nn.Module):
         )
 
         merge_cfg = cfg.get("reliability_model", {}).get("merge")
+        # runtime knob (predict --seq-shard / train seq sharding): length-
+        # shard Hyena long convolutions over this mesh axis (hyena_sp ring)
+        seq_axis = cfg.get("parallel", {}).get("seq_axis")
         if "branch" in rep_cfg:
             # shared-weight per-frame branches (nnlib/builder.py:1195-1266)
             bcfg = rep_cfg["branch"]
             shared = LayerStack(
                 name="rep_branch",
                 layer_configs=_freeze_layers(bcfg.get("hidden_layers", [])),
-                pooling=bcfg.get("pooling"), dtype=self.dtype,
+                pooling=bcfg.get("pooling"), seq_axis=seq_axis,
+                dtype=self.dtype,
             )
             branch_outs = []
             for i in range(x.shape[1]):
@@ -483,7 +489,7 @@ class JaegerModel(nn.Module):
                 name="rep",
                 layer_configs=_freeze_layers(rep_cfg.get("hidden_layers", [])),
                 pooling=rep_cfg.get("pooling"),
-                nmd_merge=merge_cfg, dtype=self.dtype,
+                nmd_merge=merge_cfg, seq_axis=seq_axis, dtype=self.dtype,
             )(x, mask, train, fold_table=fold_table, taps=_need_rel)
 
         outputs["embedding"] = rep

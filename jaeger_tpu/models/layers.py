@@ -1313,6 +1313,7 @@ class HyenaOperator(nn.Module):
     filter_layers: int = 2
     filter_activation: str = "gelu"
     filter_normalize: bool = False
+    seq_axis: str | None = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -1323,17 +1324,57 @@ class HyenaOperator(nn.Module):
                      param_dtype=jnp.float32, name=f"proj_{i}")(x)
             for i in range(self.order + 1)
         ]
-        z = jnp.swapaxes(proj[0], 1, 2)  # (B, dim, L)
         filters = HyenaFilter(
             dim=self.dim, seq_len=x.shape[1], order=self.order,
             hidden_dim=self.filter_hidden, num_layers=self.filter_layers,
             activation=self.filter_activation, normalize=self.filter_normalize,
             name="filter",
         )(x.shape[1])
+        if self.seq_axis:
+            return self._sharded_recurrence(proj, filters)
+        z = jnp.swapaxes(proj[0], 1, 2)  # (B, dim, L)
         for i in range(self.order):
             gate = jnp.swapaxes(proj[i + 1], 1, 2)
             z = causal_fft_convolve(z, filters[i]) * gate
         return jnp.swapaxes(z, 1, 2)
+
+    def _sharded_recurrence(self, proj, filters):
+        """Length-sharded recurrence over the ambient mesh's ``seq_axis``
+        (parallel/hyena_sp ppermute ring, O(L/n) per-chip activations).
+
+        Exactness: L is right-padded to a chunk multiple; causality keeps
+        the first L outputs identical (padded projections are affine-free
+        Dense outputs of implicit zeros we never read back) and the
+        filters pad with zero taps — which the real first-L outputs never
+        index. Requires an enclosing ``jax.set_mesh`` carrying
+        ``seq_axis`` (the engine's ``seq_mesh`` does this).
+        """
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from jaeger_tpu.parallel.hyena_sp import hyena_recurrence_sp
+
+        mesh = jax.sharding.get_abstract_mesh()
+        if self.seq_axis not in getattr(mesh, "shape", {}):
+            raise ValueError(
+                f"seq_axis {self.seq_axis!r} not in the ambient mesh "
+                f"{mesh}; run under jax.set_mesh(Mesh(..., "
+                f"({self.seq_axis!r},)))"
+            )
+        n = mesh.shape[self.seq_axis]
+        B, L, D = proj[0].shape
+        Lp = -(-L // n) * n
+        pads = ((0, 0), (0, Lp - L), (0, 0))
+        stacked = jnp.stack([jnp.pad(p, pads) for p in proj])
+        filt = jnp.pad(filters, ((0, 0), (0, 0), (0, Lp - L)))
+        axis = self.seq_axis
+        fn = shard_map(
+            lambda ps, fs: hyena_recurrence_sp(
+                [ps[i] for i in range(ps.shape[0])], fs, axis),
+            in_specs=(P(None, None, axis, None), P()),
+            out_specs=P(None, axis, None),
+        )
+        return fn(stacked, filt)[:, :L]
 
 
 class HyenaBlock(nn.Module):
@@ -1351,6 +1392,7 @@ class HyenaBlock(nn.Module):
     dropout: float = 0.0
     output_projection: bool = False
     filter_normalize: bool = False
+    seq_axis: str | None = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -1367,7 +1409,8 @@ class HyenaBlock(nn.Module):
             dim=self.dim, seq_len=length, order=self.order,
             filter_hidden=self.filter_hidden, filter_layers=self.filter_layers,
             filter_activation=self.filter_activation,
-            filter_normalize=self.filter_normalize, dtype=self.dtype,
+            filter_normalize=self.filter_normalize,
+            seq_axis=self.seq_axis, dtype=self.dtype,
             name="hyena",
         )(h, train)
         if self.output_projection:
