@@ -167,7 +167,8 @@ def _run_branch(
         if csv_logger is not None:
             csv_logger.on_epoch_end(epoch, epoch_metrics)
 
-        mgr.save(epoch, state.variables, epoch_metrics)
+        mgr.save(epoch, state.variables, epoch_metrics,
+                 opt_state=state.opt_state)
         lr = get_learning_rate(state.opt_state)
         if reduce_lr is not None:
             new_lr = reduce_lr.on_epoch_end(epoch_metrics, lr, epoch=epoch)
@@ -373,15 +374,31 @@ def train_fragment_core(
     if only_save:
         from_last_checkpoint = True
     start_epochs = {"projection": 0, "classifier": 0, "reliability": 0}
+    resume_entry: dict | None = None
+    resume_stage: str | None = None
     if from_last_checkpoint:
         stage, entry = resolve_resume_stage(ckpt_root)
         if stage is not None:
             mgr = CheckpointManager(ckpt_root / stage)
             variables = mgr.restore(entry, variables)
             start_epochs[stage] = entry["epoch"] + 1
+            resume_entry, resume_stage = entry, stage
             logger.info(
                 f"resumed from {stage} checkpoint epoch {entry['epoch']}"
             )
+
+    def _resume_opt_state(stage: str, state):
+        """Continue the interrupted stage's Adam moments / accumulator /
+        schedule step instead of re-zeroing them (beats the reference's
+        documented caveat, nnlib/builder.py:166-175)."""
+        if resume_stage != stage or resume_entry is None:
+            return state
+        mgr = CheckpointManager(ckpt_root / stage)
+        restored = mgr.restore_opt_state(resume_entry, state.opt_state)
+        if restored is not state.opt_state:
+            logger.info(f"restored {stage} optimizer state "
+                        f"(epoch {resume_entry['epoch']})")
+        return state.replace(opt_state=restored)
 
     paths = _fragment_paths(train_cfg)
     train_paths = paths.get("train", {}).get("paths", [])
@@ -559,7 +576,8 @@ def train_fragment_core(
                 train_cfg.get("accumulation_steps", 1) or 1
             ),
         )
-        state = TrainState.create(variables, tx)
+        state = _resume_opt_state("classifier",
+                                  TrainState.create(variables, tx))
         step_fn = jax.jit(
             make_train_step(
                 model,
@@ -693,7 +711,8 @@ def train_fragment_core(
                 train_cfg.get("optimizer", "adam"),
                 train_cfg.get("optimizer_params", {}),
             )
-            state = TrainState.create(variables, tx)
+            state = _resume_opt_state("reliability",
+                                      TrainState.create(variables, tx))
             step_fn = jax.jit(
                 make_train_step(
                     model,

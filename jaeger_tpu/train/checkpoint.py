@@ -38,27 +38,36 @@ class CheckpointManager:
         self._index_path.write_text(json.dumps(index, indent=1))
 
     def save(self, epoch: int, variables: Any,
-             metrics: dict | None = None) -> Path:
+             metrics: dict | None = None, opt_state: Any = None) -> Path:
+        """``opt_state`` (optimizer moments, MultiSteps accumulator,
+        schedule step) persists beside the weights so resume continues
+        training bitwise — the reference documents NOT doing this as a
+        known caveat (``nnlib/builder.py:166-175``); here it's fixed."""
         path = (self.directory / f"epoch_{epoch:03d}").resolve()
         self._ckptr.save(path, variables, force=True)
+        entry = {
+            "epoch": epoch,
+            "path": str(path),
+            "metrics": {k: float(v) for k, v in (metrics or {}).items()},
+        }
+        if opt_state is not None:
+            opt_path = (self.directory / f"epoch_{epoch:03d}_opt").resolve()
+            self._ckptr.save(opt_path, opt_state, force=True)
+            entry["opt_path"] = str(opt_path)
         # StandardCheckpointer saves asynchronously; finalize before the
         # index records it so resume never races a half-written checkpoint
         self._ckptr.wait_until_finished()
         index = [e for e in self._index() if e["epoch"] != epoch]
-        index.append({
-            "epoch": epoch,
-            "path": str(path),
-            "metrics": {k: float(v) for k, v in (metrics or {}).items()},
-        })
+        index.append(entry)
         index.sort(key=lambda e: e["epoch"])
         # prune old checkpoints beyond `keep`
         while len(index) > self.keep:
             old = index.pop(0)
-            old_path = Path(old["path"])
-            if old_path.exists():
-                import shutil
+            import shutil
 
-                shutil.rmtree(old_path, ignore_errors=True)
+            for p in (old.get("path"), old.get("opt_path")):
+                if p and Path(p).exists():
+                    shutil.rmtree(p, ignore_errors=True)
         self._write_index(index)
         return path
 
@@ -75,6 +84,15 @@ class CheckpointManager:
 
     def restore(self, entry: dict, template: Any) -> Any:
         return self._ckptr.restore(Path(entry["path"]).resolve(), template)
+
+    def restore_opt_state(self, entry: dict, template: Any) -> Any:
+        """Restore the optimizer state saved with this entry; returns the
+        (fresh) template untouched for pre-upgrade checkpoints that carry
+        only weights."""
+        opt_path = entry.get("opt_path")
+        if not opt_path or not Path(opt_path).exists():
+            return template
+        return self._ckptr.restore(Path(opt_path).resolve(), template)
 
 
 class TrainingStatePersistence:

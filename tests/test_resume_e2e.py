@@ -289,3 +289,52 @@ def test_converged_rerun_preserves_trained_bundle(tmp_path, rng):
     train_fragment_core(str(cfg_path), output_dir=str(out), use_mesh=False)
     after = hashlib.sha1((out / "params.msgpack").read_bytes()).hexdigest()
     assert before == after
+
+
+def test_resume_is_bitwise_continuation(tmp_path, rng):
+    """Interrupted-then-resumed training equals uninterrupted training
+    bit for bit: the optimizer state (Adam moments, schedule step)
+    persists with each checkpoint and restores on resume — the reference
+    documents NOT restoring moments as a known caveat
+    (nnlib/builder.py:166-175); this pins that we beat it."""
+    from jaeger_tpu.commands.train import train_fragment_core
+
+    cfg_path = _write_fixture(tmp_path, rng)
+
+    out_a = tmp_path / "uninterrupted"
+    train_fragment_core(str(cfg_path), output_dir=str(out_a),
+                        epochs_override=4, use_mesh=False)
+
+    out_b = tmp_path / "interrupted"
+    train_fragment_core(str(cfg_path), output_dir=str(out_b),
+                        epochs_override=2, use_mesh=False)
+    train_fragment_core(str(cfg_path), output_dir=str(out_b),
+                        epochs_override=4, use_mesh=False,
+                        from_last_checkpoint=True)
+
+    a = (out_a / "params.msgpack").read_bytes()
+    b = (out_b / "params.msgpack").read_bytes()
+    assert a == b
+
+
+def test_old_checkpoints_without_opt_state_still_resume(tmp_path, rng):
+    """Pre-upgrade checkpoints (weights only) resume with fresh moments
+    instead of crashing."""
+    import json
+
+    from jaeger_tpu.commands.train import train_fragment_core
+
+    cfg_path = _write_fixture(tmp_path, rng)
+    out = tmp_path / "model"
+    train_fragment_core(str(cfg_path), output_dir=str(out),
+                        epochs_override=2, use_mesh=False)
+    # strip the opt_path entries, simulating a round-2 checkpoint dir
+    idx = out / "checkpoints" / "classifier" / "checkpoints.json"
+    entries = json.loads(idx.read_text())
+    for e in entries:
+        e.pop("opt_path", None)
+    idx.write_text(json.dumps(entries))
+    r = train_fragment_core(str(cfg_path), output_dir=str(out),
+                            epochs_override=3, use_mesh=False,
+                            from_last_checkpoint=True)
+    assert [h["epoch"] for h in r["history"]["classifier"]] == [2]
