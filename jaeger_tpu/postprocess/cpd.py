@@ -38,11 +38,18 @@ def kernel_cpd_linear(signal: np.ndarray, pen: float,
         seg = csum[e] - csum[s]
         return csq[e] - csq[s] - float(seg @ seg) / (e - s)
 
-    # PELT
+    # PELT with min_size-aware DELAYED pruning. The textbook prune
+    # ("drop s once F[s] + cost(s,t) > F[t]") is only safe for future
+    # times t' >= t + min_size — before that, t itself is not a feasible
+    # last changepoint, so a pruned s could still be the true optimum at
+    # t' (caught by the exhaustive/forward-DP oracles,
+    # tests/test_cpd_oracles.py). A dominated s is therefore only marked
+    # at t and actually removed once t' - t >= min_size.
     F = np.full(n + 1, np.inf)
     F[0] = -pen
     prev = np.zeros(n + 1, dtype=np.int64)
     candidates = [0]
+    pruned_at: dict[int, int] = {}
     for t in range(min_size, n + 1):
         best, best_s = np.inf, 0
         for s in candidates:
@@ -53,13 +60,17 @@ def kernel_cpd_linear(signal: np.ndarray, pen: float,
                 best, best_s = v, s
         F[t] = best
         prev[t] = best_s
-        # pruning: drop candidates that can never be optimal again
-        candidates = [
-            s for s in candidates
-            if t - s < min_size or F[s] + cost(s, t) <= F[t]
-        ]
-        candidates.append(t - min_size + 1 if t - min_size + 1 > 0 else 0)
-        candidates = sorted(set(s for s in candidates if s <= t))
+        for s in candidates:
+            if (t - s >= min_size and s not in pruned_at
+                    and F[s] + cost(s, t) > F[t]):
+                pruned_at[s] = t
+        nxt = t - min_size + 1
+        if 0 < nxt <= t and nxt not in candidates:
+            candidates.append(nxt)
+        candidates = sorted(
+            s for s in set(candidates)
+            if s not in pruned_at or t - pruned_at[s] < min_size
+        )
 
     bkps = []
     t = n
