@@ -112,7 +112,7 @@ def _cid(codon: str) -> int:
 
 
 def _candidates_forward(seq: str, min_len: int, stops=_STOPS, hexp=None,
-                        cod=None):
+                        cod=None, hex_capped=False):
     """Scored gene candidates on the forward strand.
 
     Yields ``(start, end, score)`` with ``end`` at the stop codon's 3'
@@ -136,7 +136,8 @@ def _candidates_forward(seq: str, min_len: int, stops=_STOPS, hexp=None,
                 end = i + 3
                 for s in starts:
                     if end - s >= min_len:
-                        yield s, end, _score(seq, s, end, hexp=hexp)
+                        yield s, end, _score(seq, s, end, hexp=hexp,
+                                             hex_capped=hex_capped)
                 starts = []
             else:
                 starts.append(i)
@@ -144,11 +145,12 @@ def _candidates_forward(seq: str, min_len: int, stops=_STOPS, hexp=None,
         end = n - (n - frame) % 3
         for s in starts:
             if end - s >= min_len:
-                yield s, end, _score(seq, s, end, edge=True, hexp=hexp)
+                yield s, end, _score(seq, s, end, edge=True, hexp=hexp,
+                                     hex_capped=hex_capped)
 
 
 def _score(seq: str, start: int, end: int, edge: bool = False,
-           hexp=None) -> float:
+           hexp=None, hex_capped: bool = False) -> float:
     codons = (end - start) // 3
     score = _LEN_W * (codons - _LEN_BASE)
     score += _START_W.get(seq[start : start + 3], -0.5)
@@ -156,7 +158,16 @@ def _score(seq: str, start: int, end: int, edge: bool = False,
     if edge:
         score -= 0.5
     if hexp is not None:
-        score += _HEX_W * _hex_score(hexp, start, end)
+        hx = _HEX_W * _hex_score(hexp, start, end)
+        if hex_capped:
+            # pre-trained-prior mode: the coding term is a bounded
+            # refinement (at most half the candidate's own length/start/
+            # RBS evidence), biasing start choice and overlap competition
+            # without ever erasing strong direct evidence on compositions
+            # unlike the prior's training genome
+            cap = 0.5 * max(score, 0.5)
+            hx = float(np.clip(hx, -cap, cap))
+        score += hx
     return score
 
 
@@ -289,28 +300,66 @@ def _select(cands):
     return out, best[len(cands)]
 
 
+_PRIOR_PATH_ENV = "JAEGER_TPU_HEXAMER_PRIOR"
+_prior_cache: list = []  # [np.ndarray | None] once loaded
+
+
+def pretrained_hexamer_logodds() -> np.ndarray | None:
+    """The shipped pre-trained hexamer coding prior (4096 log-odds).
+
+    Role parity: pyrodigal-gv's meta-mode pre-trained profiles
+    (reference ``postprocess/prophage_boundaries.py:25-48``) give short /
+    gene-poor contigs coding statistics that per-contig self-training
+    cannot. This table is trained OFFLINE by
+    ``scripts/build_hexamer_prior.py``: the two-pass caller selects genes
+    on the bundled real assembly contigs (30-45 kb, long enough for
+    self-training to be reliable), and their pooled interior hexamer
+    counts vs background yield the log-odds. Genuine pyrodigal-gv
+    profiles are not reproducible in-image (the package is not
+    installed and there is no network); the divergence stays documented.
+    """
+    if not _prior_cache:
+        import os
+        from pathlib import Path
+
+        path = Path(os.environ.get(
+            _PRIOR_PATH_ENV,
+            Path(__file__).parent.parent / "data" / "hexamer_prior.npz",
+        ))
+        if path.exists():
+            with np.load(path) as z:
+                _prior_cache.append(z["logodds"].astype(np.float64))
+        else:
+            _prior_cache.append(None)
+    return _prior_cache[0]
+
+
 def _gather(seq: str, rc: str, n: int, min_len: int, stops,
-            cod_f, cod_r, hexp_f=None, hexp_r=None):
+            cod_f, cod_r, hexp_f=None, hexp_r=None, hex_capped=False):
     """Both-strand candidates in genome coordinates, tagged with strand
     (+1 forward / -1 reverse)."""
     cands = [
         (s, e, w, 1)
         for s, e, w in _candidates_forward(seq, min_len, stops, hexp_f,
-                                           cod_f)
+                                           cod_f, hex_capped)
     ]
     cands += [
         (n - e, n - s, w, -1)
         for s, e, w in _candidates_forward(rc, min_len, stops, hexp_r,
-                                           cod_r)
+                                           cod_r, hex_capped)
     ]
     return cands
 
 
 def _call_code(seq: str, rc: str, n: int, min_len: int, stops,
-               cod_f, cod_r, ids_f, ids_r):
-    """Two-pass caller for one genetic code: select on length/start/RBS,
-    self-train hexamer statistics on the selection, re-select with the
-    coding term. Returns (intervals, total_selected_score)."""
+               cod_f, cod_r, ids_f, ids_r, prior_lo=None):
+    """Two-pass caller for one genetic code: select with the PRE-TRAINED
+    coding prior (when shipped) + length/start/RBS, self-train hexamer
+    statistics on the selection, re-select with the self-trained term.
+    Gene-poor/short contigs that cannot self-train fall back to a
+    second pass scored with the pre-trained prior — recentered on this
+    contig's background and capped per candidate — the pyrodigal-gv
+    meta-mode role. Returns (intervals, total_selected_score)."""
     first, total = _select(
         _gather(seq, rc, n, min_len, stops, cod_f, cod_r)
     )
@@ -318,12 +367,25 @@ def _call_code(seq: str, rc: str, n: int, min_len: int, stops,
     rev = [(n - c[1], n - c[0]) for c in first if c[3] == -1]  # rc coords
     lo = _hex_logodds(ids_f, ids_r,
                       _interior_positions(fwd), _interior_positions(rev))
+    capped = False
+    if lo is None and prior_lo is not None:
+        # meta-mode fallback: recenter the pre-trained log-odds on THIS
+        # contig's valid hexamers so the prior scores relative coding
+        # enrichment (~zero-mean on compositions unlike its training
+        # genome — cf. Prodigal meta-mode's bank of GC-binned profiles);
+        # the per-candidate cap in _score bounds its influence
+        both = np.concatenate([ids_f[ids_f >= 0], ids_r[ids_r >= 0]])
+        lo = prior_lo - (
+            float(prior_lo[both].mean()) if both.size else 0.0
+        )
+        capped = True
     if lo is None:
         return [(c[0], c[1]) for c in first], total
     hexp_f = _prefix_from_logodds(ids_f, lo)
     hexp_r = _prefix_from_logodds(ids_r, lo)
     second, total = _select(
-        _gather(seq, rc, n, min_len, stops, cod_f, cod_r, hexp_f, hexp_r)
+        _gather(seq, rc, n, min_len, stops, cod_f, cod_r, hexp_f, hexp_r,
+                hex_capped=capped)
     )
     return [(c[0], c[1]) for c in second], total
 
@@ -362,9 +424,10 @@ def find_genes(sequence: str, min_len: int = 90, mode: str = "scored",
         codes = sorted(_CODE_STOPS)
     cod_f, cod_r = _codon_ids(seq), _codon_ids(rc)
     ids_f, ids_r = _hex_ids(seq), _hex_ids(rc)
+    prior_lo = pretrained_hexamer_logodds()
     results = {
         code: _call_code(seq, rc, n, min_len, _CODE_STOPS[code],
-                         cod_f, cod_r, ids_f, ids_r)
+                         cod_f, cod_r, ids_f, ids_r, prior_lo=prior_lo)
         for code in codes
     }
     if len(results) == 1:
