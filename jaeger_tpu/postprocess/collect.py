@@ -406,11 +406,14 @@ def write_output(data: dict, output_table_path, output_phage_table_path,
     df.to_csv(output_table_path, sep="\t", index=False, float_format="%.3f")
 
     lower = [label.lower() for label in labels]
-    viral_label = "phage"
     if "phage" in lower:
         viral_label = labels[lower.index("phage")]
     elif "virus" in lower:
         viral_label = labels[lower.index("virus")]
+    else:
+        # custom class sets without a viral class: no phage table
+        # (querying a nonexistent <label>_score column would crash)
+        return len(df)
 
     if data.get("has_reliability", True):
         reliability_clause = f" and (reliability_score > {reliability_cutoff})"
