@@ -66,11 +66,13 @@ def _apply_device_flags(cpu: bool, physicalid: int = 0, mem: int | None = None,
 
 
 def _resolve_int8_bundle(model_path: str) -> str:
-    """Find the int8 bundle for a model: the bundle itself, or a
-    sibling '<name>_int8' directory written by `jaeger utils quantize`."""
+    """Find the int8 bundle for a model: the bundle itself, the 'int8/'
+    subdirectory auto-calibrated at train --save_model, or a sibling
+    '<name>_int8' directory written by `jaeger utils quantize`."""
     from pathlib import Path as _P
 
-    cands = [_P(model_path), _P(str(model_path).rstrip("/") + "_int8")]
+    cands = [_P(model_path), _P(model_path) / "int8",
+             _P(str(model_path).rstrip("/") + "_int8")]
     for c in cands:
         # load_model only takes the int8 path when params.msgpack is
         # absent — a dir holding both would silently run float weights

@@ -197,7 +197,7 @@ def _run_branch(
 _OWN_ARTIFACTS = frozenset({
     "checkpoints", "params.msgpack", "project.yaml", "classes.yaml",
     "reliability_data", "reliability_threshold.tsv", "history.csv",
-    "refine.yaml",
+    "refine.yaml", "int8",
 })
 
 
@@ -819,6 +819,24 @@ def train_fragment_core(
             save_model(variables, config, out_root)
             results["model_path"] = str(out_root)
             logger.info(f"model saved to {out_root}")
+            # auto-calibrate the opt-in int8 MXU bundle beside the model
+            # (model_saving.save_int8, default on): `predict --int8`
+            # picks it up; accuracy qualification in
+            # docs/int8_qualification.md + scripts/qualify_int8.py
+            if train_cfg.get("model_saving", {}).get("save_int8", True):
+                try:
+                    from jaeger_tpu.models.conversion import quantize_bundle
+
+                    stats = quantize_bundle(
+                        out_root, out_root / "int8", mode="full_int8")
+                    results["int8_path"] = str(out_root / "int8")
+                    logger.info(
+                        f"calibrated full_int8 bundle saved to "
+                        f"{out_root / 'int8'} "
+                        f"({stats.get('int8_exec_convs', 0)} int8 convs)")
+                except Exception as exc:  # quantization must never
+                    logger.warning(       # invalidate a finished train
+                        f"int8 auto-calibration skipped: {exc}")
         if meta:
             # container-orchestration metadata file (reference
             # nnlib/builder.py:1463-1470)

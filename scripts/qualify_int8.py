@@ -1,0 +1,253 @@
+"""int8 accuracy qualification: bf16 vs full_int8 on a trained model.
+
+Round-2 verdict item 4: the int8 MXU path (1.2x measured on chip) was
+"contig calls unchanged + bounded logit drift" only; qualify it the way
+the reference qualifies its ONNX-INT8 path (docs/_source/
+optimizations.md:253-256) — train a model, score bf16 vs int8 on a
+several-thousand-window corpus, report per-class F1 and call agreement.
+
+No released trained weights are reachable in this image (model downloads
+are network-sealed), so the corpus is synthetic-but-learnable: three
+sequence families with distinct composition signatures. That exercises
+exactly what quantization can change (the conv arithmetic through real,
+trained, non-degenerate weights); the limitation is documented in
+docs/int8_qualification.md.
+
+Usage: python scripts/qualify_int8.py [--out INT8_QUAL.json] [--work DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+# CPU by default: the 300-contig corpus needs many predict programs and
+# the harness's chip relay compiles at minutes-scale per program. The
+# quantization error under test (int8 binning + per-channel scales) is
+# platform-independent; the chip-side throughput number lives in
+# experiments/int8_flagship_bench.py. Override with JAX_PLATFORMS.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+from jaeger_tpu.utils.devices import honour_platform_env  # noqa: E402
+
+honour_platform_env()
+
+CLASSES = ["alpha", "beta", "gamma"]
+
+#: composition signatures: per-class base weights (learnable but noisy)
+_WEIGHTS = {
+    0: (0.4, 0.1, 0.1, 0.4),   # AT-rich
+    1: (0.1, 0.4, 0.4, 0.1),   # GC-rich
+    2: (0.35, 0.3, 0.05, 0.3),  # skewed
+}
+
+
+def _seq(rng, label: int, n: int) -> str:
+    return "".join(
+        rng.choice(list("ACGT"), size=n, p=np.asarray(_WEIGHTS[label]))
+    )
+
+
+def make_training_csv(path: Path, rng, rows: int = 1800,
+                      length: int = 600) -> None:
+    with path.open("w") as fh:
+        for i in range(rows):
+            label = i % 3
+            fh.write(f"{label},{_seq(rng, label, length)}\n")
+
+
+def make_corpus(path: Path, rng, contigs: int = 300) -> list[int]:
+    labels = []
+    with path.open("w") as fh:
+        for i in range(contigs):
+            label = i % 3
+            ln = int(rng.integers(1200, 12_000))
+            fh.write(f">c{i}_class{label}\n{_seq(rng, label, ln)}\n")
+            labels.append(label)
+    return labels
+
+
+def train_model(work: Path, csv: Path) -> Path:
+    import yaml
+
+    cfg = {
+        "model": {
+            "name": "int8qual", "seed": 5, "classifier_out_dim": 3,
+            "class_label_map": [
+                {"class": c, "label": i} for i, c in enumerate(CLASSES)
+            ],
+            "embedding": {"use_embedding_layer": True,
+                          "input_type": "translated",
+                          "embedding_size": 32},
+            "string_processor": {
+                "crop_size": 165, "seq_onehot": False,
+                "buffer_size": 2000,
+                "classifier_labels": [0, 1, 2],
+                "classifier_labels_map": [0, 1, 2],
+            },
+            "representation_learner": {
+                "hidden_layers": [
+                    {"name": "masked_conv1d",
+                     "config": {"filters": 48, "kernel_size": 7,
+                                "padding": "same"}},
+                    {"name": "gelu"},
+                    {"name": "masked_conv1d",
+                     "config": {"filters": 48, "kernel_size": 5,
+                                "padding": "same", "dilation_rate": 2}},
+                    {"name": "gelu"},
+                    {"name": "masked_conv1d",
+                     "config": {"filters": 48, "kernel_size": 3,
+                                "padding": "same", "dilation_rate": 4}},
+                    {"name": "gelu"},
+                ],
+                "pooling": "average",
+            },
+            "classifier": {
+                "hidden_layers": [
+                    {"name": "dense", "config": {"units": 3}}],
+            },
+        },
+        "training": {
+            "batch_size": 64, "classifier_epochs": 3,
+            "classifier_train_steps": 60,
+            "optimizer": "adam",
+            "optimizer_params": {"learning_rate": 0.003},
+            "loss_classifier": "categorical_crossentropy",
+            "loss_params_classifier": {"from_logits": True},
+            "fragment_classifier_data": {
+                "train": [{"class": CLASSES, "path": [str(csv)],
+                           "label": [0, 1, 2]}],
+            },
+        },
+    }
+    cfg_path = work / "config.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg, sort_keys=False))
+
+    from jaeger_tpu.commands.train import train_fragment_core
+
+    res = train_fragment_core(str(cfg_path), output_dir=str(work / "model"),
+                              use_mesh=False)
+    assert "int8_path" in res, "auto-calibration did not run"
+    return work / "model"
+
+
+def predict_tsv(bundle: Path, fasta: Path, out: Path) -> Path:
+    from jaeger_tpu.commands.predict import run_core
+
+    return run_core(
+        input_path=str(fasta), output_dir=str(out),
+        model_path=str(bundle), fsize=500, stride=500, min_len=500,
+        batch=256, precision="bfloat16", scan_termini=False,
+        save_window_scores=True, overwrite=True,
+    )
+
+
+def _per_class_f1(true, pred, n_classes=3):
+    f1s = {}
+    for c in range(n_classes):
+        tp = sum(1 for t, p in zip(true, pred) if t == c and p == c)
+        fp = sum(1 for t, p in zip(true, pred) if t != c and p == c)
+        fn = sum(1 for t, p in zip(true, pred) if t == c and p != c)
+        f1s[CLASSES[c]] = round(
+            2 * tp / max(2 * tp + fp + fn, 1), 4)
+    return f1s
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=str(REPO / "INT8_QUAL.json"))
+    ap.add_argument("--work", default="/tmp/int8_qual")
+    args = ap.parse_args()
+    work = Path(args.work)
+    work.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(17)
+
+    csv = work / "train.csv"
+    if not csv.exists():
+        make_training_csv(csv, rng)
+    fasta = work / "corpus.fasta"
+    labels = make_corpus(fasta, np.random.default_rng(23))
+
+    model_dir = work / "model"
+    if not (model_dir / "params.msgpack").exists():
+        model_dir = train_model(work, csv)
+
+    bf16_tsv = predict_tsv(model_dir, fasta, work / "pred_bf16")
+    int8_tsv = predict_tsv(model_dir / "int8", fasta, work / "pred_int8")
+
+    def read_calls(tsv: Path):
+        calls, names = [], []
+        for i, line in enumerate(tsv.read_text().splitlines()):
+            if i == 0:
+                continue
+            f = line.split("\t")
+            names.append(f[0])
+            calls.append(f[2])
+        return names, calls
+
+    names, bf16_calls = read_calls(bf16_tsv)
+    _, int8_calls = read_calls(int8_tsv)
+    true = [CLASSES[labels[int(n.split("_")[0][1:])]] for n in names]
+    idx = {c: i for i, c in enumerate(CLASSES)}
+
+    agree = sum(a == b for a, b in zip(bf16_calls, int8_calls))
+    res = {
+        "metric": "int8 accuracy qualification (trained model, "
+                  f"{len(names)} contigs, synthetic 3-family corpus)",
+        "contig_call_agreement": round(agree / len(names), 4),
+        "bf16_accuracy": round(
+            sum(a == t for a, t in zip(bf16_calls, true)) / len(true), 4),
+        "int8_accuracy": round(
+            sum(a == t for a, t in zip(int8_calls, true)) / len(true), 4),
+        "bf16_per_class_f1": _per_class_f1(
+            [idx[t] for t in true], [idx.get(c, -1) for c in bf16_calls]),
+        "int8_per_class_f1": _per_class_f1(
+            [idx[t] for t in true], [idx.get(c, -1) for c in int8_calls]),
+        "tsv_byte_identical": (bf16_tsv.read_bytes()
+                               == int8_tsv.read_bytes()),
+    }
+    # per-window prediction drift (softmax scores, every window of every
+    # contig; 'predictions' is a ragged object array per contig)
+    npz_b = np.load(next((work / "pred_bf16").glob("*window_scores*.npz")),
+                    allow_pickle=True)
+    npz_i = np.load(next((work / "pred_int8").glob("*window_scores*.npz")),
+                    allow_pickle=True)
+    pb = np.concatenate([np.atleast_2d(np.asarray(p, np.float64))
+                         for p in npz_b["predictions"]])
+    pi = np.concatenate([np.atleast_2d(np.asarray(p, np.float64))
+                         for p in npz_i["predictions"]])
+    d = np.abs(pb - pi)
+
+    def _softmax(x):
+        e = np.exp(x - x.max(axis=1, keepdims=True))
+        return e / e.sum(axis=1, keepdims=True)
+
+    dp = np.abs(_softmax(pb) - _softmax(pi))
+    res["n_windows"] = int(pb.shape[0])
+    res["window_argmax_agreement"] = round(
+        float((pb.argmax(1) == pi.argmax(1)).mean()), 4)
+    res["window_logit_drift"] = {
+        "mean": round(float(d.mean()), 5),
+        "p99": round(float(np.quantile(d, 0.99)), 5),
+        "max": round(float(d.max()), 5),
+        "logit_scale_rms": round(float(np.sqrt((pb ** 2).mean())), 2),
+    }
+    res["window_prob_drift"] = {
+        "mean": round(float(dp.mean()), 6),
+        "p99": round(float(np.quantile(dp, 0.99)), 6),
+        "max": round(float(dp.max()), 6),
+    }
+    Path(args.out).write_text(json.dumps(res, indent=2) + "\n")
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

@@ -374,6 +374,11 @@ def test_mixed_precision_training(tmp_path, rng):
     cfg_path = _write_fixture(tmp_path, rng)
     cfg = yaml.safe_load(cfg_path.read_text())
     cfg["training"]["mixed_precision"] = "bfloat16"
+    # a second conv so the int8 auto-calibration has a quantizable layer
+    # (the embed-folded ENTRY conv intentionally stays bf16)
+    cfg["model"]["representation_learner"]["hidden_layers"].append(
+        {"name": "masked_conv1d",
+         "config": {"filters": 8, "kernel_size": 3, "padding": "same"}})
     cfg_path.write_text(yaml.safe_dump(cfg, sort_keys=False))
     out = tmp_path / "bf16_model"
     r = train_fragment_core(str(cfg_path), output_dir=str(out),
@@ -383,6 +388,18 @@ def test_mixed_precision_training(tmp_path, rng):
     _, variables, _, _ = load_model(out)
     leaf = variables["params"]["classifier"]["dense_0"]["kernel"]
     assert np.asarray(leaf).dtype == np.float32  # params stay f32
+
+    # save_model auto-calibrates the opt-in int8 MXU bundle beside the
+    # float weights (model_saving.save_int8, default on) and the CLI's
+    # --int8 resolution finds it (docs/int8_qualification.md)
+    assert r["int8_path"] == str(out / "int8")
+    assert (out / "int8" / "params_int8.msgpack").exists()
+    assert (out / "int8" / "quantization.yaml").exists()
+    from jaeger_tpu.cli import _resolve_int8_bundle
+
+    assert _resolve_int8_bundle(str(out)) == str(out / "int8")
+    _, int8_vars, _, _ = load_model(out / "int8")
+    assert "quant" in int8_vars  # int8 MXU execution collection
 
 
 def test_label_smoothing():
