@@ -34,7 +34,7 @@ from jaeger_tpu.train.checkpoint import (
 from jaeger_tpu.train.loop import (
     StepConfig,
     TrainState,
-    make_train_step,
+    make_dispatching_train_step,
 )
 from jaeger_tpu.train.optimizers import (
     get_learning_rate,
@@ -148,8 +148,9 @@ def _run_branch(
             if i >= steps_per_epoch:
                 break
             rng, step_rng = jax.random.split(rng)
-            dev = {k: jnp.asarray(v) for k, v in batch.items()}
-            state, metrics = step_fn(state, dev, step_rng)
+            # host batch passes straight through: the dispatching step
+            # reads it on host for program selection, then jit uploads
+            state, metrics = step_fn(state, batch, step_rng)
             if nan_guard is not None and i % 50 == 0:
                 if nan_guard.on_step(float(metrics["loss"])):
                     logger.error(f"{branch}: non-finite loss, stopping")
@@ -578,30 +579,31 @@ def train_fragment_core(
         )
         state = _resume_opt_state("classifier",
                                   TrainState.create(variables, tx))
-        step_fn = jax.jit(
-            make_train_step(
-                model,
-                StepConfig(
-                    loss_name=train_cfg.get(
-                        "loss_classifier", "categorical_crossentropy"
-                    ),
-                    loss_params=train_cfg.get("loss_params_classifier", {}),
-                    class_weights=_class_weights(
-                        train_cfg, "classifier_class_weights", num_classes
-                    ),
-                    reg_specs=reg_specs,
-                    # head-only fine-tuning freezes the representation
-                    # learner (reference commands/train.py:846-856,
-                    # --only_classification_head / --only_heads)
-                    frozen_prefixes=(
-                        ("embedding", "translated_embedding", "rep",
-                         "rep_branch", "projection")
-                        if only_classification_head else ()
-                    ),
-                    heads=("prediction",),
+        # per-batch dense/masked program selection + SPMD over the data
+        # mesh when one is configured (batch sharded, params replicated,
+        # gradient/BN collectives inserted by XLA)
+        step_fn = make_dispatching_train_step(
+            model,
+            StepConfig(
+                loss_name=train_cfg.get(
+                    "loss_classifier", "categorical_crossentropy"
                 ),
+                loss_params=train_cfg.get("loss_params_classifier", {}),
+                class_weights=_class_weights(
+                    train_cfg, "classifier_class_weights", num_classes
+                ),
+                reg_specs=reg_specs,
+                # head-only fine-tuning freezes the representation
+                # learner (reference commands/train.py:846-856,
+                # --only_classification_head / --only_heads)
+                frozen_prefixes=(
+                    ("embedding", "translated_embedding", "rep",
+                     "rep_branch", "projection")
+                    if only_classification_head else ()
+                ),
+                heads=("prediction",),
             ),
-            donate_argnums=(0,),
+            mesh=mesh,
         )
         callbacks = build_callbacks(
             train_cfg.get("callbacks", {}).get("classifier", [])
@@ -713,24 +715,22 @@ def train_fragment_core(
             )
             state = _resume_opt_state("reliability",
                                       TrainState.create(variables, tx))
-            step_fn = jax.jit(
-                make_train_step(
-                    model,
-                    StepConfig(
-                        loss_name=train_cfg.get(
-                            "loss_reliability", "binary_crossentropy"
-                        ),
-                        loss_params=train_cfg.get(
-                            "loss_params_reliability", {}
-                        ),
-                        output_key="reliability",
-                        frozen_prefixes=(
-                            "embedding", "rep", "classifier", "projection",
-                        ),
-                        heads=("reliability",),
+            step_fn = make_dispatching_train_step(
+                model,
+                StepConfig(
+                    loss_name=train_cfg.get(
+                        "loss_reliability", "binary_crossentropy"
                     ),
+                    loss_params=train_cfg.get(
+                        "loss_params_reliability", {}
+                    ),
+                    output_key="reliability",
+                    frozen_prefixes=(
+                        "embedding", "rep", "classifier", "projection",
+                    ),
+                    heads=("reliability",),
                 ),
-                donate_argnums=(0,),
+                mesh=mesh,
             )
 
             def rel_batches(paths_, epoch_seed, repeat=True):

@@ -78,17 +78,14 @@ class InferenceEngine:
         (IDs 0-3; 4=N, 5-8=soft-masked) — the mask would be all-true, so
         skipping it saves the mask-propagation elementwise work."""
         crop = getattr(self.model, "crop_nt", None)
-        if crop is None or bases.shape[1] < crop:
+        if crop is None:
             return False
-        if lengths.size == 0 or int(lengths.min()) < crop:
-            return False
-        window = bases[:, :crop]
-        if getattr(self.model, "masking_enabled", True):
-            # soft-masked IDs (5-8) encode to masked tokens: exclude them
-            return bool(window.max() < 4)
-        # masking off: lowercase encodes as its uppercase base; only true
-        # Ns (ID 4) produce masked tokens
-        return bool(not (window == 4).any())
+        from jaeger_tpu.ops.encode import dense_window_batch
+
+        return dense_window_batch(
+            bases, lengths, crop,
+            getattr(self.model, "masking_enabled", True),
+        )
 
     def _forward(self, variables, bases, lengths, dense: bool = False):
         kwargs = {"assume_dense": True} if dense else {}

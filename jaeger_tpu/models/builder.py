@@ -49,6 +49,13 @@ class LayerStack(nn.Module):
     pooling: str | None = None
     nmd_merge: dict | None = None
     seq_axis: str | None = None          # length-shard Hyena over this axis
+    # rematerialize residual blocks under grad (jax.checkpoint): the bwd
+    # pass recomputes each block's internals from its input instead of
+    # keeping every conv/norm activation live — the flagship's train step
+    # at batch 2048 otherwise overflows HBM (16.09G > 15.75G, measured;
+    # experiments/train_breakdown.py). Inference programs are unaffected
+    # (nothing is saved without grad). config key: model.remat
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -108,7 +115,11 @@ class LayerStack(nn.Module):
                 )(x, mask, train)
             elif name == "residual_block":
                 block_size = cfg.get("block_size", 1)
-                rb = L.ResidualBlockStack(
+                rb_cls = (
+                    nn.remat(L.ResidualBlockStack, static_argnums=(3,))
+                    if self.remat else L.ResidualBlockStack
+                )
+                rb = rb_cls(
                     name=lname, dtype=self.dtype, block_size=block_size,
                     **_sub(cfg, _RES_KEYS),
                 )
@@ -471,7 +482,7 @@ class JaegerModel(nn.Module):
                 name="rep_branch",
                 layer_configs=_freeze_layers(bcfg.get("hidden_layers", [])),
                 pooling=bcfg.get("pooling"), seq_axis=seq_axis,
-                dtype=self.dtype,
+                remat=bool(cfg.get("remat", False)), dtype=self.dtype,
             )
             branch_outs = []
             for i in range(x.shape[1]):
@@ -489,7 +500,8 @@ class JaegerModel(nn.Module):
                 name="rep",
                 layer_configs=_freeze_layers(rep_cfg.get("hidden_layers", [])),
                 pooling=rep_cfg.get("pooling"),
-                nmd_merge=merge_cfg, seq_axis=seq_axis, dtype=self.dtype,
+                nmd_merge=merge_cfg, seq_axis=seq_axis,
+                remat=bool(cfg.get("remat", False)), dtype=self.dtype,
             )(x, mask, train, fold_table=fold_table, taps=_need_rel)
 
         outputs["embedding"] = rep

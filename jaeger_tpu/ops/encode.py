@@ -106,6 +106,25 @@ def _frames_from_codons(codons: jnp.ndarray, k: int) -> jnp.ndarray:
     return jnp.stack(f, axis=1)
 
 
+def dense_window_batch(bases: np.ndarray, lengths: np.ndarray,
+                       crop_nt: int, masking_enabled: bool = True) -> bool:
+    """True when the maskless (``assume_dense``) program is exact for this
+    host batch: every window fills the model's crop and no base encodes
+    to a masked token, so the mask would be all-true and skipping its
+    propagation is an identity. Base IDs: 0-3 ACGT, 4 N, 5-8 soft-masked
+    lowercase (which encode to their uppercase base when the model's
+    ``masking`` flag is off). Shared by the inference engine's per-batch
+    program selection and the train loop's dense-step dispatch."""
+    if bases.shape[1] < crop_nt:
+        return False
+    if lengths.size == 0 or int(lengths.min()) < crop_nt:
+        return False
+    window = bases[:, :crop_nt]
+    if masking_enabled:
+        return bool(window.max() < 4)
+    return bool(not (window == 4).any())
+
+
 def pack_bases(bases: np.ndarray) -> np.ndarray:
     """Pack base IDs two-per-byte (4-bit nibbles) for host->device
     transfer. Halves PCIe/interconnect bytes; exact for the 9-symbol

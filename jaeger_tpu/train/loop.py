@@ -61,6 +61,12 @@ class StepConfig:
     # NMD taps / reliability head, or their moving stats would update
     # (nnlib/builder.py:595-640).
     heads: tuple | None = None
+    # Maskless train program: valid ONLY when every window in the batch
+    # fills the crop with unambiguously-encoding bases (the mask would be
+    # all-true — an identity). Selected per batch by
+    # make_dispatching_train_step; chip-measured +28% on the flagship
+    # train-mode forward (experiments/train_breakdown.py).
+    assume_dense: bool = False
 
 
 def make_train_step(model, cfg: StepConfig) -> Callable:
@@ -89,10 +95,11 @@ def make_train_step(model, cfg: StepConfig) -> Callable:
             variables["batch_stats"] = batch_stats
         inputs = {k: v for k, v in batch.items() if k != "labels"}
         mutable = ["batch_stats"] if batch_stats else []
+        extra = {"assume_dense": True} if cfg.assume_dense else {}
         out, updates = model.apply(
             variables, inputs, train=True,
             rngs={"dropout": rng}, mutable=mutable,
-            heads=cfg.heads,
+            heads=cfg.heads, **extra,
         )
         logits = out[cfg.output_key]
         loss = loss_fn_base(
@@ -152,3 +159,48 @@ def shard_train_step(train_step, mesh):
         out_shardings=(rep, rep),
         donate_argnums=(0,),
     )
+
+
+def make_dispatching_train_step(model, cfg: StepConfig, mesh=None):
+    """(state, host_batch, rng) -> (state, metrics) with per-batch
+    program selection, mirroring the inference engine: when every window
+    in the batch fills the crop with unambiguously-encoding bases, run
+    the MASKLESS train program (the mask would be all-true — exact;
+    chip-measured +28% on the flagship train-mode forward). Ambiguous
+    batches fall back to the masked program.
+
+    The predicate runs on the HOST batch (numpy), before upload; each
+    variant compiles lazily on first use, so clean datasets never pay
+    the masked compile and dirty ones never pay the dense compile.
+    Batches without raw ``bases`` (pre-encoded features) always use the
+    masked program.
+    """
+    import numpy as np
+
+    from jaeger_tpu.ops.encode import dense_window_batch
+
+    crop_nt = getattr(model, "crop_nt", None)
+    masking = getattr(model, "masking_enabled", True)
+    compiled: dict[bool, Callable] = {}
+
+    def _get(dense: bool):
+        fn = compiled.get(dense)
+        if fn is None:
+            from dataclasses import replace
+
+            step = make_train_step(model, replace(cfg, assume_dense=dense))
+            fn = (shard_train_step(step, mesh) if mesh is not None
+                  else jax.jit(step, donate_argnums=(0,)))
+            compiled[dense] = fn
+        return fn
+
+    def step_fn(state, batch, rng):
+        dense = False
+        if crop_nt is not None and "bases" in batch and "lengths" in batch:
+            dense = dense_window_batch(
+                np.asarray(batch["bases"]), np.asarray(batch["lengths"]),
+                crop_nt, masking,
+            )
+        return _get(dense)(state, batch, rng)
+
+    return step_fn
