@@ -76,7 +76,8 @@ def _class_weights(train_cfg: dict, key: str, num_classes: int):
     return jnp.asarray(weights)
 
 
-def _make_eval_fn(model, loss_name: str, output_key: str = "prediction"):
+def _make_eval_fn(model, loss_name: str, output_key: str = "prediction",
+                  seq_mesh=None):
     loss_fn = losses_lib.LOSSES[loss_name]
 
     @jax.jit
@@ -103,7 +104,12 @@ def _make_eval_fn(model, loss_name: str, output_key: str = "prediction"):
             if i >= max_steps:
                 break
             dev = {k: jnp.asarray(v) for k, v in batch.items()}
-            loss, acc = eval_step(variables, dev)
+            if seq_mesh is not None:
+                # seq_axis models need the ambient mesh (Hyena ring)
+                with jax.set_mesh(seq_mesh):
+                    loss, acc = eval_step(variables, dev)
+            else:
+                loss, acc = eval_step(variables, dev)
             losses.append(float(loss))
             accs.append(float(acc))
         if not losses:
@@ -348,7 +354,20 @@ def train_fragment_core(
         else jnp.float32
     )
     builder = ModelBuilder(config, dtype=compute_dtype)
-    model, variables = builder.init()
+    if (model_cfg.get("parallel") or {}).get("seq_axis"):
+        # seq_axis models execute inside a shard_map island that needs
+        # the ambient seq mesh; initialize through a twin config without
+        # it — the param tree is identical (seq_axis only changes the
+        # long-convolution execution), and the step runs the seq model
+        import copy
+
+        init_cfg = copy.deepcopy(config)
+        (init_cfg.get("model", init_cfg)).get("parallel", {}).pop(
+            "seq_axis", None)
+        model = builder.build()
+        _, variables = ModelBuilder(init_cfg, dtype=compute_dtype).init()
+    else:
+        model, variables = builder.init()
     codons, crop_nt = builder.crop
     num_classes = int(model_cfg.get("classifier_out_dim", 3))
     seed = int(model_cfg.get("seed", 42))
@@ -365,7 +384,25 @@ def train_fragment_core(
 
     batch_size = int(batch_override or train_cfg.get("batch_size", 64))
     mesh = None
-    if use_mesh and len(jax.devices()) > 1:
+    seq_mesh = None
+    seq_axis = (model_cfg.get("parallel") or {}).get("seq_axis")
+    if use_mesh and seq_axis and len(jax.devices()) > 1:
+        # sequence-parallel training for full-contig Hyena models: the
+        # devices length-shard the long convolutions (parallel/hyena_sp
+        # ring, differentiable) instead of the batch — mutually exclusive
+        # with the data mesh, mirroring predict --seq-shard.
+        from jax.sharding import Mesh as _Mesh
+
+        width = max(1, min(int(train_cfg.get("seq_shard", 0) or 0)
+                           or len(jax.devices()), len(jax.devices())))
+        if width > 1:
+            import numpy as _np
+
+            seq_mesh = _Mesh(_np.asarray(jax.devices()[:width]),
+                             (str(seq_axis),))
+            logger.info(f"sequence-sharded Hyena training over {width} "
+                        f"devices (axis {seq_axis!r})")
+    elif use_mesh and len(jax.devices()) > 1:
         mesh = meshlib.data_mesh()
         batch_size = meshlib.pad_to_multiple(batch_size, mesh.devices.size)
 
@@ -603,7 +640,7 @@ def train_fragment_core(
                 ),
                 heads=("prediction",),
             ),
-            mesh=mesh,
+            mesh=mesh, seq_mesh=seq_mesh,
         )
         callbacks = build_callbacks(
             train_cfg.get("callbacks", {}).get("classifier", [])
@@ -611,7 +648,8 @@ def train_fragment_core(
         TrainingStatePersistence(cls_dir).restore_into(callbacks)
         evaluate = _make_eval_fn(
             model, train_cfg.get("loss_classifier",
-                                 "categorical_crossentropy")
+                                 "categorical_crossentropy"),
+            seq_mesh=seq_mesh,
         )
         steps = int(
             steps_override or train_cfg.get("classifier_train_steps", 100)
@@ -730,7 +768,7 @@ def train_fragment_core(
                     ),
                     heads=("reliability",),
                 ),
-                mesh=mesh,
+                mesh=mesh, seq_mesh=seq_mesh,
             )
 
             def rel_batches(paths_, epoch_seed, repeat=True):
@@ -746,7 +784,7 @@ def train_fragment_core(
             evaluate = _make_eval_fn(
                 model, train_cfg.get("loss_reliability",
                                      "binary_crossentropy"),
-                output_key="reliability",
+                output_key="reliability", seq_mesh=seq_mesh,
             )
             steps = int(
                 steps_override

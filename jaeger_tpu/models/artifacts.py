@@ -29,6 +29,18 @@ def save_model(variables, config: dict, path: str | Path,
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
     (path / "params.msgpack").write_bytes(serialization.to_bytes(variables))
+    # parallel.seq_axis is a RUNTIME knob (sequence-sharded execution
+    # needs an ambient mesh), not a model property: strip it so the
+    # bundle loads anywhere; predict re-injects it via --seq-shard
+    mcfg = config.get("model", config)
+    if (mcfg.get("parallel") or {}).get("seq_axis"):
+        import copy
+
+        config = copy.deepcopy(config)
+        mcfg = config.get("model", config)
+        mcfg.get("parallel", {}).pop("seq_axis", None)
+        if not mcfg.get("parallel"):
+            mcfg.pop("parallel", None)
     (path / "project.yaml").write_text(yaml.safe_dump(config, sort_keys=False))
     if classes is None:
         label_map = config.get("model", {}).get("class_label_map", [])

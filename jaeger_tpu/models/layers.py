@@ -1368,12 +1368,20 @@ class HyenaOperator(nn.Module):
         stacked = jnp.stack([jnp.pad(p, pads) for p in proj])
         filt = jnp.pad(filters, ((0, 0), (0, 0), (0, Lp - L)))
         axis = self.seq_axis
-        fn = shard_map(
-            lambda ps, fs: hyena_recurrence_sp(
-                [ps[i] for i in range(ps.shape[0])], fs, axis),
-            in_specs=(P(None, None, axis, None), P()),
-            out_specs=P(None, axis, None),
-        )
+        body = (lambda ps, fs: hyena_recurrence_sp(
+            [ps[i] for i in range(ps.shape[0])], fs, axis))
+        specs = dict(in_specs=(P(None, None, axis, None), P()),
+                     out_specs=P(None, axis, None))
+        # check_vma=False: required for TRAINING through the ring — jax
+        # 0.9's fft transpose drops the varying-manual-axes tag from its
+        # expected cotangent (see parallel/hyena_sp.py); grads incl. the
+        # replicated filters' psum are pinned by
+        # tests/test_hyena_sp.py::test_ring_is_differentiable and
+        # tests/test_hyena_seq_train.py.
+        try:
+            fn = shard_map(body, check_vma=False, **specs)
+        except TypeError:  # older jax: check_rep spelling
+            fn = shard_map(body, check_rep=False, **specs)
         return fn(stacked, filt)[:, :L]
 
 

@@ -161,7 +161,8 @@ def shard_train_step(train_step, mesh):
     )
 
 
-def make_dispatching_train_step(model, cfg: StepConfig, mesh=None):
+def make_dispatching_train_step(model, cfg: StepConfig, mesh=None,
+                                seq_mesh=None):
     """(state, host_batch, rng) -> (state, metrics) with per-batch
     program selection, mirroring the inference engine: when every window
     in the batch fills the crop with unambiguously-encoding bases, run
@@ -174,11 +175,19 @@ def make_dispatching_train_step(model, cfg: StepConfig, mesh=None):
     the masked compile and dirty ones never pay the dense compile.
     Batches without raw ``bases`` (pre-encoded features) always use the
     masked program.
+
+    ``seq_mesh`` (mutually exclusive with ``mesh``): run the step under
+    ``jax.set_mesh`` so a model built with ``parallel.seq_axis``
+    length-shards its Hyena long convolutions over the mesh's ``seq``
+    axis (parallel/hyena_sp ppermute ring — differentiable; grads pinned
+    vs the unsharded oracle in tests/test_hyena_seq_train.py).
     """
     import numpy as np
 
     from jaeger_tpu.ops.encode import dense_window_batch
 
+    if mesh is not None and seq_mesh is not None:
+        raise ValueError("mesh and seq_mesh are mutually exclusive")
     crop_nt = getattr(model, "crop_nt", None)
     masking = getattr(model, "masking_enabled", True)
     compiled: dict[bool, Callable] = {}
@@ -201,6 +210,9 @@ def make_dispatching_train_step(model, cfg: StepConfig, mesh=None):
                 np.asarray(batch["bases"]), np.asarray(batch["lengths"]),
                 crop_nt, masking,
             )
+        if seq_mesh is not None:
+            with jax.set_mesh(seq_mesh):
+                return _get(dense)(state, batch, rng)
         return _get(dense)(state, batch, rng)
 
     return step_fn
