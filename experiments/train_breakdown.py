@@ -119,16 +119,28 @@ def run(variants) -> None:
                 "lengths": jnp.full((batch,), crop_nt, jnp.int32),
                 "labels": labels}
 
-    def make_step(dense: bool, remat: bool, batch: int):
+    def make_step(dense: bool, remat: bool, batch: int, accum: int = 1):
         step = make_train_step(models[remat],
                                replace(step_cfg, assume_dense=dense))
+        st0 = state0
+        if accum > 1:
+            # the recommended effective-large-batch path: optax
+            # MultiSteps accumulates `accum` micro-batches per update
+            # (Keras-equal, tests/test_optimizers_live_parity.py)
+            tx_a = make_optimizer("adam", {"learning_rate": 1e-3},
+                                  accumulation_steps=accum)
+            st0 = TrainState.create(
+                jax.device_put({"params": payload["params"],
+                                **({"batch_stats": payload["batch_stats"]}
+                                   if payload["batch_stats"] else {})}),
+                tx_a)
 
         def one(state, seed):
             new_state, metrics = step(state, synth_batch(seed, batch),
                                       jax.random.PRNGKey(0))
             return new_state, metrics["loss"]
 
-        return one
+        return one, st0
 
     def make_fwd(dense: bool, remat: bool, batch: int):
         # the fwd PHASE of the step: train-mode apply incl. batch-stat
@@ -147,13 +159,14 @@ def run(variants) -> None:
 
     results = {}
 
-    def time_steps(name, fn, batch, *, stateful, iters=ITERS):
+    def time_steps(name, fn, batch, *, stateful, iters=ITERS, st0=None):
         try:
             if stateful:
                 fn_c = jax.jit(fn, donate_argnums=(0,))
                 # fresh buffers per variant: donation deletes them, and
                 # device_put of already-resident arrays is a no-op alias
-                state = jax.tree.map(jnp.copy, state0)
+                state = jax.tree.map(jnp.copy,
+                                     state0 if st0 is None else st0)
                 t0 = time.perf_counter()
                 state, loss = fn_c(state, jnp.int32(0))
                 _ = float(loss)
@@ -195,12 +208,14 @@ def run(variants) -> None:
         batch = int(bs) if bs else BATCH
         parts = name.split("-")
         kind, dense, remat = parts[0], "dense" in parts, "remat" in parts
+        accum = next((int(p[5:]) for p in parts
+                      if p.startswith("accum")), 1)
         if kind == "fwd":
             time_steps(spec, make_fwd(dense, remat, batch), batch,
                        stateful=False)
         else:
-            time_steps(spec, make_step(dense, remat, batch), batch,
-                       stateful=True)
+            fn, st0 = make_step(dense, remat, batch, accum)
+            time_steps(spec, fn, batch, stateful=True, st0=st0)
 
     print(json.dumps(results))
 

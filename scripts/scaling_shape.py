@@ -82,6 +82,9 @@ def main() -> None:
                      "config": {"block_size": 2, "filters": 64,
                                 "kernel_size": 5, "dilation_rate": 3,
                                 "norm_type": "masked_dyt"}},
+                    # the reliability head needs an NMD source
+                    # (builder raises otherwise)
+                    {"name": "nmd", "config": {}},
                 ],
                 "pooling": "max",
             },
