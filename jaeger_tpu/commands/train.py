@@ -353,19 +353,40 @@ def train_fragment_core(
                       "mixed_float16", "float16")
         else jnp.float32
     )
+    # --- sequence-parallel mesh decision (before the build: the model
+    # only carries seq_axis when a real seq mesh will exist) ---
+    # model.parallel.seq_axis length-shards the Hyena long convolutions
+    # over the devices (parallel/hyena_sp ring, differentiable) instead
+    # of the batch — mutually exclusive with the data mesh, mirroring
+    # predict --seq-shard. training.seq_shard caps the width.
+    seq_mesh = None
+    seq_axis = (model_cfg.get("parallel") or {}).get("seq_axis")
+    if use_mesh and seq_axis and len(jax.devices()) > 1:
+        from jax.sharding import Mesh as _Mesh
+
+        width = max(1, min(int(train_cfg.get("seq_shard", 0) or 0)
+                           or len(jax.devices()), len(jax.devices())))
+        if width > 1:
+            seq_mesh = _Mesh(np.asarray(jax.devices()[:width]),
+                             (str(seq_axis),))
+            logger.info(f"sequence-sharded Hyena training over {width} "
+                        f"devices (axis {seq_axis!r})")
+
     builder = ModelBuilder(config, dtype=compute_dtype)
-    if (model_cfg.get("parallel") or {}).get("seq_axis"):
-        # seq_axis models execute inside a shard_map island that needs
-        # the ambient seq mesh; initialize through a twin config without
-        # it — the param tree is identical (seq_axis only changes the
-        # long-convolution execution), and the step runs the seq model
+    if seq_axis:
+        # the shard_map island needs the ambient seq mesh: initialize
+        # (and, when no mesh materialized — one device, seq_shard 1,
+        # --no-mesh — also RUN) a twin without the knob; the param tree
+        # is identical either way
         import copy
 
         init_cfg = copy.deepcopy(config)
         (init_cfg.get("model", init_cfg)).get("parallel", {}).pop(
             "seq_axis", None)
-        model = builder.build()
-        _, variables = ModelBuilder(init_cfg, dtype=compute_dtype).init()
+        init_builder = ModelBuilder(init_cfg, dtype=compute_dtype)
+        _, variables = init_builder.init()
+        model = (builder.build() if seq_mesh is not None
+                 else init_builder.build())
     else:
         model, variables = builder.init()
     codons, crop_nt = builder.crop
@@ -384,25 +405,7 @@ def train_fragment_core(
 
     batch_size = int(batch_override or train_cfg.get("batch_size", 64))
     mesh = None
-    seq_mesh = None
-    seq_axis = (model_cfg.get("parallel") or {}).get("seq_axis")
-    if use_mesh and seq_axis and len(jax.devices()) > 1:
-        # sequence-parallel training for full-contig Hyena models: the
-        # devices length-shard the long convolutions (parallel/hyena_sp
-        # ring, differentiable) instead of the batch — mutually exclusive
-        # with the data mesh, mirroring predict --seq-shard.
-        from jax.sharding import Mesh as _Mesh
-
-        width = max(1, min(int(train_cfg.get("seq_shard", 0) or 0)
-                           or len(jax.devices()), len(jax.devices())))
-        if width > 1:
-            import numpy as _np
-
-            seq_mesh = _Mesh(_np.asarray(jax.devices()[:width]),
-                             (str(seq_axis),))
-            logger.info(f"sequence-sharded Hyena training over {width} "
-                        f"devices (axis {seq_axis!r})")
-    elif use_mesh and len(jax.devices()) > 1:
+    if use_mesh and seq_mesh is None and len(jax.devices()) > 1:
         mesh = meshlib.data_mesh()
         batch_size = meshlib.pad_to_multiple(batch_size, mesh.devices.size)
 

@@ -123,3 +123,12 @@ def test_train_command_seq_sharded(tmp_path, rng):
         "bases": jnp.asarray(b["bases"]),
         "lengths": jnp.asarray(b["lengths"])}, train=False)
     assert np.isfinite(np.asarray(out["prediction"], np.float32)).all()
+
+    # regression: the same config must also train when NO seq mesh can
+    # materialize (use_mesh=False / one device / seq_shard 1) — the
+    # command falls back to the unsharded twin instead of tracing a
+    # seq_axis model without an ambient mesh
+    r2 = train_fragment_core(str(cfg_path),
+                             output_dir=str(tmp_path / "m_nomesh"),
+                             use_mesh=False)
+    assert np.isfinite(r2["history"]["classifier"][-1]["loss"])
