@@ -293,7 +293,10 @@ def run_core(
         width = max(1, min(int(seq_shard), n_avail))
         if width > 1:
             mcfg = config["model"] if "model" in config else config
-            mcfg.setdefault("parallel", {})["seq_axis"] = "seq"
+            # defend against `parallel:` present with a null value
+            if not isinstance(mcfg.get("parallel"), dict):
+                mcfg["parallel"] = {}
+            mcfg["parallel"]["seq_axis"] = "seq"
             model = ModelBuilder(config, dtype=dtype).build()
             seq_mesh = Mesh(
                 np.asarray(jax.devices()[:width]), ("seq",))

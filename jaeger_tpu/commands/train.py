@@ -307,7 +307,48 @@ def _apply_frequency_biases(config, variables, train_paths, train_cfg, sp,
     return variables
 
 
-def train_fragment_core(
+def _decide_seq_mesh(config: dict, use_mesh: bool):
+    """Sequence-parallel mesh for a ``model.parallel.seq_axis`` config
+    (the devices length-shard the Hyena long convolutions instead of the
+    batch — parallel/hyena_sp ring, differentiable; mirrors
+    ``predict --seq-shard``). ``training.seq_shard`` caps the width.
+    Returns None when no mesh can materialize (one device, width 1,
+    ``use_mesh=False``) — callers then run the unsharded twin."""
+    model_cfg = config.get("model", config)
+    seq_axis = (model_cfg.get("parallel") or {}).get("seq_axis")
+    if not (use_mesh and seq_axis and len(jax.devices()) > 1):
+        return None
+    train_cfg = config.get("training", {})
+    width = max(1, min(int(train_cfg.get("seq_shard", 0) or 0)
+                       or len(jax.devices()), len(jax.devices())))
+    if width <= 1:
+        return None
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.asarray(jax.devices()[:width]), (str(seq_axis),))
+    logger.info(f"sequence-sharded Hyena training over {width} "
+                f"devices (axis {seq_axis!r})")
+    return mesh
+
+
+def train_fragment_core(*args, **kwargs) -> dict:
+    """Public entry: decides the sequence-parallel mesh up front and runs
+    the whole orchestration under ``jax.set_mesh`` when one exists, so
+    EVERY model forward — projection pretraining, train steps, eval,
+    reliability generation, threshold tuning — traces with the ambient
+    mesh the seq_axis shard_map islands require."""
+    config_path = args[0] if args else kwargs["config_path"]
+    use_mesh = (args[5] if len(args) > 5
+                else kwargs.get("use_mesh", True))
+    seq_mesh = _decide_seq_mesh(load_model_config(config_path), use_mesh)
+    if seq_mesh is None:
+        return _train_fragment_core_impl(*args, _seq_mesh=None, **kwargs)
+    with jax.set_mesh(seq_mesh):
+        return _train_fragment_core_impl(*args, _seq_mesh=seq_mesh,
+                                         **kwargs)
+
+
+def _train_fragment_core_impl(
     config_path: str,
     output_dir: str | None = None,
     epochs_override: int | None = None,
@@ -329,6 +370,7 @@ def train_fragment_core(
     masking: bool | None = None,
     precision: str | None = None,
     meta: str | None = None,
+    _seq_mesh=None,
 ) -> dict:
     config = load_model_config(config_path)
     model_cfg = config.get("model", {})
@@ -353,24 +395,11 @@ def train_fragment_core(
                       "mixed_float16", "float16")
         else jnp.float32
     )
-    # --- sequence-parallel mesh decision (before the build: the model
-    # only carries seq_axis when a real seq mesh will exist) ---
-    # model.parallel.seq_axis length-shards the Hyena long convolutions
-    # over the devices (parallel/hyena_sp ring, differentiable) instead
-    # of the batch — mutually exclusive with the data mesh, mirroring
-    # predict --seq-shard. training.seq_shard caps the width.
-    seq_mesh = None
+    # sequence-parallel mesh: decided by the train_fragment_core wrapper
+    # (which also enters jax.set_mesh around this whole function, so
+    # every forward traces under the ambient mesh)
+    seq_mesh = _seq_mesh
     seq_axis = (model_cfg.get("parallel") or {}).get("seq_axis")
-    if use_mesh and seq_axis and len(jax.devices()) > 1:
-        from jax.sharding import Mesh as _Mesh
-
-        width = max(1, min(int(train_cfg.get("seq_shard", 0) or 0)
-                           or len(jax.devices()), len(jax.devices())))
-        if width > 1:
-            seq_mesh = _Mesh(np.asarray(jax.devices()[:width]),
-                             (str(seq_axis),))
-            logger.info(f"sequence-sharded Hyena training over {width} "
-                        f"devices (axis {seq_axis!r})")
 
     builder = ModelBuilder(config, dtype=compute_dtype)
     if seq_axis:
@@ -863,7 +892,13 @@ def train_fragment_core(
             # auto-calibrate the opt-in int8 MXU bundle beside the model
             # (model_saving.save_int8, default on): `predict --int8`
             # picks it up; accuracy qualification in
-            # docs/int8_qualification.md + scripts/qualify_int8.py
+            # docs/int8_qualification.md + scripts/qualify_int8.py.
+            # A bundle from a PREVIOUS run into this dir is removed
+            # first either way — `predict --int8` must never silently
+            # serve a stale quantization of old weights.
+            import shutil
+
+            shutil.rmtree(out_root / "int8", ignore_errors=True)
             if train_cfg.get("model_saving", {}).get("save_int8", True):
                 try:
                     from jaeger_tpu.models.conversion import quantize_bundle
@@ -876,7 +911,10 @@ def train_fragment_core(
                         f"{out_root / 'int8'} "
                         f"({stats.get('int8_exec_convs', 0)} int8 convs)")
                 except Exception as exc:  # quantization must never
-                    logger.warning(       # invalidate a finished train
+                    # invalidate a finished train; remove any partial
+                    # bundle so --int8 errors instead of running it
+                    shutil.rmtree(out_root / "int8", ignore_errors=True)
+                    logger.warning(
                         f"int8 auto-calibration skipped: {exc}")
         if meta:
             # container-orchestration metadata file (reference

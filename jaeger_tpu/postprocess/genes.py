@@ -353,13 +353,15 @@ def _gather(seq: str, rc: str, n: int, min_len: int, stops,
 
 def _call_code(seq: str, rc: str, n: int, min_len: int, stops,
                cod_f, cod_r, ids_f, ids_r, prior_lo=None):
-    """Two-pass caller for one genetic code: select with the PRE-TRAINED
-    coding prior (when shipped) + length/start/RBS, self-train hexamer
-    statistics on the selection, re-select with the self-trained term.
-    Gene-poor/short contigs that cannot self-train fall back to a
-    second pass scored with the pre-trained prior — recentered on this
-    contig's background and capped per candidate — the pyrodigal-gv
-    meta-mode role. Returns (intervals, total_selected_score)."""
+    """Two-pass caller for one genetic code: pass 1 selects on
+    length/start/RBS alone (no coding prior — mirroring Prodigal's
+    initial training selection), self-trains hexamer statistics on that
+    selection, and pass 2 re-selects with the self-trained coding term.
+    Gene-poor/short contigs whose pass-1 selection cannot support
+    self-training fall back to a pass 2 scored with the SHIPPED
+    pre-trained prior — recentered on this contig's background and
+    capped per candidate — the pyrodigal-gv meta-mode role.
+    Returns (intervals, total_selected_score)."""
     first, total = _select(
         _gather(seq, rc, n, min_len, stops, cod_f, cod_r)
     )
