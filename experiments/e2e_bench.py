@@ -36,6 +36,7 @@ import numpy as np
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO / "tests"))
+sys.path.insert(0, str(REPO))
 
 FSIZE = 2000   # the reference's documented real-world knobs
 STRIDE = 2000  # (cli.py:135-143, usage.md:43-51)

@@ -172,7 +172,14 @@ class LayerStack(nn.Module):
                     num_blocks=cfg.get("num_blocks", 1),
                 )(x, mask, train)
             elif name == "hyena_block":
-                x, mask = L.HyenaBlock(
+                # remat matters most HERE: the long-context regime's
+                # (order+1) full-length projection streams are the
+                # memory wall (docs/parallelism.md)
+                hb_cls = (
+                    nn.remat(L.HyenaBlock, static_argnums=(3,))
+                    if self.remat else L.HyenaBlock
+                )
+                x, mask = hb_cls(
                     name=lname, dtype=self.dtype, dim=cfg["dim"],
                     order=cfg.get("order", 2),
                     filter_hidden=cfg.get("filter_hidden", 32),

@@ -200,3 +200,36 @@ def test_remat_exactness(rng):
     np.testing.assert_allclose(np.asarray(out1["prediction"]),
                                np.asarray(out2["prediction"]),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_remat_exactness_hyena(rng):
+    """remat also wraps Hyena blocks — the long-context regime it is
+    actually for (the (order+1) full-length projection streams are the
+    memory wall): step params/loss match the non-remat build."""
+    import copy
+
+    from tests.test_hyena_seq_cli import CFG
+
+    cfg_plain = copy.deepcopy(CFG)
+    cfg_remat = copy.deepcopy(CFG)
+    cfg_remat["model"]["remat"] = True
+
+    b1 = ModelBuilder(cfg_plain)
+    model1, variables = b1.init()
+    _, crop_nt = b1.crop
+    model2 = ModelBuilder(cfg_remat).build()
+    assert (jax.tree_util.tree_structure(variables["params"])
+            == jax.tree_util.tree_structure(
+                ModelBuilder(cfg_remat).init()[1]["params"]))
+
+    batch = _batch(rng, crop_nt, batch=4)
+    batch["labels"] = batch["labels"][:, :3]
+    key = jax.random.PRNGKey(4)
+    step_cfg = StepConfig(heads=("prediction",))
+    s1, m1 = make_train_step(model1, step_cfg)(_state(variables), batch, key)
+    s2, m2 = make_train_step(model2, step_cfg)(_state(variables), batch, key)
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7),
+        s1.params, s2.params)
