@@ -138,6 +138,13 @@ def convert_bundle(model_dir: Path, out: Path) -> Path:
 
 
 def run_reference(model_dir: Path, fasta: Path, out: Path) -> float:
+    # reference package + its byte-exact native-dep stubs (also puts
+    # /root/reference/src on sys.path; idempotent — the artifact-build
+    # phase may have done it already, but that phase is cached/skipped
+    # on reruns)
+    import refstubs
+
+    refstubs.install()
     import jaeger.commands.predict as ref_predict
 
     ref_predict.version = lambda *_: "0.0.0-live"
@@ -216,8 +223,12 @@ import json, time
 import jax, jax.numpy as jnp
 from jaeger_tpu.models.artifacts import load_model
 model, variables, cfg, _ = load_model({str(bundle)!r}, dtype=jnp.bfloat16)
+# load_model returns HOST numpy: without device_put every call re-uploads
+# the 4.8 MB f32 param tree over the ~5 MB/s relay and the measurement
+# reads ~2x low (measured: 9.7-15.2k vs 23.1k device-resident)
+variables = jax.device_put(variables)
 crop_nt = 3 * cfg["model"]["string_processor"]["crop_size"] + 5
-batch, n_execs = 2048, 8
+batch, n_execs = 2048, 16
 @jax.jit
 def one_batch(variables, seed):
     bases = jax.random.randint(
@@ -226,13 +237,20 @@ def one_batch(variables, seed):
     out = model.apply(variables, {{"bases": bases, "lengths": lengths}},
                       train=False, assume_dense=True)
     return jnp.sum(out["prediction"].astype(jnp.float32))
-_ = float(one_batch(variables, jax.random.PRNGKey(0)))
-t0 = time.perf_counter()
-accs = [one_batch(variables, jax.random.PRNGKey(j + 1))
-        for j in range(n_execs)]
-_ = float(sum(float(a) for a in accs))
-dt = time.perf_counter() - t0
-print("DEVICE_RATE", batch * n_execs / dt)
+@jax.jit
+def combine(accs):
+    return jnp.sum(jnp.stack(accs))
+# ONE fetch per measurement (bench.py's methodology): per-exec float()
+# fetches pay ~30 ms relay RPC each and halve the apparent rate
+_ = float(combine([one_batch(variables, jax.random.PRNGKey(0))]))
+best = 0.0
+for i in range(2):
+    t0 = time.perf_counter()
+    accs = [one_batch(variables, jax.random.PRNGKey(i * n_execs + j + 1))
+            for j in range(n_execs)]
+    _ = float(combine(accs))
+    best = max(best, batch * n_execs / (time.perf_counter() - t0))
+print("DEVICE_RATE", best)
 """
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
@@ -247,12 +265,22 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mb", type=float, default=20.0)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="best-of-N wall-clock for each CPU pipeline")
     ap.add_argument("--chip", action="store_true",
                     help="also measure the device path on the real chip")
     ap.add_argument("--skip-ref", action="store_true")
     ap.add_argument("--out", default=str(REPO / "E2E_BENCH.json"))
     ap.add_argument("--work", default="/tmp/e2e_bench")
     args = ap.parse_args()
+
+    # force CPU BEFORE any jax-touching phase (weight conversion!) — the
+    # axon sitecustomize registers the chip, and conversion over the
+    # ~5 MB/s relay appears hung; the chip measurement runs in its own
+    # subprocess (device_rate)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
     work = Path(args.work)
     work.mkdir(parents=True, exist_ok=True)
@@ -282,42 +310,64 @@ def main() -> None:
         "runs": {},
     }
 
-    # ours first (keeps TF's thread pools from polluting our run)
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
-    t_ours = run_ours(bundle, fasta, work / "ours_out")
-    results["runs"]["jaeger_tpu_cpu"] = {
-        "wall_s": round(t_ours, 2),
-        "contigs_per_s": round(info["contigs"] / t_ours, 2),
-        "windows_per_s": round(n_windows / t_ours, 1),
-        "note": "JAX CPU, float32, workers=4, full pipeline incl. "
-                "termini scan + TSV write",
-    }
-    print(f"[ours/cpu] {t_ours:.1f}s = "
-          f"{n_windows / t_ours:.0f} windows/s", flush=True)
-
-    hi = host_ingest_rate(fasta)
+    # host ingest FIRST (clean process: measured after the ours-predict
+    # runs it reads 7x lower — lingering engine/jax thread pools), then
+    # ours, then the reference (its TF pools would pollute everything
+    # after it). best-of-N walls: same-machine background noise moved a
+    # single measurement by >2x across sessions; min is the standard
+    # contention-robust statistic for wall-clock benches.
+    hi = max(host_ingest_rate(fasta) for _ in range(args.repeat))
     results["runs"]["host_ingest_only"] = {
         "windows_per_s": round(hi, 1),
-        "note": "threaded windowing+metadata, no model",
+        "note": f"threaded windowing+metadata, no model; best of "
+                f"{args.repeat}, measured before any model run",
     }
     print(f"[host ingest] {hi:.0f} windows/s", flush=True)
 
+    ours_walls = [
+        run_ours(bundle, fasta, work / "ours_out")
+        for _ in range(args.repeat)
+    ]
+    t_ours = min(ours_walls)
+    results["runs"]["jaeger_tpu_cpu"] = {
+        "wall_s": round(t_ours, 2),
+        "all_walls_s": [round(t, 2) for t in ours_walls],
+        "contigs_per_s": round(info["contigs"] / t_ours, 2),
+        "windows_per_s": round(n_windows / t_ours, 1),
+        "note": "JAX CPU, float32, workers=4, full pipeline incl. "
+                f"termini scan + TSV write; best of {args.repeat}",
+    }
+    print(f"[ours/cpu] {t_ours:.1f}s = "
+          f"{n_windows / t_ours:.0f} windows/s "
+          f"(walls: {['%.1f' % t for t in ours_walls]})", flush=True)
+
     if not args.skip_ref:
-        t_ref = run_reference(model_dir, fasta, work / "ref_out")
+        ref_walls = [
+            run_reference(model_dir, fasta, work / "ref_out")
+            for _ in range(args.repeat)
+        ]
+        t_ref = min(ref_walls)
         results["runs"]["reference_cpu"] = {
             "wall_s": round(t_ref, 2),
+            "all_walls_s": [round(t, 2) for t in ref_walls],
             "contigs_per_s": round(info["contigs"] / t_ref, 2),
             "windows_per_s": round(n_windows / t_ref, 1),
             "note": "reference jaeger.commands.predict.run_core, TF CPU, "
                     "workers=4 (pyfastx/dust/parasail via byte-exact "
-                    "refstubs)",
+                    f"refstubs); best of {args.repeat}",
         }
         results["speedup_cpu_vs_reference"] = round(t_ref / t_ours, 2)
+        results["variance_note"] = (
+            "TF CPU wall-clock varies up to ~2.7x BETWEEN fresh "
+            "processes on this shared machine (141-388 s observed for "
+            "the reference across sessions; ours 72-91 s); the speedup "
+            "is the same-process best-of-N A/B, the defensible "
+            "like-for-like statistic."
+        )
         print(f"[reference/cpu] {t_ref:.1f}s = "
               f"{n_windows / t_ref:.0f} windows/s  "
-              f"(ours {t_ref / t_ours:.2f}x faster)", flush=True)
+              f"(ours {t_ref / t_ours:.2f}x faster; "
+              f"walls: {['%.1f' % t for t in ref_walls]})", flush=True)
 
     if args.chip:
         dr = device_rate(bundle)
