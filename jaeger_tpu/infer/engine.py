@@ -44,6 +44,7 @@ class InferenceEngine:
         output_keys: tuple | None = None,
         pipeline_depth: int = 4,
         pack_transfer: bool = True,
+        split_mixed: bool = True,
     ):
         self.model = model
         self.variables = variables
@@ -56,6 +57,17 @@ class InferenceEngine:
         # nibble-pack base IDs for the host->device leg (2x fewer bytes;
         # unpacked on device inside the jitted program)
         self.pack_transfer = bool(pack_transfer)
+        # split-mixed execution: real metagenomes almost always put at
+        # least one N/soft-masked window in every device batch, which
+        # used to force the ~23% slower masked program on EVERYTHING.
+        # When a batch is mostly dense, run the dense program on all
+        # rows (masked rows neutralized and discarded — inference
+        # compute is per-example, so they cannot contaminate others)
+        # and the masked program on just the masked rows gathered into
+        # a small fixed bucket, scattering their outputs back in place.
+        # Order-preserving, so every downstream byte-parity contract is
+        # untouched (pinned by tests/test_engine_split.py).
+        self.split_mixed = bool(split_mixed)
         self.mesh = mesh
         # seq_mesh: length-shard Hyena long convolutions over this mesh's
         # "seq" axis (the model must be built with parallel.seq_axis; see
@@ -86,6 +98,35 @@ class InferenceEngine:
             bases, lengths, crop,
             getattr(self.model, "masking_enabled", True),
         )
+
+    def _mixed_split(self, bases: np.ndarray, lengths: np.ndarray,
+                     n_valid: int):
+        """(masked_idx, bucket) when a mostly-dense batch should run as
+        dense-on-all + masked-bucket-on-few; None to keep the single-
+        program behavior (all-dense, all/mostly-masked, or disabled).
+
+        The bucket is the smallest of {bs/16, bs/8, bs/4} (rounded up to
+        a mesh multiple) that fits the masked rows — each bucket shape
+        compiles once and is cached like every other program."""
+        crop = getattr(self.model, "crop_nt", None)
+        if not self.split_mixed or crop is None or n_valid == 0:
+            return None
+        from jaeger_tpu.ops.encode import dense_window_rows
+
+        rows = dense_window_rows(
+            bases[:n_valid], lengths[:n_valid], crop,
+            getattr(self.model, "masking_enabled", True),
+        )
+        if rows.all() or not rows.any():
+            return None
+        masked_idx = np.nonzero(~rows)[0]
+        mult = self.mesh.devices.size if self.mesh is not None else 1
+        bs = self.batch_size
+        for b in (bs // 16, bs // 8, bs // 4):
+            b = -(-max(b, 1) // mult) * mult
+            if masked_idx.size <= b:
+                return masked_idx, b
+        return None  # too mixed: the plain masked program wins
 
     def _forward(self, variables, bases, lengths, dense: bool = False):
         kwargs = {"assume_dense": True} if dense else {}
@@ -158,12 +199,29 @@ class InferenceEngine:
         bs = self.batch_size
         starts = list(range(0, n, bs))
         chunks: list[dict[str, np.ndarray]] = []
-        in_flight: list[tuple[dict, int]] = []  # (device outputs, valid rows)
+        # (device outputs, valid rows, None | (masked outputs, idx, m))
+        in_flight: list[tuple[dict, int, tuple | None]] = []
 
         def drain_one() -> None:
-            out, valid = in_flight.pop(0)
-            host = {k: np.asarray(v)[:valid] for k, v in out.items()}
-            chunks.append(host)
+            out, valid, merge = in_flight.pop(0)
+            if merge is not None:
+                # scatter the masked bucket's rows back in place: order
+                # through the pipeline is unchanged (np.array: device
+                # fetches are read-only views)
+                out_m, midx, m = merge
+                host = {k: np.array(v) for k, v in out.items()}
+                for k, v in host.items():
+                    v[midx] = np.asarray(out_m[k])[:m]
+            else:
+                host = {k: np.asarray(v) for k, v in out.items()}
+            chunks.append({k: v[:valid] for k, v in host.items()})
+
+        def to_payload(arr: np.ndarray):
+            if self.pack_transfer:
+                from jaeger_tpu.ops.encode import pack_bases
+
+                return jnp.asarray(pack_bases(arr))
+            return jnp.asarray(arr)
 
         for i in starts:
             b = bases[i : i + bs]
@@ -173,19 +231,35 @@ class InferenceEngine:
             # are trimmed, and per-example compute at inference means they
             # cannot contaminate valid rows
             dense = self._dense_batch(b, ln)
+            split = None if dense else self._mixed_split(b, ln, valid)
             pad = bs - valid
             if pad:
                 b = np.pad(b, ((0, pad), (0, 0)), constant_values=4)
                 ln = np.pad(ln, (0, pad), constant_values=0)
+            merge = None
+            if split is not None:
+                midx, bucket = split
+                m = midx.size
+                # masked rows into a small fixed bucket (their real data)
+                mb = np.full((bucket, b.shape[1]), 4, np.uint8)
+                mb[:m] = b[midx]
+                mln = np.zeros(bucket, np.int32)
+                mln[:m] = ln[midx]
+                # neutralize the masked rows in the dense run: outputs at
+                # those positions are overwritten, but keep their inputs
+                # well-formed (all-A, full length)
+                b = b.copy()
+                ln = np.asarray(ln).copy()
+                b[midx] = 0
+                ln[midx] = b.shape[1]
+                fn_m = self._get_fn((bucket, b.shape[1]), dense=False)
+                out_m = fn_m(self.variables, to_payload(mb),
+                             jnp.asarray(mln))
+                merge = (out_m, midx, m)
+                dense = True
             fn = self._get_fn((bs, b.shape[1]), dense)
-            if self.pack_transfer:
-                from jaeger_tpu.ops.encode import pack_bases
-
-                payload = jnp.asarray(pack_bases(b))
-            else:
-                payload = jnp.asarray(b)
-            out = fn(self.variables, payload, jnp.asarray(ln))
-            in_flight.append((out, valid))
+            out = fn(self.variables, to_payload(b), jnp.asarray(ln))
+            in_flight.append((out, valid, merge))
             if len(in_flight) > self.pipeline_depth:
                 drain_one()
         while in_flight:
@@ -265,14 +339,45 @@ class InferenceEngine:
         acc = ContigAccumulator(num_classes, with_reliability)
         kept: list[WindowBatch] = []
         bs = self.batch_size
-        in_flight: list[tuple[dict, np.ndarray, np.ndarray]] = []
+        # (partials, seg map, window contigs, n_valid,
+        #  None | (masked partials, masked seg map, idx, m))
+        in_flight: list[tuple] = []
 
         def drain_one():
-            partial, seg_to_contig, win_contigs = in_flight.pop(0)
-            acc.add_batch(
-                {k: np.asarray(v) for k, v in partial.items()},
-                seg_to_contig, win_contigs,
-            )
+            partial, seg_to_contig, win_contigs, n_valid, merge = (
+                in_flight.pop(0))
+            p = {k: np.asarray(v) for k, v in partial.items()}
+            if merge is None:
+                acc.add_batch(p, seg_to_contig, win_contigs)
+                return
+            # split execution: per-contig statistics arrive as TWO
+            # partial batches (dense rows excluded the masked rows via
+            # `valid`; the bucket covered only them) — the accumulator
+            # merges partials across batches by design. Per-window
+            # classes must stay in stream order, so scatter the
+            # bucket's back before handing them over.
+            partial_m, seg_to_m, midx, m = merge
+            pm = {k: np.asarray(v) for k, v in partial_m.items()}
+            cls = p["window_cls"].copy()
+            cls[midx] = pm["window_cls"][:m]
+            acc.add_batch(p, seg_to_contig, win_contigs,
+                          window_cls=cls[:n_valid])
+            acc.add_batch(pm, seg_to_m, None)
+
+        def seg_maps(contig_ids: np.ndarray, n_seg: int):
+            # Densify segment ids: global contig indices have gaps
+            # (sub-min_len contigs consume header slots, windows.py),
+            # so ``contig - contig[0]`` can exceed num_segments and
+            # segment_sum would silently drop those windows. Unique
+            # ids per device batch are always <= the batch rows.
+            uniq, seg_local = np.unique(contig_ids, return_inverse=True)
+            seg_to_contig = np.full(n_seg, uniq[-1], dtype=np.int64)
+            seg_to_contig[: uniq.size] = uniq
+            return seg_local.astype(np.int32), seg_to_contig
+
+        def to_payload(arr: np.ndarray):
+            return jnp.asarray(pack_bases(arr) if self.pack_transfer
+                               else arr)
 
         for batch in batches:
             if len(batch) == 0:
@@ -284,32 +389,52 @@ class InferenceEngine:
                 contig = batch.contig[i : i + bs].astype(np.int64)
                 n_valid = b.shape[0]
                 dense = self._dense_batch(b, ln)
+                split = (None if dense
+                         else self._mixed_split(b, ln, n_valid))
                 pad = bs - n_valid
                 if pad:
                     b = np.pad(b, ((0, pad), (0, 0)), constant_values=4)
                     ln = np.pad(ln, (0, pad))
                     contig = np.pad(contig, (0, pad),
                                     constant_values=contig[-1])
-                # Densify segment ids: global contig indices have gaps
-                # (sub-min_len contigs consume header slots, windows.py),
-                # so ``contig - contig[0]`` can exceed num_segments=bs and
-                # segment_sum would silently drop those windows. Unique
-                # ids per device batch are always <= bs.
-                uniq, seg_local = np.unique(contig, return_inverse=True)
-                seg_local = seg_local.astype(np.int32)
+                seg_local, seg_to_contig = seg_maps(contig, bs)
                 valid = np.zeros(bs, bool)
                 valid[:n_valid] = True
+                merge = None
+                if split is not None:
+                    midx, bucket = split
+                    m = midx.size
+                    mb = np.full((bucket, b.shape[1]), 4, np.uint8)
+                    mb[:m] = b[midx]
+                    mln = np.zeros(bucket, np.int32)
+                    mln[:m] = ln[midx]
+                    seg_m, seg_to_m = seg_maps(contig[midx], bucket)
+                    seg_m = np.pad(seg_m, (0, bucket - m))
+                    valid_m = np.zeros(bucket, bool)
+                    valid_m[:m] = True
+                    fn_m = self._get_reduced_fn(
+                        (bucket, b.shape[1]), with_reliability,
+                        dense=False)
+                    partial_m = fn_m(self.variables, to_payload(mb),
+                                     jnp.asarray(mln), jnp.asarray(seg_m),
+                                     jnp.asarray(valid_m))
+                    # dense run covers everything else; neutralize the
+                    # masked rows and exclude them from the segment sums
+                    b = b.copy()
+                    ln = np.asarray(ln).copy()
+                    b[midx] = 0
+                    ln[midx] = b.shape[1]
+                    valid[midx] = False
+                    merge = (partial_m, seg_to_m, midx, m)
+                    dense = True
                 fn = self._get_reduced_fn((bs, b.shape[1]),
                                           with_reliability, dense)
-                payload = jnp.asarray(
-                    pack_bases(b) if self.pack_transfer else b
-                )
-                partial = fn(self.variables, payload, jnp.asarray(ln),
+                partial = fn(self.variables, to_payload(b),
+                             jnp.asarray(ln),
                              jnp.asarray(seg_local), jnp.asarray(valid))
-                seg_to_contig = np.full(bs, uniq[-1], dtype=np.int64)
-                seg_to_contig[: uniq.size] = uniq
                 in_flight.append(
-                    (partial, seg_to_contig, contig[:n_valid])
+                    (partial, seg_to_contig, contig[:n_valid], n_valid,
+                     merge)
                 )
                 if len(in_flight) > self.pipeline_depth:
                     drain_one()

@@ -106,23 +106,32 @@ def _frames_from_codons(codons: jnp.ndarray, k: int) -> jnp.ndarray:
     return jnp.stack(f, axis=1)
 
 
+def dense_window_rows(bases: np.ndarray, lengths: np.ndarray,
+                      crop_nt: int,
+                      masking_enabled: bool = True) -> np.ndarray:
+    """Per-row dense predicate: row i is True when the maskless
+    (``assume_dense``) program is exact for window i — it fills the
+    model's crop and no base encodes to a masked token. Base IDs: 0-3
+    ACGT, 4 N, 5-8 soft-masked lowercase (which encode to their
+    uppercase base when the model's ``masking`` flag is off)."""
+    if bases.shape[1] < crop_nt:
+        return np.zeros(bases.shape[0], bool)
+    window = bases[:, :crop_nt]
+    ok = np.asarray(lengths) >= crop_nt
+    if masking_enabled:
+        return ok & (window.max(axis=1) < 4)
+    return ok & ~(window == 4).any(axis=1)
+
+
 def dense_window_batch(bases: np.ndarray, lengths: np.ndarray,
                        crop_nt: int, masking_enabled: bool = True) -> bool:
-    """True when the maskless (``assume_dense``) program is exact for this
-    host batch: every window fills the model's crop and no base encodes
-    to a masked token, so the mask would be all-true and skipping its
-    propagation is an identity. Base IDs: 0-3 ACGT, 4 N, 5-8 soft-masked
-    lowercase (which encode to their uppercase base when the model's
-    ``masking`` flag is off). Shared by the inference engine's per-batch
-    program selection and the train loop's dense-step dispatch."""
-    if bases.shape[1] < crop_nt:
+    """Whole-batch dense predicate (see :func:`dense_window_rows`).
+    Shared by the inference engine's per-batch program selection and the
+    train loop's dense-step dispatch."""
+    if np.asarray(lengths).size == 0:
         return False
-    if lengths.size == 0 or int(lengths.min()) < crop_nt:
-        return False
-    window = bases[:, :crop_nt]
-    if masking_enabled:
-        return bool(window.max() < 4)
-    return bool(not (window == 4).any())
+    return bool(dense_window_rows(bases, lengths, crop_nt,
+                                  masking_enabled).all())
 
 
 def pack_bases(bases: np.ndarray) -> np.ndarray:

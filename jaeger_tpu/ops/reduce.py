@@ -77,9 +77,13 @@ class ContigAccumulator:
         self._window_cls: dict[int, list[np.ndarray]] = {}
 
     def add_batch(self, partials: dict, contig_base: np.ndarray,
-                  window_cls_contigs: np.ndarray) -> None:
+                  window_cls_contigs: np.ndarray | None,
+                  window_cls: np.ndarray | None = None) -> None:
         """``contig_base[s]`` = global contig index of local segment s;
-        ``window_cls_contigs`` = global contig index per window."""
+        ``window_cls_contigs`` = global contig index per window (None =
+        statistics-only batch: the engine's split-mixed execution hands
+        the bucket run's per-window classes through the DENSE run's call
+        via ``window_cls``, already scattered back into stream order)."""
         counts = np.asarray(partials["count"])
         active = np.nonzero(counts > 0)[0]
         for s in active:
@@ -92,7 +96,11 @@ class ContigAccumulator:
                     continue
                 val = np.asarray(partials[key])[s]
                 st[key] = st.get(key, 0) + val
-        cls = np.asarray(partials["window_cls"])[: len(window_cls_contigs)]
+        if window_cls_contigs is None:
+            return
+        cls = (window_cls if window_cls is not None
+               else np.asarray(partials["window_cls"]))[
+            : len(window_cls_contigs)]
         for g in np.unique(window_cls_contigs):
             m = window_cls_contigs == g
             self._window_cls.setdefault(int(g), []).append(cls[m])

@@ -141,7 +141,9 @@ def test_engine_mixed_batches_match_masked_only(built):
         def _dense_batch(self, b_, ln_):
             return False
 
-    ref = NeverDense(model, variables, batch_size=5)
+    # split_mixed off: the reference really runs the masked program on
+    # whole batches (with it on, a non-dense batch splits instead)
+    ref = NeverDense(model, variables, batch_size=5, split_mixed=False)
     out_ref = ref.predict_windows(bases, lengths)
     assert ("dense" in repr(k) for k in eng._compiled)
     # batch 0 (windows 0-4) has the N -> masked; batch 1 (5-9) has the
