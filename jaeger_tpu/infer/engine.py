@@ -105,9 +105,12 @@ class InferenceEngine:
         dense-on-all + masked-bucket-on-few; None to keep the single-
         program behavior (all-dense, all/mostly-masked, or disabled).
 
-        The bucket is the smallest of {bs/16, bs/8, bs/4} (rounded up to
-        a mesh multiple) that fits the masked rows — each bucket shape
-        compiles once and is cached like every other program."""
+        The bucket is the smallest of {bs/16, bs/8} (rounded up to a
+        mesh multiple) that fits the masked rows — each bucket shape
+        compiles once and is cached like every other program. Chip-
+        measured on the flagship (experiments/split_bench.py): the
+        split runs 1.18x the all-masked program at bucket bs/16 and
+        1.10x at bs/8, but only 0.97x at bs/4 — hence the bs/8 cap."""
         crop = getattr(self.model, "crop_nt", None)
         if not self.split_mixed or crop is None or n_valid == 0:
             return None
@@ -122,7 +125,7 @@ class InferenceEngine:
         masked_idx = np.nonzero(~rows)[0]
         mult = self.mesh.devices.size if self.mesh is not None else 1
         bs = self.batch_size
-        for b in (bs // 16, bs // 8, bs // 4):
+        for b in (bs // 16, bs // 8):
             b = -(-max(b, 1) // mult) * mult
             if masked_idx.size <= b:
                 return masked_idx, b

@@ -59,8 +59,9 @@ def test_split_engages_and_matches_full_path(built, rng):  # noqa: F811
 
 
 def test_split_thresholds(built, rng):  # noqa: F811
-    """No split when the batch is all-dense, all-masked, or more than a
-    quarter masked (the plain masked program wins there)."""
+    """No split when the batch is all-dense, all-masked, or more than
+    bs/8 masked (chip-measured: the plain masked program wins past
+    that — experiments/split_bench.py)."""
     b, model, variables = built
     _, crop_nt = b.crop
     eng = InferenceEngine(model, variables, batch_size=32)
@@ -75,10 +76,10 @@ def test_split_thresholds(built, rng):  # noqa: F811
     got = eng._mixed_split(some, lengths, 32)
     assert got is not None
     midx, bucket = got
-    assert list(midx) == [5] and bucket >= 1
+    assert list(midx) == [5] and bucket == 2  # bs/16
 
     many = bases.copy()
-    many[: 20, 2] = 4                    # > bs/4 masked
+    many[:5, 2] = 4                      # > bs/8 masked: no split
     assert eng._mixed_split(many, lengths, 32) is None
 
     allm = bases.copy()
