@@ -115,7 +115,11 @@ def main() -> None:
                 vs=None, bsz: int = batch) -> float:
         vs = variables if vs is None else vs
         prog = make_program(kind, bsz)
-        _ = float(combine([prog(vs, jax.random.PRNGKey(seed0))]))
+        # warm BOTH shapes outside the timed region: `combine` retraces
+        # per list length, and an n_execs-shape compile inside the loop
+        # would bake minutes of remote compile into the reported rate
+        acc0 = prog(vs, jax.random.PRNGKey(seed0))
+        _ = float(combine([acc0] * n_execs))
         t0 = time.perf_counter()
         for i in range(iters):
             accs = [

@@ -99,37 +99,69 @@ class InferenceEngine:
             getattr(self.model, "masking_enabled", True),
         )
 
-    def _mixed_split(self, bases: np.ndarray, lengths: np.ndarray,
-                     n_valid: int):
-        """(masked_idx, bucket) when a mostly-dense batch should run as
-        dense-on-all + masked-bucket-on-few; None to keep the single-
-        program behavior (all-dense, all/mostly-masked, or disabled).
+    def _plan_batch(self, bases: np.ndarray, lengths: np.ndarray,
+                    n_valid: int):
+        """One host scan -> (dense, split): ``dense`` selects the
+        maskless program for the whole batch; ``split`` is
+        (masked_idx, bucket) when a mostly-dense batch should run as
+        dense-on-all + masked-bucket-on-few; (False, None) keeps the
+        plain masked program (all/mostly-masked, tiny batches, or
+        splitting disabled).
 
         The bucket is the smallest of {bs/16, bs/8} (rounded up to a
-        mesh multiple) that fits the masked rows — each bucket shape
-        compiles once and is cached like every other program. Chip-
-        measured on the flagship (experiments/split_bench.py): the
-        split runs 1.18x the all-masked program at bucket bs/16 and
-        1.10x at bs/8, but only 0.97x at bs/4 — hence the bs/8 cap."""
+        mesh multiple, and always < bs — at bucket == bs the split
+        would run BOTH full-size programs) that fits the masked rows —
+        each bucket shape compiles once and is cached like every other
+        program. Chip-measured on the flagship
+        (experiments/split_bench.py): the split runs 1.18x the
+        all-masked program at bucket bs/16 and 1.10x at bs/8, but only
+        0.97x at bs/4 — hence the bs/8 cap."""
         crop = getattr(self.model, "crop_nt", None)
-        if not self.split_mixed or crop is None or n_valid == 0:
-            return None
+        if crop is None or n_valid == 0:
+            return False, None
         from jaeger_tpu.ops.encode import dense_window_rows
 
         rows = dense_window_rows(
             bases[:n_valid], lengths[:n_valid], crop,
             getattr(self.model, "masking_enabled", True),
         )
-        if rows.all() or not rows.any():
-            return None
+        if rows.all():
+            return True, None
+        if not self.split_mixed or not rows.any():
+            return False, None
         masked_idx = np.nonzero(~rows)[0]
         mult = self.mesh.devices.size if self.mesh is not None else 1
         bs = self.batch_size
         for b in (bs // 16, bs // 8):
             b = -(-max(b, 1) // mult) * mult
+            if b >= bs:
+                break
             if masked_idx.size <= b:
-                return masked_idx, b
-        return None  # too mixed: the plain masked program wins
+                return False, (masked_idx, b)
+        return False, None  # too mixed: the plain masked program wins
+
+    def _mixed_split(self, bases: np.ndarray, lengths: np.ndarray,
+                     n_valid: int):
+        """Split decision alone (see :meth:`_plan_batch`)."""
+        return self._plan_batch(bases, lengths, n_valid)[1]
+
+    @staticmethod
+    def _gather_masked(b: np.ndarray, ln: np.ndarray,
+                       midx: np.ndarray, bucket: int):
+        """(bucket bases, bucket lengths, neutralized b, neutralized ln):
+        the masked rows move into the bucket (N-padded past m); their
+        slots in the dense run get well-formed placeholder windows whose
+        outputs are discarded."""
+        m = midx.size
+        mb = np.full((bucket, b.shape[1]), 4, np.uint8)
+        mb[:m] = b[midx]
+        mln = np.zeros(bucket, np.int32)
+        mln[:m] = ln[midx]
+        b = b.copy()
+        ln = np.asarray(ln).copy()
+        b[midx] = 0
+        ln[midx] = b.shape[1]
+        return mb, mln, b, ln
 
     def _forward(self, variables, bases, lengths, dense: bool = False):
         kwargs = {"assume_dense": True} if dense else {}
@@ -230,11 +262,10 @@ class InferenceEngine:
             b = bases[i : i + bs]
             ln = lengths[i : i + bs]
             valid = b.shape[0]
-            # dense predicate on the valid rows only: padded rows' outputs
-            # are trimmed, and per-example compute at inference means they
+            # plan on the valid rows only: padded rows' outputs are
+            # trimmed, and per-example compute at inference means they
             # cannot contaminate valid rows
-            dense = self._dense_batch(b, ln)
-            split = None if dense else self._mixed_split(b, ln, valid)
+            dense, split = self._plan_batch(b, ln, valid)
             pad = bs - valid
             if pad:
                 b = np.pad(b, ((0, pad), (0, 0)), constant_values=4)
@@ -242,23 +273,11 @@ class InferenceEngine:
             merge = None
             if split is not None:
                 midx, bucket = split
-                m = midx.size
-                # masked rows into a small fixed bucket (their real data)
-                mb = np.full((bucket, b.shape[1]), 4, np.uint8)
-                mb[:m] = b[midx]
-                mln = np.zeros(bucket, np.int32)
-                mln[:m] = ln[midx]
-                # neutralize the masked rows in the dense run: outputs at
-                # those positions are overwritten, but keep their inputs
-                # well-formed (all-A, full length)
-                b = b.copy()
-                ln = np.asarray(ln).copy()
-                b[midx] = 0
-                ln[midx] = b.shape[1]
+                mb, mln, b, ln = self._gather_masked(b, ln, midx, bucket)
                 fn_m = self._get_fn((bucket, b.shape[1]), dense=False)
                 out_m = fn_m(self.variables, to_payload(mb),
                              jnp.asarray(mln))
-                merge = (out_m, midx, m)
+                merge = (out_m, midx, midx.size)
                 dense = True
             fn = self._get_fn((bs, b.shape[1]), dense)
             out = fn(self.variables, to_payload(b), jnp.asarray(ln))
@@ -391,9 +410,7 @@ class InferenceEngine:
                 ln = batch.length[i : i + bs]
                 contig = batch.contig[i : i + bs].astype(np.int64)
                 n_valid = b.shape[0]
-                dense = self._dense_batch(b, ln)
-                split = (None if dense
-                         else self._mixed_split(b, ln, n_valid))
+                dense, split = self._plan_batch(b, ln, n_valid)
                 pad = bs - n_valid
                 if pad:
                     b = np.pad(b, ((0, pad), (0, 0)), constant_values=4)
@@ -407,10 +424,8 @@ class InferenceEngine:
                 if split is not None:
                     midx, bucket = split
                     m = midx.size
-                    mb = np.full((bucket, b.shape[1]), 4, np.uint8)
-                    mb[:m] = b[midx]
-                    mln = np.zeros(bucket, np.int32)
-                    mln[:m] = ln[midx]
+                    mb, mln, b, ln = self._gather_masked(b, ln, midx,
+                                                         bucket)
                     seg_m, seg_to_m = seg_maps(contig[midx], bucket)
                     seg_m = np.pad(seg_m, (0, bucket - m))
                     valid_m = np.zeros(bucket, bool)
@@ -421,12 +436,9 @@ class InferenceEngine:
                     partial_m = fn_m(self.variables, to_payload(mb),
                                      jnp.asarray(mln), jnp.asarray(seg_m),
                                      jnp.asarray(valid_m))
-                    # dense run covers everything else; neutralize the
-                    # masked rows and exclude them from the segment sums
-                    b = b.copy()
-                    ln = np.asarray(ln).copy()
-                    b[midx] = 0
-                    ln[midx] = b.shape[1]
+                    # the dense run covers everything else; its masked
+                    # slots hold neutralized placeholders, excluded from
+                    # the segment sums
                     valid[midx] = False
                     merge = (partial_m, seg_to_m, midx, m)
                     dense = True

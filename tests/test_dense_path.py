@@ -138,14 +138,12 @@ def test_engine_mixed_batches_match_masked_only(built):
     out = eng.predict_windows(bases, lengths)
 
     class NeverDense(InferenceEngine):
-        def _dense_batch(self, b_, ln_):
-            return False
+        def _plan_batch(self, b_, ln_, n_valid_):
+            return False, None  # masked program on every whole batch
 
-    # split_mixed off: the reference really runs the masked program on
-    # whole batches (with it on, a non-dense batch splits instead)
-    ref = NeverDense(model, variables, batch_size=5, split_mixed=False)
+    ref = NeverDense(model, variables, batch_size=5)
     out_ref = ref.predict_windows(bases, lengths)
-    assert ("dense" in repr(k) for k in eng._compiled)
+    assert any(k[-1] is True for k in eng._compiled), list(eng._compiled)
     # batch 0 (windows 0-4) has the N -> masked; batch 1 (5-9) has the
     # short window -> masked; force one dense batch too:
     clean = rng.integers(0, 4, size=(5, crop_nt + 20), dtype=np.uint8)
