@@ -94,6 +94,31 @@ def main() -> None:
         print(f"bucket {b}: {tb:.1f} ms -> split "
               f"{BS / comp_ms * 1000:,.0f} w/s "
               f"({t_masked / comp_ms:.2f}x all-masked)", flush=True)
+
+    # int8 split composite (`predict --int8` on real inputs): the fastest
+    # real-input path. Calibration on the host CPU backend (bench.py's
+    # trick), then the int8 dense program + int8 bs/16 masked bucket.
+    if "--int8" in sys.argv:
+        from jaeger_tpu.models.conversion import calibrate_int8
+
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            import numpy as np
+
+            cpu_vars = jax.tree.map(np.asarray, variables)
+            quant = calibrate_int8(model, cpu_vars, crop_nt, n=128)
+        int8_vars = dict(variables)
+        int8_vars["quant"] = jax.device_put(
+            jax.tree.map(np.asarray, quant))
+        variables = int8_vars
+        t8_dense = make(BS, True)
+        t8_bucket = make(BS // 16, False)
+        comp8 = t8_dense + t8_bucket
+        res["int8"] = {
+            "dense_ms": round(t8_dense, 2),
+            "bucket_ms": round(t8_bucket, 2),
+            "split_windows_per_s": round(BS / comp8 * 1000, 1),
+        }
+        print(f"int8 split: {BS / comp8 * 1000:,.0f} w/s", flush=True)
     print(json.dumps(res))
 
 
