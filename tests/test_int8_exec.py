@@ -200,6 +200,35 @@ def test_int8_exec_through_engine(int8_bundle):
     assert np.isfinite(pred).all()
 
 
+def test_int8_split_mixed_matches_unsplit(int8_bundle):
+    """Split-mixed execution with a quant collection: the int8 dense
+    program + int8 masked bucket equal the plain int8 masked program on
+    a mostly-dense batch with scattered N windows."""
+    from jaeger_tpu.infer.engine import InferenceEngine
+    from jaeger_tpu.models.conversion import load_quantized
+
+    _, _, _, b, qpath, _ = int8_bundle
+    qmodel, qvars, _, _ = load_quantized(qpath, dtype=jnp.bfloat16)
+    inputs = _windows(b, n=32, seed=7)
+    bases = np.asarray(inputs["bases"]).copy()
+    _, crop_nt = b.crop
+    bases[3, crop_nt // 2] = 4
+    bases[20, 1] = 4
+
+    eng = InferenceEngine(qmodel, qvars, batch_size=16)
+    ref = InferenceEngine(qmodel, qvars, batch_size=16,
+                          split_mixed=False)
+    out = eng.predict_windows(bases, inputs["lengths"])
+    out_ref = ref.predict_windows(bases, inputs["lengths"])
+    shapes = [k[0] for k in eng._compiled
+              if isinstance(k, tuple) and isinstance(k[0], tuple)]
+    assert any(s[0] < 16 for s in shapes)  # the bucket really ran
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"], np.float32),
+        np.asarray(out_ref["prediction"], np.float32),
+        rtol=1e-4, atol=1e-4)
+
+
 def test_int8_branch_skipped_at_train_time(int8_bundle):
     """train=True must run the float path so the conv kernel params keep
     a live gradient (advisor r2: kernel_q is a constant — training through
