@@ -309,12 +309,22 @@ def run_core(
     if warning:
         logger.warning(warning)
 
-    term_repeats = None
+    term_future = None
+    term_pool = None
     if scan_termini:
         # reference predict.py:679-685 scans every contig >= the runtime
-        # --fsize (not a fixed floor) with the command's worker count
-        term_repeats = scan_for_terminal_repeats(
-            str(windowing_input), fsize=fsize, workers=workers)
+        # --fsize (not a fixed floor) with the command's worker count.
+        # The scan is independent of inference (it re-reads the FASTA),
+        # so it runs CONCURRENTLY with windowing + the device forward —
+        # on TPU hosts the per-contig Smith-Waterman is the largest
+        # host-side cost (~12 ms/contig) and would otherwise serialize
+        # ahead of a ~0.1 s device pass. Joined before collect.
+        from concurrent.futures import ThreadPoolExecutor
+
+        term_pool = ThreadPoolExecutor(max_workers=1)
+        term_future = term_pool.submit(
+            scan_for_terminal_repeats, str(windowing_input),
+            fsize=fsize, workers=workers)
 
     # --- device strategy (parity: reference predict.py:656-664 picks
     # MirroredStrategy when >1 GPU) — auto-construct a 1-D data mesh over
@@ -379,6 +389,11 @@ def run_core(
         logger.info(f"profiler trace written to {trace_dir}")
     else:
         result, kept = run_engine()
+    # join the overlapped terminal-repeat scan before collect needs it
+    term_repeats = None
+    if term_future is not None:
+        term_repeats = term_future.result()
+        term_pool.shutdown()
     if not result:
         if num_hosts > 1:
             # this host owned no windowable contigs: write an empty
