@@ -378,22 +378,30 @@ def run_core(
         )
         return stats, kept
 
-    if profile:
-        # first-class profiler trace (SURVEY aux #1: the reference had
-        # only rich ms/step progress); view with xprof/tensorboard
-        import jax
-
-        trace_dir = output_dir / "profile"
-        with jax.profiler.trace(str(trace_dir)):
-            result, kept = run_engine()
-        logger.info(f"profiler trace written to {trace_dir}")
-    else:
-        result, kept = run_engine()
-    # join the overlapped terminal-repeat scan before collect needs it
+    # the pool must be released even when inference (or the scan itself)
+    # raises, or the non-daemon Smith-Waterman worker keeps the
+    # interpreter alive past the traceback
     term_repeats = None
-    if term_future is not None:
-        term_repeats = term_future.result()
-        term_pool.shutdown()
+    try:
+        if profile:
+            # first-class profiler trace (SURVEY aux #1: the reference
+            # had only rich ms/step progress); view with
+            # xprof/tensorboard
+            import jax
+
+            trace_dir = output_dir / "profile"
+            with jax.profiler.trace(str(trace_dir)):
+                result, kept = run_engine()
+            logger.info(f"profiler trace written to {trace_dir}")
+        else:
+            result, kept = run_engine()
+        # join the overlapped terminal-repeat scan before collect
+        # needs it
+        if term_future is not None:
+            term_repeats = term_future.result()
+    finally:
+        if term_pool is not None:
+            term_pool.shutdown(wait=False, cancel_futures=True)
     if not result:
         if num_hosts > 1:
             # this host owned no windowable contigs: write an empty

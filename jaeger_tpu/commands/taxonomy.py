@@ -166,8 +166,12 @@ class CosineIndex:
         jax.lax.top_k's stable order on the monolithic matrix)."""
         import jax
         import jax.numpy as jnp
-        from jax import shard_map
         from jax.sharding import NamedSharding, PartitionSpec as P
+
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
 
         axis = mesh.axis_names[0]
         n_dev = int(mesh.devices.size)
@@ -199,12 +203,20 @@ class CosineIndex:
         # check_vma=False: the outputs ARE replicated (computed from
         # all-gathered values on every device) but the axis_index use
         # defeats static replication inference
-        fn = jax.jit(shard_map(
-            local, mesh=mesh,
-            in_specs=(P(), P(axis, None)),
-            out_specs=(P(), P()),
-            check_vma=False,
-        ))
+        try:
+            fn = jax.jit(shard_map(
+                local, mesh=mesh,
+                in_specs=(P(), P(axis, None)),
+                out_specs=(P(), P()),
+                check_vma=False,
+            ))
+        except TypeError:  # older jax: check_rep spelling
+            fn = jax.jit(shard_map(
+                local, mesh=mesh,
+                in_specs=(P(), P(axis, None)),
+                out_specs=(P(), P()),
+                check_rep=False,
+            ))
         qd = jax.device_put(q, NamedSharding(mesh, P()))
         xd = jax.device_put(padded, NamedSharding(mesh, P(axis, None)))
         scores, idx = fn(qd, xd)

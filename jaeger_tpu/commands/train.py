@@ -337,9 +337,16 @@ def train_fragment_core(*args, **kwargs) -> dict:
     EVERY model forward — projection pretraining, train steps, eval,
     reliability generation, threshold tuning — traces with the ambient
     mesh the seq_axis shard_map islands require."""
-    config_path = args[0] if args else kwargs["config_path"]
-    use_mesh = (args[5] if len(args) > 5
-                else kwargs.get("use_mesh", True))
+    import inspect
+
+    # bind against the impl signature so use_mesh is read by NAME —
+    # a positional index would silently break if a parameter is ever
+    # inserted before it
+    sig = inspect.signature(_train_fragment_core_impl)
+    bound = sig.bind_partial(*args, **kwargs)
+    config_path = bound.arguments["config_path"]
+    use_mesh = bound.arguments.get(
+        "use_mesh", sig.parameters["use_mesh"].default)
     seq_mesh = _decide_seq_mesh(load_model_config(config_path), use_mesh)
     if seq_mesh is None:
         return _train_fragment_core_impl(*args, _seq_mesh=None, **kwargs)

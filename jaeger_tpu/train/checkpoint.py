@@ -92,7 +92,19 @@ class CheckpointManager:
         opt_path = entry.get("opt_path")
         if not opt_path or not Path(opt_path).exists():
             return template
-        return self._ckptr.restore(Path(opt_path).resolve(), template)
+        try:
+            return self._ckptr.restore(Path(opt_path).resolve(), template)
+        except Exception as exc:  # structure mismatch: optimizer config
+            # changed between save and resume (different optimizer,
+            # accumulation_steps, schedule) — degrade to weights-only
+            # resume like pre-upgrade checkpoints instead of crashing
+            import logging
+
+            logging.getLogger("jaeger_tpu").warning(
+                "saved optimizer state at %s does not match the current "
+                "optimizer configuration (%s); resuming with fresh "
+                "optimizer state (weights-only resume)", opt_path, exc)
+            return template
 
 
 class TrainingStatePersistence:

@@ -338,3 +338,41 @@ def test_old_checkpoints_without_opt_state_still_resume(tmp_path, rng):
                             epochs_override=3, use_mesh=False,
                             from_last_checkpoint=True)
     assert [h["epoch"] for h in r["history"]["classifier"]] == [2]
+
+
+def test_mismatched_opt_state_degrades_to_weights_only(tmp_path):
+    """If the optimizer config changed between save and resume, the saved
+    opt_state no longer matches the fresh template — restore must fall
+    back to the fresh template (weights-only resume) instead of raising
+    mid-resume (ADVICE r3)."""
+    import numpy as np
+
+    from jaeger_tpu.train.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(tmp_path / "ckpt")
+    saved_opt = {"mu": {"w": np.ones((3,), np.float32)},
+                 "nu": {"w": np.zeros((3,), np.float32)}}
+    mgr.save(1, {"params": {"w": np.ones((3,), np.float32)}},
+             metrics={"loss": 1.0}, opt_state=saved_opt)
+    entry = mgr.latest()
+    assert entry.get("opt_path")
+
+    # different tree structure, as a different optimizer would produce
+    fresh = {"trace": {"w": np.zeros((5,), np.float32)},
+             "count": np.zeros((), np.int32)}
+    restored = mgr.restore_opt_state(entry, fresh)
+    assert restored is fresh  # degraded to the fresh template
+
+
+def test_matching_opt_state_still_restores(tmp_path):
+    import numpy as np
+
+    from jaeger_tpu.train.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(tmp_path / "ckpt")
+    saved_opt = {"mu": {"w": np.full((3,), 7.0, np.float32)}}
+    mgr.save(1, {"params": {"w": np.ones((3,), np.float32)}},
+             opt_state=saved_opt)
+    fresh = {"mu": {"w": np.zeros((3,), np.float32)}}
+    restored = mgr.restore_opt_state(mgr.latest(), fresh)
+    np.testing.assert_allclose(restored["mu"]["w"], 7.0)
