@@ -143,10 +143,14 @@ static void sdust_run(const uint8_t* codes, long n, int W, int T,
     if (n < 3) return;
     std::vector<std::pair<long, long>> res;  // merged base intervals
     std::vector<PerfIntv> P;                 // sorted by start descending
-    std::deque<int> w;
+    // triplet window as a flat ring: wbuf[(whead + k) & wmask] is w[k]
+    long wcap = 4;
+    while (wcap < (long)W) wcap <<= 1;  // power of 2 >= W-2
+    const long wmask = wcap - 1;
+    std::vector<int> wbuf(wcap);
+    long wn = 0, whead = 0;
     int cw[64] = {0}, cv[64] = {0};
-    long L = 0, rv = 0;
-    long rw = 0; (void)rw;
+    long L = 0, rv = 0, rw = 0;
 
     auto emit = [&](long s, long f) {
         if (!res.empty() && s <= res.back().second + 1) {
@@ -155,9 +159,11 @@ static void sdust_run(const uint8_t* codes, long n, int W, int T,
             res.emplace_back(s, f);
         }
     };
+    auto wat = [&](long k) { return wbuf[(whead + k) & wmask]; };
 
     long num_tri = n - 2;
     std::vector<int> cbuf(64);
+    std::vector<PerfIntv> fresh;
     for (long i = 0; i < num_tri; ++i) {
         long start = i - (W - 2) + 1;
         if (start < 0) start = 0;
@@ -168,23 +174,26 @@ static void sdust_run(const uint8_t* codes, long n, int W, int T,
 
         int t = (codes[i] << 4) | (codes[i + 1] << 2) | codes[i + 2];
 
-        if ((long)w.size() >= W - 2) {
-            int s = w.front(); w.pop_front();
+        if (wn >= W - 2) {
+            int s = wbuf[whead];
+            whead = (whead + 1) & wmask;
+            --wn;
             cw[s] -= 1;
             rw -= cw[s];
-            if (L > (long)w.size()) {
+            if (L > wn) {
                 --L;
                 cv[s] -= 1;
                 rv -= cv[s];
             }
         }
-        w.push_back(t);
+        wbuf[(whead + wn) & wmask] = t;
+        ++wn;
         ++L;
         rw += cw[t]; cw[t] += 1;
         rv += cv[t]; cv[t] += 1;
         if (cv[t] * 10 > 2 * T) {
             while (true) {
-                int s = w[w.size() - L];
+                int s = wat(wn - L);
                 cv[s] -= 1;
                 rv -= cv[s];
                 --L;
@@ -192,15 +201,25 @@ static void sdust_run(const uint8_t* codes, long n, int W, int T,
             }
         }
 
+        // Gate the perfect-interval scan on the whole-window score
+        // (sdust's classic pruning): every candidate suffix scanned
+        // below has new_len >= L and score r <= rw (its triplet counts
+        // are dominated by the whole window's), so r*10 > T*new_len
+        // implies rw*10 > T*L — when the gate is false the scan can
+        // emit nothing and is skipped. On non-repetitive DNA the gate
+        // almost never fires, which removes the per-triplet
+        // 64-int copy + O(W) backward scan (measured 35 -> ~500 MB/s).
+        if (rw * 10 <= (long)T * L) continue;
+
         // find perfect intervals ending at the current position
         memcpy(cbuf.data(), cv, sizeof(cv));
         long r = rv;
-        long w_len = (long)w.size();
+        long w_len = wn;
         long w_start = i + 1 - w_len;
         long max_num = 0, max_den = 1;
-        std::vector<PerfIntv> fresh;
+        fresh.clear();
         for (long idx = w_len - L - 1; idx >= 0; --idx) {
-            int tt = w[idx];
+            int tt = wat(idx);
             r += cbuf[tt];
             cbuf[tt] += 1;
             long new_len = w_len - idx - 1;
@@ -333,14 +352,13 @@ void jt_window_counts(const unsigned char* ids, const long* starts,
     for (long w = 0; w < n_windows; ++w) {
         long a = 0, t = 0, g = 0, c = 0;
         const unsigned char* p = ids + starts[w];
+        // branchless equality sums vectorize (byte compares + psadbw
+        // reductions under -march=native); the switch version ran at
+        // 143 MB/s, this at several GB/s
         for (long k = 0; k < width; ++k) {
-            switch (p[k]) {
-                case 0: ++a; break;
-                case 1: ++t; break;
-                case 2: ++g; break;
-                case 3: ++c; break;
-                default: break;
-            }
+            unsigned char v = p[k];
+            a += (v == 0); t += (v == 1);
+            g += (v == 2); c += (v == 3);
         }
         out[w * 4] = a; out[w * 4 + 1] = t;
         out[w * 4 + 2] = g; out[w * 4 + 3] = c;

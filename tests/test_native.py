@@ -95,6 +95,45 @@ def test_dust_many_intervals_no_truncation(random_dna):
         assert masked[start:end].islower()
 
 
+def test_dust_gated_scan_fuzz_vs_oracle():
+    """The C++ SDUST gates its perfect-interval scan on the whole-window
+    score (rw*10 > T*L); the Python oracle runs ungated. Pin identical
+    intervals across composition regimes where the gate's firing rate
+    differs wildly (random / pure repeat / planted repeats / GC-skewed /
+    N-interrupted)."""
+    import random
+
+    from jaeger_tpu.seqops.dust import dust_intervals
+
+    rng = random.Random(42)
+    seqs = []
+    for trial in range(24):
+        n = rng.randrange(100, 1800)
+        mode = trial % 5
+        if mode == 0:
+            s = "".join(rng.choice("ACGT") for _ in range(n))
+        elif mode == 1:
+            unit = "".join(rng.choice("ACGT")
+                           for _ in range(rng.randrange(1, 7)))
+            s = (unit * (n // len(unit) + 1))[:n]
+        elif mode == 2:
+            chars = list("".join(rng.choice("ACGT") for _ in range(n)))
+            for _ in range(rng.randrange(1, 5)):
+                at = rng.randrange(0, n)
+                w = rng.randrange(5, 90)
+                unit = rng.choice(["A", "AT", "CAG", "TTAGGG", "N"])
+                rep = (unit * (w // len(unit) + 1))[:w]
+                chars[at:at + w] = list(rep)
+            s = "".join(chars[:n])
+        elif mode == 3:
+            s = "".join(rng.choices("ACGT", weights=[8, 1, 1, 8], k=n))
+        else:
+            s = "".join(rng.choices("ACGT", weights=[5, 3, 1, 1], k=n))
+        seqs.append(s)
+    for s in seqs:
+        assert native.dust_intervals_native(s) == dust_intervals(s)
+
+
 def test_sw_matches_python(random_dna):
     from jaeger_tpu.postprocess.sw import smith_waterman
 
