@@ -442,6 +442,16 @@ def health(verbose) -> None:
 @click.option("--xla", is_flag=True, default=False,
               help="Enable XLA JIT (always on here; accepted for "
                    "compatibility).")
+@click.option("--coordinator", default=None,
+              help="Multi-host training: coordinator HOST:PORT for "
+                   "jax.distributed (run one process per host with "
+                   "--num-processes/--process-id; batch rows shard over "
+                   "the global data mesh, process 0 writes artifacts).")
+@click.option("--num-processes", "--num_processes", "num_processes",
+              default=None, type=int,
+              help="Multi-host training: total process count.")
+@click.option("--process-id", "--process_id", "process_id", default=None,
+              type=int, help="Multi-host training: this process's index.")
 @click.option("-v", "--verbose", count=True)
 def train(config_path, output_dir, epochs, steps_per_epoch,
           self_supervised_pretraining, generate_reliability_data,
@@ -449,9 +459,17 @@ def train(config_path, output_dir, epochs, steps_per_epoch,
           only_classification_head, only_reliability_head, only_save,
           id_threshold, synthetic_ood_threshold, synthetic_ood_multiplier,
           masking, precision, mixed_precision, save_model_flag, meta,
-          workers, xla, verbose):
+          workers, xla, coordinator, num_processes, process_id, verbose):
     """Train a fragment classifier from a YAML config."""
     _apply_verbosity(verbose)
+    if coordinator:
+        # must run before any jax device use so the global (multi-host)
+        # backend initializes first — parallel/multihost.py
+        from jaeger_tpu.parallel.multihost import initialize_distributed
+
+        pid, nproc = initialize_distributed(
+            coordinator, num_processes, process_id)
+        click.echo(f"jax.distributed: process {pid}/{nproc}", err=True)
     if mixed_precision:
         click.secho("--mixed_precision is deprecated; use --precision "
                     "fp16 instead.", fg="yellow", err=True)

@@ -21,6 +21,7 @@ import numpy as np
 from jaeger_tpu.models.artifacts import save_model
 from jaeger_tpu.models.builder import ModelBuilder, load_model_config
 from jaeger_tpu.parallel import mesh as meshlib
+from jaeger_tpu.parallel import multihost as mh
 from jaeger_tpu.train import data as data_lib
 from jaeger_tpu.train import losses as losses_lib
 from jaeger_tpu.train.callbacks import build_callbacks
@@ -77,7 +78,7 @@ def _class_weights(train_cfg: dict, key: str, num_classes: int):
 
 
 def _make_eval_fn(model, loss_name: str, output_key: str = "prediction",
-                  seq_mesh=None):
+                  seq_mesh=None, global_batcher=None):
     loss_fn = losses_lib.LOSSES[loss_name]
 
     @jax.jit
@@ -103,7 +104,15 @@ def _make_eval_fn(model, loss_name: str, output_key: str = "prediction",
         for i, batch in enumerate(batches):
             if i >= max_steps:
                 break
-            dev = {k: jnp.asarray(v) for k, v in batch.items()}
+            if global_batcher is not None:
+                # multi-host: variables are already global (state round
+                # trip); the identical full host batch becomes a global
+                # row-sharded array and the scalar outputs come back
+                # fully replicated — every process sees the same metrics
+                dev = global_batcher.shard(dict(batch))
+                variables = global_batcher.replicate(variables)
+            else:
+                dev = {k: jnp.asarray(v) for k, v in batch.items()}
             if seq_mesh is not None:
                 # seq_axis models need the ambient mesh (Hyena ring)
                 with jax.set_mesh(seq_mesh):
@@ -138,7 +147,17 @@ def _run_branch(
     rng,
     start_epoch: int = 0,
 ) -> tuple[TrainState, list[dict]]:
-    """One branch's epoch loop with callbacks + checkpoints."""
+    """One branch's epoch loop with callbacks + checkpoints.
+
+    Multi-host: every process runs this loop in lockstep on identical
+    batch streams and metrics (parallel/multihost.py), so callback
+    decisions (early stop, LR reduction) are consistent; only the
+    primary process touches the filesystem (checkpoints, training
+    state, CSV logs).
+    """
+    from jaeger_tpu.parallel import multihost as mh
+
+    primary = mh.is_primary()
     mgr = CheckpointManager(ckpt_dir)
     persist = TrainingStatePersistence(ckpt_dir)
     history: list[dict] = []
@@ -171,11 +190,17 @@ def _run_branch(
         epoch_metrics["epoch_time_s"] = time.time() - t0
         history.append({"epoch": epoch, **epoch_metrics})
         logger.info(f"{branch} epoch {epoch}: {epoch_metrics}")
-        if csv_logger is not None:
+        if csv_logger is not None and primary:
             csv_logger.on_epoch_end(epoch, epoch_metrics)
 
-        mgr.save(epoch, state.variables, epoch_metrics,
-                 opt_state=state.opt_state)
+        # ALL processes call save (orbax's save/wait are global sync
+        # points — skipping them on non-primary deadlocks the barrier);
+        # the trees are host numpy (fully replicated), orbax writes them
+        # once, and CheckpointManager gates its index bookkeeping to the
+        # primary internally
+        mgr.save(epoch, mh.tree_to_host(state.variables),
+                 epoch_metrics,
+                 opt_state=mh.tree_to_host(state.opt_state))
         lr = get_learning_rate(state.opt_state)
         if reduce_lr is not None:
             new_lr = reduce_lr.on_epoch_end(epoch_metrics, lr, epoch=epoch)
@@ -185,7 +210,8 @@ def _run_branch(
                     opt_state=set_learning_rate(state.opt_state, new_lr)
                 )
                 lr = new_lr
-        persist.save(epoch, lr, callbacks)
+        if primary:
+            persist.save(epoch, lr, callbacks)
         if early is not None and early.on_epoch_end(
             epoch_metrics, state.params, epoch=epoch
         ):
@@ -441,9 +467,22 @@ def _train_fragment_core_impl(
 
     batch_size = int(batch_override or train_cfg.get("batch_size", 64))
     mesh = None
+    global_batcher = None
     if use_mesh and seq_mesh is None and len(jax.devices()) > 1:
         mesh = meshlib.data_mesh()
         batch_size = meshlib.pad_to_multiple(batch_size, mesh.devices.size)
+        if mh.is_multiprocess():
+            # multi-host training: the mesh above is GLOBAL (jax.devices()
+            # spans processes after initialize_distributed); every process
+            # loads the identical deterministic batch stream and the
+            # batcher turns it into row-sharded global arrays — see
+            # parallel/multihost.py. batch_size is the GLOBAL batch.
+            global_batcher = mh.GlobalBatcher(mesh)
+            logger.info(
+                f"multi-host training: process "
+                f"{jax.process_index()}/{jax.process_count()}, "
+                f"{mesh.devices.size} global devices, "
+                f"global batch {batch_size}")
 
     # --- resume (reliability > classifier > projection) ---
     # --only_save = export the last-checkpoint weights without training
@@ -632,8 +671,9 @@ def _train_fragment_core_impl(
         variables = {"params": combined["model"]}
         if batch_stats:
             variables["batch_stats"] = batch_stats
-        write_convergence_marker(proj_dir, "projection",
-                                 {"epochs": proj_epochs})
+        if mh.is_primary():
+            write_convergence_marker(proj_dir, "projection",
+                                     {"epochs": proj_epochs})
         history["projection"] = proj_hist
 
     # === 2. CLASSIFIER ===
@@ -679,7 +719,7 @@ def _train_fragment_core_impl(
                 ),
                 heads=("prediction",),
             ),
-            mesh=mesh, seq_mesh=seq_mesh,
+            mesh=mesh, seq_mesh=seq_mesh, global_batcher=global_batcher,
         )
         callbacks = build_callbacks(
             train_cfg.get("callbacks", {}).get("classifier", [])
@@ -688,7 +728,7 @@ def _train_fragment_core_impl(
         evaluate = _make_eval_fn(
             model, train_cfg.get("loss_classifier",
                                  "categorical_crossentropy"),
-            seq_mesh=seq_mesh,
+            seq_mesh=seq_mesh, global_batcher=global_batcher,
         )
         steps = int(
             steps_override or train_cfg.get("classifier_train_steps", 100)
@@ -702,11 +742,15 @@ def _train_fragment_core_impl(
             cls_epochs, steps, val_steps, cls_dir, callbacks, evaluate,
             rng, start_epoch=start_epochs["classifier"],
         )
-        variables = state.variables
-        write_convergence_marker(cls_dir, "classifier", {
-            "epochs": cls_epochs,
-            "final": cls_hist[-1] if cls_hist else {},
-        })
+        # multi-host: replicated global leaves return to host numpy at
+        # the branch boundary so downstream single-process code (bias
+        # application, generation, export) runs unchanged on every process
+        variables = mh.tree_to_host(state.variables)
+        if mh.is_primary():
+            write_convergence_marker(cls_dir, "classifier", {
+                "epochs": cls_epochs,
+                "final": cls_hist[-1] if cls_hist else {},
+            })
         history["classifier"] = cls_hist
 
     # === 3. RELIABILITY ===
@@ -750,6 +794,13 @@ def _train_fragment_core_impl(
                 )
             gen_out = (gen_cfg.get("output_dir")
                        or str(out_root / "reliability_data"))
+            if mh.is_multiprocess() and not mh.is_primary():
+                # generation is deterministic (seeded); every process
+                # produces identical data, but only the primary may
+                # write the canonical dir — others use a scratch copy
+                gen_out = str(Path(gen_out).with_name(
+                    Path(gen_out).name
+                    + f".proc{jax.process_index()}"))
             rel_paths = generate_reliability_data(
                 model, variables, raw_train,
                 gen_out, crop_nt,
@@ -808,6 +859,7 @@ def _train_fragment_core_impl(
                     heads=("reliability",),
                 ),
                 mesh=mesh, seq_mesh=seq_mesh,
+                global_batcher=global_batcher,
             )
 
             def rel_batches(paths_, epoch_seed, repeat=True):
@@ -824,6 +876,7 @@ def _train_fragment_core_impl(
                 model, train_cfg.get("loss_reliability",
                                      "binary_crossentropy"),
                 output_key="reliability", seq_mesh=seq_mesh,
+                global_batcher=global_batcher,
             )
             steps = int(
                 steps_override
@@ -840,9 +893,10 @@ def _train_fragment_core_impl(
                 rel_epochs, steps, val_steps, rel_dir, callbacks, evaluate,
                 rng, start_epoch=start_epochs["reliability"],
             )
-            variables = state.variables
-            write_convergence_marker(rel_dir, "reliability",
-                                     {"epochs": rel_epochs})
+            variables = mh.tree_to_host(state.variables)
+            if mh.is_primary():
+                write_convergence_marker(rel_dir, "reliability",
+                                         {"epochs": rel_epochs})
             history["reliability"] = rel_hist
 
             # --- threshold tuning + calibration (reference
@@ -862,11 +916,13 @@ def _train_fragment_core_impl(
                     best, rows, summary = tune_reliability_threshold(
                         scores, labels
                     )
-                    write_threshold_outputs(rel_dir, best, rows)
+                    if mh.is_primary():
+                        write_threshold_outputs(rel_dir, best, rows)
                     ece, brier, cal_rows = calibration_summary(
                         scores, labels
                     )
-                    write_calibration_outputs(rel_dir, cal_rows)
+                    if mh.is_primary():
+                        write_calibration_outputs(rel_dir, cal_rows)
                     results["reliability_threshold"] = best
                     results["reliability_auroc"] = summary["auroc"]
                     logger.info(
@@ -882,6 +938,11 @@ def _train_fragment_core_impl(
     trained_this_run = bool(history) or any(
         start_epochs.values()  # a resume restored trained weights
     )
+    if save and mh.is_multiprocess() and not mh.is_primary():
+        # non-primary processes computed identical results; the export,
+        # int8 calibration and metadata are the primary's to write
+        results["model_path"] = str(out_root)
+        return results
     if save:
         if not trained_this_run and (out_root / "params.msgpack").exists():
             # every branch was convergence-skipped: `variables` still

@@ -69,7 +69,15 @@ def fit_thresholds(val_df: pd.DataFrame,
 
 def refine(df: pd.DataFrame, taus: dict[str, dict[str, float]],
            merge_bp: bool = True, merge_pv: bool = True) -> pd.DataFrame:
-    """Merge rules first, then per-class abstain -> ``refined_prediction``."""
+    """Merge rules first, then per-class abstain -> ``refined_prediction``.
+
+    Each :data:`MERGE_MAP` rule fires on windows whose top two classes
+    are exactly the rule's (unordered) pair AND whose margin falls under
+    the fitted per-class margin threshold — a window torn between
+    bacteria and plasmid becomes ``bacteria_or_plasmid`` rather than a
+    coin flip. Windows no rule claimed abstain to ``unknown`` when
+    either fitted threshold rejects them.
+    """
     top_class = df["top_class"].to_numpy()
     second_class = df["second_class"].to_numpy()
     top_logit = df["top_logit"].to_numpy()
@@ -77,24 +85,23 @@ def refine(df: pd.DataFrame, taus: dict[str, dict[str, float]],
 
     tau_logit = np.array([taus[c]["logit"] for c in top_class])
     tau_margin = np.array([taus[c]["margin"] for c in top_class])
+    under_margin = margin < tau_margin
     refined = top_class.astype(object).copy()
 
-    if merge_bp:
-        m = (
-            ((top_class == "bacteria") & (second_class == "plasmid"))
-            | ((top_class == "plasmid") & (second_class == "bacteria"))
-        ) & (margin < tau_margin)
-        refined[m] = "bacteria_or_plasmid"
-    if merge_pv:
-        m = (
-            ((top_class == "phage") & (second_class == "virus"))
-            | ((top_class == "virus") & (second_class == "phage"))
-        ) & (margin < tau_margin)
-        refined[m] = "virus_any"
+    enabled = {"bacteria_or_plasmid": merge_bp, "virus_any": merge_pv}
+    claimed = np.zeros(len(refined), dtype=bool)
+    for label, pair in MERGE_MAP.items():
+        if not enabled.get(label, True):
+            continue
+        top_in_pair = np.isin(top_class, pair)
+        second_in_pair = np.isin(second_class, pair)
+        hit = (top_in_pair & second_in_pair
+               & (top_class != second_class)
+               & under_margin & ~claimed)
+        refined[hit] = label
+        claimed |= hit
 
-    abstain = ((top_logit < tau_logit) | (margin < tau_margin)) & ~np.isin(
-        refined.astype(str), list(MERGE_MAP.keys())
-    )
+    abstain = ((top_logit < tau_logit) | under_margin) & ~claimed
     refined[abstain] = "unknown"
     out = df.copy()
     out["refined_prediction"] = refined

@@ -57,6 +57,13 @@ class CheckpointManager:
         # StandardCheckpointer saves asynchronously; finalize before the
         # index records it so resume never races a half-written checkpoint
         self._ckptr.wait_until_finished()
+        # multi-host training: every process participates in the orbax
+        # save/finalize barriers above, but the index json + pruning are
+        # the primary's alone (parallel/multihost.py)
+        from jaeger_tpu.parallel.multihost import is_primary
+
+        if not is_primary():
+            return path
         index = [e for e in self._index() if e["epoch"] != epoch]
         index.append(entry)
         index.sort(key=lambda e: e["epoch"])

@@ -162,7 +162,7 @@ def shard_train_step(train_step, mesh):
 
 
 def make_dispatching_train_step(model, cfg: StepConfig, mesh=None,
-                                seq_mesh=None):
+                                seq_mesh=None, global_batcher=None):
     """(state, host_batch, rng) -> (state, metrics) with per-batch
     program selection, mirroring the inference engine: when every window
     in the batch fills the crop with unambiguously-encoding bases, run
@@ -181,6 +181,15 @@ def make_dispatching_train_step(model, cfg: StepConfig, mesh=None,
     length-shards its Hyena long convolutions over the mesh's ``seq``
     axis (parallel/hyena_sp ppermute ring — differentiable; grads pinned
     vs the unsharded oracle in tests/test_hyena_seq_train.py).
+
+    ``global_batcher`` (multi-host training, parallel/multihost.py): the
+    mesh spans multiple processes, so host arrays must become global
+    jax.Arrays before the sharded jit sees them — the batch is
+    row-sharded (each process contributes its addressable slice of the
+    identical full batch it loaded), state/rng replicated. State stays
+    global across steps (the donated round trip returns global arrays);
+    the host dense-program predicate is consistent across processes
+    because every process inspects the same full host batch.
     """
     import numpy as np
 
@@ -210,6 +219,10 @@ def make_dispatching_train_step(model, cfg: StepConfig, mesh=None,
                 np.asarray(batch["bases"]), np.asarray(batch["lengths"]),
                 crop_nt, masking,
             )
+        if global_batcher is not None:
+            batch = global_batcher.shard(batch)
+            state = global_batcher.replicate(state)
+            rng = global_batcher.replicate(rng)
         if seq_mesh is not None:
             with jax.set_mesh(seq_mesh):
                 return _get(dense)(state, batch, rng)

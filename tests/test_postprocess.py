@@ -437,3 +437,75 @@ def test_circular_plot_renders_reference_layout(tmp_path):
     )
     assert out == [tmp_path / "x_jaeger_c1.pdf"]
     assert out[0].stat().st_size > 5000
+
+
+class TestRefinementMergeRules:
+    """Window-level merge/abstain semantics of refinement.refine()
+    (restructured round 4: rules driven from MERGE_MAP)."""
+
+    def _df(self, rows):
+        import pandas as pd
+
+        from jaeger_tpu.postprocess import refinement as R
+
+        recs = []
+        for top, second, top_logit, margin in rows:
+            s = {c: top_logit - margin - 10.0 for c in R.SCORE_COLS}
+            s[f"{top}_score"] = top_logit
+            s[f"{second}_score"] = top_logit - margin
+            recs.append(s)
+        df = pd.DataFrame(recs)
+        return R.add_score_features(df)
+
+    def _taus(self, logit=-1.0, margin=0.5):
+        from jaeger_tpu.postprocess import refinement as R
+
+        return {c: {"logit": logit, "margin": margin, "n": 100}
+                for c in R.CLASSES}
+
+    def test_under_margin_pairs_merge_both_orders(self):
+        from jaeger_tpu.postprocess import refinement as R
+
+        df = self._df([
+            ("bacteria", "plasmid", 5.0, 0.1),
+            ("plasmid", "bacteria", 5.0, 0.1),
+            ("phage", "virus", 5.0, 0.1),
+            ("virus", "phage", 5.0, 0.1),
+        ])
+        out = R.refine(df, self._taus())
+        assert list(out["refined_prediction"]) == [
+            "bacteria_or_plasmid", "bacteria_or_plasmid",
+            "virus_any", "virus_any",
+        ]
+
+    def test_confident_windows_keep_their_class(self):
+        from jaeger_tpu.postprocess import refinement as R
+
+        df = self._df([
+            ("bacteria", "plasmid", 5.0, 2.0),  # margin above tau
+            ("phage", "bacteria", 5.0, 0.1),    # not a merge pair
+        ])
+        out = R.refine(df, self._taus())
+        # above-margin pair keeps its call; non-pair low margin abstains
+        assert list(out["refined_prediction"]) == ["bacteria", "unknown"]
+
+    def test_low_logit_abstains_but_merged_windows_do_not(self):
+        from jaeger_tpu.postprocess import refinement as R
+
+        df = self._df([
+            ("bacteria", "plasmid", -5.0, 0.1),  # merged: immune
+            ("eukarya", "archaea", -5.0, 2.0),   # low logit: unknown
+        ])
+        out = R.refine(df, self._taus())
+        assert list(out["refined_prediction"]) == [
+            "bacteria_or_plasmid", "unknown"]
+
+    def test_disabled_rules_fall_through_to_abstain(self):
+        from jaeger_tpu.postprocess import refinement as R
+
+        df = self._df([
+            ("bacteria", "plasmid", 5.0, 0.1),
+            ("phage", "virus", 5.0, 0.1),
+        ])
+        out = R.refine(df, self._taus(), merge_bp=False, merge_pv=False)
+        assert list(out["refined_prediction"]) == ["unknown", "unknown"]
