@@ -66,13 +66,24 @@ class EarlyStopping:
         if value is None or epoch < self.start_from_epoch:
             return False
         value = float(value)
+
+        def _snapshot(p):
+            # the train step DONATES its state buffers (shard_train_step
+            # donate_argnums): holding live references here would leave
+            # best_params pointing at deleted device buffers by the next
+            # step. CPU silently ignores donation (which is why only TPU
+            # runs would crash); snapshot to host.
+            import jax
+
+            return jax.device_get(p) if p is not None else None
+
         if self.restore_best_weights and self.best_params is None:
-            self.best_params = params
+            self.best_params = _snapshot(params)
         self.wait += 1
         if self._improved(value, self.best):
             self.best = value
             if self.restore_best_weights and params is not None:
-                self.best_params = params
+                self.best_params = _snapshot(params)
             if self.baseline is None or self._improved(value, self.baseline):
                 self.wait = 0
             return False
