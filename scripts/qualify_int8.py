@@ -34,7 +34,12 @@ sys.path.insert(0, str(REPO))
 # quantization error under test (int8 binning + per-channel scales) is
 # platform-independent; the chip-side throughput number lives in
 # experiments/int8_flagship_bench.py. Override with JAX_PLATFORMS.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu (not setdefault): this harness presets JAX_PLATFORMS=axon in
+# the shell, which silently routed the whole qualification over the chip
+# relay; the quantization error under test is platform-independent.
+# Explicitly export JAX_PLATFORMS yourself to override.
+if os.environ.get("JAX_PLATFORMS", "axon") in ("", "axon", "axon,cpu"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 from jaeger_tpu.utils.devices import honour_platform_env  # noqa: E402
 
