@@ -108,8 +108,15 @@ def _make_eval_fn(model, loss_name: str, output_key: str = "prediction",
                 # multi-host: variables are already global (state round
                 # trip); the identical full host batch becomes a global
                 # row-sharded array and the scalar outputs come back
-                # fully replicated — every process sees the same metrics
-                dev = global_batcher.shard(dict(batch))
+                # fully replicated — every process sees the same metrics.
+                # A short FINAL validation batch (rows not divisible by
+                # the device count) is replicated instead: every device
+                # computes it redundantly, metrics identical.
+                n_dev = global_batcher.mesh.devices.size
+                rows = len(next(iter(batch.values())))
+                dev = (global_batcher.shard(dict(batch))
+                       if rows % n_dev == 0
+                       else global_batcher.replicate(dict(batch)))
                 variables = global_batcher.replicate(variables)
             else:
                 dev = {k: jnp.asarray(v) for k, v in batch.items()}

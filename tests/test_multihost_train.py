@@ -85,6 +85,10 @@ def _write_fixture(tmp_path):
             "fragment_classifier_data": {
                 "train": [{"class": ["a", "b", "c"],
                            "path": [str(csv)], "label": [0, 1, 2]}],
+                # 90 rows / batch 16 -> a short 10-row FINAL eval batch,
+                # which the multi-host eval must replicate (10 % 4 != 0)
+                "validation": [{"class": ["a", "b", "c"],
+                                "path": [str(csv)], "label": [0, 1, 2]}],
             },
         },
     }
