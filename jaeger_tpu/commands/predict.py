@@ -126,12 +126,22 @@ def _build_refined_contig_df(data_full: dict, taus: dict, mode: str = "gated",
         return None
     window_df = R.add_score_features(pd.DataFrame(rows))
     window_df = R.refine(window_df, taus)
-    return R.aggregate_contig(
+    agg = R.aggregate_contig(
         window_df, mode=mode, min_windows=min_windows,
         merge_split=merge_split,
         allow_merged_contig_call=allow_merged_contig_call,
         contig_hedge_margin=contig_hedge_margin,
     )
+    if agg.empty:
+        # every contig abstained below min_windows (e.g. taus fit on a
+        # different distribution): the empty frame carries no call
+        # columns — fall back to unrefined output instead of crashing
+        # downstream (the reference's merge would KeyError here)
+        logger.warning(
+            "refinement left no contig with >= %d confident windows; "
+            "summary keeps the unrefined calls", min_windows)
+        return None
+    return agg
 
 
 def _maybe_merge_shards(output_dir: Path, stem: str,

@@ -391,3 +391,24 @@ def test_sharded_predict_matches_single(tmp_path, rng, model_bundle):
     a = pd.read_table(single).sort_values("contig_id").reset_index(drop=True)
     b = pd.read_table(merged).sort_values("contig_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_refinement_all_abstain_falls_back_to_unrefined(tmp_path, rng,
+                                                        model_bundle):
+    """Taus that abstain every window used to produce an EMPTY refined
+    aggregate whose missing call columns crashed the summary merge (the
+    reference has the same fragility); ours now falls back to the
+    unrefined table with a warning."""
+    import numpy as np
+
+    from jaeger_tpu.commands.predict import _build_refined_contig_df
+
+    harsh = {c: {"logit": 1e9, "margin": 1e9, "n": 10}
+             for c in ["phage", "virus", "archaea", "bacteria",
+                       "plasmid", "eukarya"]}
+    data_full = {
+        "headers": ["c1", "c2"],
+        "predictions": [np.asarray(rng.normal(size=(5, 6)), np.float32),
+                        np.asarray(rng.normal(size=(4, 6)), np.float32)],
+    }
+    assert _build_refined_contig_df(data_full, harsh) is None
