@@ -105,11 +105,13 @@ def timeit(model, variables, crop_nt, dense: bool, batch: int = BS):
         bases = jax.random.randint(
             k1, (batch, crop_nt), 0, 4, dtype=jnp.int32).astype(jnp.uint8)
         if not dense:
+            # base id 4 = N -> token 0 -> masked (ids 5-8 are soft-masked
+            # lowercase and fold back to ACGT when the masking flag is off)
             start = jax.random.randint(k2, (batch, 1), 0,
                                        crop_nt - 64, jnp.int32)
             pos = jnp.arange(crop_nt)[None, :]
             bases = jnp.where((pos >= start) & (pos < start + 48),
-                              bases + 5, bases).astype(jnp.uint8)
+                              jnp.uint8(4), bases).astype(jnp.uint8)
         lengths = jnp.full((batch,), crop_nt, jnp.int32)
         kw = {"assume_dense": True} if dense else {}
         out = model.apply(variables, {"bases": bases, "lengths": lengths},
@@ -132,7 +134,15 @@ def timeit(model, variables, crop_nt, dense: bool, batch: int = BS):
 
 
 def build_with(layers_mod):
-    """Build the flagship with a (possibly patched) layers module."""
+    """Build the flagship with a (possibly patched) layers module.
+
+    IMPORTANT: the builder resolves ``L.MaskedConv1D`` etc. at *apply*
+    time, not init time, so the patch must stay active for the whole
+    build+measure window — this returns an ``unpatch()`` closure the
+    caller invokes after timing (the first run of this probe restored
+    inside build and silently measured the unpatched program 7 times).
+    ``POOLERS`` is a dict of classes, patched entry-wise.
+    """
     import jax.numpy as jnp
 
     from jaeger_tpu.models import builder as builder_mod
@@ -143,18 +153,23 @@ def build_with(layers_mod):
     if layers_mod is not real_layers:
         for name in dir(layers_mod):
             obj = getattr(layers_mod, name)
-            if isinstance(obj, type) or callable(obj):
+            if (isinstance(obj, type) or callable(obj) or name == "POOLERS"):
                 if hasattr(real_layers, name):
                     saved[name] = getattr(real_layers, name)
                     setattr(real_layers, name, obj)
+
+    def unpatch():
+        for name, obj in saved.items():
+            setattr(real_layers, name, obj)
+
     try:
         b = builder_mod.ModelBuilder(flagship_config(), dtype=jnp.bfloat16)
         model, variables = b.init(batch=1)
         _, crop_nt = b.crop
-    finally:
-        for name, obj in saved.items():
-            setattr(real_layers, name, obj)
-    return model, variables, crop_nt
+    except BaseException:
+        unpatch()
+        raise
+    return model, variables, crop_nt, unpatch
 
 
 def main() -> None:
@@ -175,8 +190,11 @@ def main() -> None:
     results = {}
     base = None
     for name, mod, dense in variants:
-        model, variables, crop_nt = build_with(mod)
-        ms = timeit(model, variables, crop_nt, dense)
+        model, variables, crop_nt, unpatch = build_with(mod)
+        try:
+            ms = timeit(model, variables, crop_nt, dense)
+        finally:
+            unpatch()
         results[name] = ms
         if name == "masked":
             base = ms

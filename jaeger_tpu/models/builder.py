@@ -36,6 +36,75 @@ def _sub(cfg: dict, keys: Sequence[str]) -> dict:
     return {k: cfg[k] for k in keys if k in cfg}
 
 
+# --- deferred re-mask analysis ---------------------------------------------
+# A DYT norm's trailing re-zero of masked positions may be skipped exactly
+# when everything between it and the next self-masking barrier treats
+# masked positions correctly on its own. Three classes of layer:
+#
+#   ERASES   — re-zeroes masked positions itself, so any upstream deferred
+#              garbage dies here: masked convs pre-zero their input with
+#              the current mask (layers.MaskedConv1D), masked layernorm
+#              pre-masks before its stats, and residual blocks pre-zero
+#              both paths (conv1 pre-zeroes; the identity shortcut applies
+#              the input mask whenever deferral is active — masks GROW
+#              under mask_mode="any", so positions invalid at the block
+#              input can be valid at its output and the shortcut must
+#              contribute zeros there, see ResidualBlock).
+#   PASSES   — either purely per-position (activations, dropout, dense,
+#              crop, plain layernorm: garbage in, garbage out, confined to
+#              masked positions) or mask-weighted in its statistics with an
+#              un-re-zeroed output (nmd: 0-weighted sums; masked batchnorm:
+#              where(mask)-ed stats). Scanning continues past these. None
+#              of them changes the mask, so garbage positions stay invalid
+#              under the mask the eventual barrier consumes.
+#   UNSAFE   — consumes masked-position *values* into valid outputs
+#              (unmasked convs/batchnorm stats, recurrent scans, FFT/global
+#              mixing, gated pooling's unmasked max). Deferring across
+#              these would change results, so the re-mask stays.
+#
+# Values at deferred positions are bounded (tanh·gamma+beta then
+# elementwise), so 0-weighting/selecting them is bit-exact. Measured
+# effect: the 16 flagship DYT re-masks were the entire masked-vs-dense
+# gap, 24.8 ms/2048 (experiments/masked_breakdown.py;
+# docs/optimizations.md).
+
+_REMASK_SAFE_POOLERS = frozenset((
+    "max", "average", "max1d", "average1d", "masked_max", "masked_average",
+    "last", "masked_last",
+))
+
+
+def _remask_erased_by(name: str, cfg: dict) -> bool:
+    if name in ("masked_conv1d", "multi_scale_conv", "residual_block"):
+        return bool(cfg.get("use_masking", True))
+    if name == "masked_layernorm":
+        return True
+    return False
+
+
+def _remask_passes(name: str, cfg: dict) -> bool:
+    if name in ("activation", "relu", "gelu", "sigmoid", "softmax", "tanh",
+                "dropout", "nmd", "masked_dyt", "dense", "crop", "layernorm"):
+        return True
+    if name in ("masked_batchnorm", "batchnorm"):
+        # plain batchnorm folds every position into its statistics and
+        # relies on masked positions being zero — unsafe to defer across
+        return bool(cfg.get("use_masking", name == "masked_batchnorm"))
+    return False
+
+
+def _defer_scan(layer_configs: tuple, start: int, pooling: str | None) -> bool:
+    """True when a trailing re-mask emitted just before ``start`` is
+    provably redundant given the layers that follow (and the pooler)."""
+    for name, cfg in layer_configs[start:]:
+        if _remask_erased_by(name, cfg):
+            return True
+        if not _remask_passes(name, cfg):
+            return False
+    return (pooling is not None
+            and pooling.lower() in _REMASK_SAFE_POOLERS)
+
+
 class LayerStack(nn.Module):
     """A configured stack of zoo layers with NMD collection and pooling.
 
@@ -56,6 +125,10 @@ class LayerStack(nn.Module):
     # experiments/train_breakdown.py). Inference programs are unaffected
     # (nothing is saved without grad). config key: model.remat
     remat: bool = False
+    # allow skipping provably-redundant DYT re-masks (_defer_scan above);
+    # config key model.defer_remask — kept as an escape hatch / for the
+    # exactness A/B tests
+    defer_remask: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -111,6 +184,10 @@ class LayerStack(nn.Module):
             elif name == "masked_dyt":
                 x, mask = L.MaskedDYT(
                     name=lname, alpha_init=cfg.get("alpha_init", 0.5),
+                    defer_mask=(
+                        self.defer_remask
+                        and _defer_scan(self.layer_configs, i + 1, self.pooling)
+                    ),
                     dtype=self.dtype,
                 )(x, mask, train)
             elif name == "residual_block":
@@ -121,6 +198,11 @@ class LayerStack(nn.Module):
                 )
                 rb = rb_cls(
                     name=lname, dtype=self.dtype, block_size=block_size,
+                    defer_output_mask=(
+                        self.defer_remask
+                        and _defer_scan(self.layer_configs, i + 1, self.pooling)
+                    ),
+                    defer_internal_mask=self.defer_remask,
                     **_sub(cfg, _RES_KEYS),
                 )
                 out = rb(x, mask, train)
@@ -238,6 +320,7 @@ class LayerStack(nn.Module):
                         name=f"{lname}_branch_{b_idx}",
                         layer_configs=_freeze_layers(bcfg.get("hidden_layers", [])),
                         pooling=bcfg.get("pooling"),
+                        defer_remask=self.defer_remask,
                         dtype=self.dtype,
                     )
                     bx, _, _ = sub(x, mask, train)
@@ -489,7 +572,9 @@ class JaegerModel(nn.Module):
                 name="rep_branch",
                 layer_configs=_freeze_layers(bcfg.get("hidden_layers", [])),
                 pooling=bcfg.get("pooling"), seq_axis=seq_axis,
-                remat=bool(cfg.get("remat", False)), dtype=self.dtype,
+                remat=bool(cfg.get("remat", False)),
+                defer_remask=bool(cfg.get("defer_remask", True)),
+                dtype=self.dtype,
             )
             branch_outs = []
             for i in range(x.shape[1]):
@@ -508,7 +593,9 @@ class JaegerModel(nn.Module):
                 layer_configs=_freeze_layers(rep_cfg.get("hidden_layers", [])),
                 pooling=rep_cfg.get("pooling"),
                 nmd_merge=merge_cfg, seq_axis=seq_axis,
-                remat=bool(cfg.get("remat", False)), dtype=self.dtype,
+                remat=bool(cfg.get("remat", False)),
+                defer_remask=bool(cfg.get("defer_remask", True)),
+                dtype=self.dtype,
             )(x, mask, train, fold_table=fold_table, taps=_need_rel)
 
         outputs["embedding"] = rep

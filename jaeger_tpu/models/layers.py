@@ -465,9 +465,21 @@ class MaskedDYT(nn.Module):
 
     Parity: reference ``nnlib/v2/layers.py:385-455``; masked positions are
     re-zeroed after the affine.
+
+    ``defer_mask=True`` skips that trailing re-zero. Output-exact whenever
+    every downstream consumer up to the next self-masking barrier handles
+    masked positions itself (masked convs pre-zero their input, NMD/masked
+    norms use mask-weighted statistics, masked poolers select on the mask)
+    — the builder proves this statically per call site
+    (``builder._defer_scan``). The re-zero is the whole masked-vs-dense
+    gap on the flagship (24.8 of 24.8 ms/2048, measured: each of the 16
+    DYT re-masks costs one extra HBM round-trip of the (B,F,L,128)
+    activation because XLA keeps the multiply outside the conv fusions;
+    experiments/masked_breakdown.py).
     """
 
     alpha_init: float = 0.5
+    defer_mask: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -484,7 +496,7 @@ class MaskedDYT(nn.Module):
             jnp.tanh(alpha.astype(x.dtype) * x) * gamma.astype(x.dtype)
             + beta.astype(x.dtype)
         )
-        if mask is not None:
+        if mask is not None and not self.defer_mask:
             y = apply_mask(y, mask)
         return y, mask
 
@@ -632,7 +644,10 @@ POOLERS = {
 
 def _make_norm(norm_type: str, name: str, return_nmd: bool = False,
                use_masking: bool = True, alpha_init: float = 0.5,
-               dtype=jnp.float32):
+               defer_mask: bool = False, dtype=jnp.float32):
+    """``defer_mask`` skips a DYT norm's trailing re-zero (see MaskedDYT);
+    the other norm types either never re-zero (MaskedBatchNorm) or use the
+    mask structurally (MaskedLayerNorm) and ignore the flag."""
     norm_type = norm_type.lower()
     if norm_type == "masked_batchnorm":
         return MaskedBatchNorm(
@@ -641,7 +656,8 @@ def _make_norm(norm_type: str, name: str, return_nmd: bool = False,
     if norm_type == "masked_layernorm":
         return MaskedLayerNorm(name=name, dtype=dtype)
     if norm_type == "masked_dyt":
-        return MaskedDYT(name=name, alpha_init=alpha_init, dtype=dtype)
+        return MaskedDYT(name=name, alpha_init=alpha_init,
+                         defer_mask=defer_mask, dtype=dtype)
     if norm_type in ("layernorm", "layer_normalization"):
         return LayerNorm(name=name, dtype=dtype)
     raise ValueError(f"unsupported norm_type {norm_type!r}")
@@ -667,6 +683,14 @@ class ResidualBlock(nn.Module):
     alpha_init: float = 0.5
     return_nmd: bool = False
     use_masking: bool = True
+    # skip norm2/norm_bypass's trailing re-zero (DYT norms only) — exact
+    # when the block's downstream consumers self-mask; the builder proves
+    # it statically. defer_internal_mask covers norm1, whose only consumer
+    # is conv2 (pre-zeroes its input with the same mask) — always exact
+    # under use_masking, gated separately so defer_remask=False rebuilds
+    # the un-deferred program bit-for-bit.
+    defer_output_mask: bool = False
+    defer_internal_mask: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -686,7 +710,9 @@ class ResidualBlock(nn.Module):
         )
         h, m1 = _norm2(
             _make_norm(self.norm_type, "norm1", use_masking=self.use_masking,
-                       alpha_init=self.alpha_init, dtype=self.dtype),
+                       alpha_init=self.alpha_init,
+                       defer_mask=self.defer_internal_mask and self.use_masking,
+                       dtype=self.dtype),
             h, m1, train,
         )
         h = act(h)
@@ -695,7 +721,7 @@ class ResidualBlock(nn.Module):
         norm2 = _make_norm(
             self.norm_type, "norm2", return_nmd=self.return_nmd,
             use_masking=self.use_masking, alpha_init=self.alpha_init,
-            dtype=self.dtype,
+            defer_mask=self.defer_output_mask, dtype=self.dtype,
         )
         nmd = None
         if self.return_nmd:
@@ -711,11 +737,25 @@ class ResidualBlock(nn.Module):
             shortcut, _ = _norm2(
                 _make_norm(self.norm_type, "norm_bypass",
                            use_masking=self.use_masking,
-                           alpha_init=self.alpha_init, dtype=self.dtype),
+                           alpha_init=self.alpha_init,
+                           defer_mask=self.defer_output_mask,
+                           dtype=self.dtype),
                 shortcut, m2, train,
             )
         else:
             shortcut = x
+            if (self.use_masking and mask is not None
+                    and (self.defer_internal_mask or self.defer_output_mask)):
+                # mask_mode="any" GROWS the valid set across each conv
+                # (m2 ⊇ mask): positions invalid at the block input can be
+                # valid at its output, where the identity shortcut must
+                # contribute the zeros the un-deferred program would have
+                # carried — not deferred garbage. One multiply here
+                # replaces the per-norm re-zeroes and makes the block an
+                # erase barrier for anything deferred upstream. No-op when
+                # nothing defers (x is already zero at masked positions),
+                # so it is gated off to keep defer_remask=False bit-stable.
+                shortcut = apply_mask(x, mask)
 
         h = act(h + shortcut)
         if self.return_nmd:
@@ -747,6 +787,13 @@ class ResidualBlockStack(nn.Module):
     alpha_init: float = 0.5
     return_nmd: bool = False
     use_masking: bool = True
+    # One flag for every block's norm2/norm_bypass. (Inner blocks' deferred
+    # output garbage is erased by the next block — conv1 pre-zeroes and the
+    # identity shortcut applies the mask under deferral — so inner defers
+    # would be exact unconditionally; one shared flag is conservative and
+    # simpler.) defer_internal_mask (norm1) is exact under use_masking.
+    defer_output_mask: bool = False
+    defer_internal_mask: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -762,7 +809,9 @@ class ResidualBlockStack(nn.Module):
                 activation=self.activation, norm_type=self.norm_type,
                 alpha_init=self.alpha_init,
                 return_nmd=self.return_nmd and last,
-                use_masking=self.use_masking, dtype=self.dtype,
+                use_masking=self.use_masking,
+                defer_output_mask=self.defer_output_mask,
+                defer_internal_mask=self.defer_internal_mask, dtype=self.dtype,
                 name=f"block_{i}",
             )
             out = block(x, mask, train)
