@@ -111,6 +111,10 @@ class MaskedConv1D(nn.Module):
     use_bias: bool = True
     use_masking: bool = True
     mask_mode: str = "any"
+    # caller guarantees the input is already zero at masked positions
+    # (e.g. ResidualBlock pre-zeroes once and shares the tensor between
+    # conv1 and the identity shortcut) — skips the internal pre-zero
+    skip_input_mask: bool = False
     kernel_init: Callable = nn.initializers.glorot_uniform()
     bias_init: Callable = nn.initializers.zeros_init()
     dtype: Dtype = jnp.float32
@@ -148,7 +152,7 @@ class MaskedConv1D(nn.Module):
 
         out_mask = None
         if self.use_masking and mask is not None:
-            if fold_table is None:
+            if fold_table is None and not self.skip_input_mask:
                 x = apply_mask(x, mask)
             # valid-count under each kernel window as k shifted adds on the
             # int mask — a 1-channel conv wastes the MXU (pads C=1 to the
@@ -705,8 +709,21 @@ class ResidualBlock(nn.Module):
         )
         act = get_activation(self.activation)
 
-        h, m1 = MaskedConv1D(strides=self.strides, name="conv1", **conv_kw)(
-            x, mask, train
+        # Under deferral, pre-zero the block input ONCE and share the
+        # tensor between conv1 and the identity shortcut: the multiply
+        # rides the conv-input materialization (measured ~free, unlike a
+        # standalone shortcut re-mask — experiments/masked_breakdown.py),
+        # and the shortcut needs zeros at input-masked positions because
+        # mask_mode="any" can validate them by the block output.
+        deferring = (
+            self.use_masking and mask is not None
+            and (self.defer_internal_mask or self.defer_output_mask)
+        )
+        x_in = apply_mask(x, mask) if deferring else x
+
+        h, m1 = MaskedConv1D(strides=self.strides, name="conv1",
+                             skip_input_mask=deferring, **conv_kw)(
+            x_in, mask, train
         )
         h, m1 = _norm2(
             _make_norm(self.norm_type, "norm1", use_masking=self.use_masking,
@@ -733,7 +750,8 @@ class ResidualBlock(nn.Module):
             sc_kw = dict(conv_kw)
             sc_kw["kernel_size"] = 1
             shortcut, _ = MaskedConv1D(strides=self.strides, name="conv_bypass",
-                                       **sc_kw)(x, mask, train)
+                                       skip_input_mask=deferring,
+                                       **sc_kw)(x_in, mask, train)
             shortcut, _ = _norm2(
                 _make_norm(self.norm_type, "norm_bypass",
                            use_masking=self.use_masking,
@@ -743,19 +761,9 @@ class ResidualBlock(nn.Module):
                 shortcut, m2, train,
             )
         else:
-            shortcut = x
-            if (self.use_masking and mask is not None
-                    and (self.defer_internal_mask or self.defer_output_mask)):
-                # mask_mode="any" GROWS the valid set across each conv
-                # (m2 ⊇ mask): positions invalid at the block input can be
-                # valid at its output, where the identity shortcut must
-                # contribute the zeros the un-deferred program would have
-                # carried — not deferred garbage. One multiply here
-                # replaces the per-norm re-zeroes and makes the block an
-                # erase barrier for anything deferred upstream. No-op when
-                # nothing defers (x is already zero at masked positions),
-                # so it is gated off to keep defer_remask=False bit-stable.
-                shortcut = apply_mask(x, mask)
+            # the shared pre-zeroed tensor (see above); plain x when not
+            # deferring, keeping defer_remask=False bit-stable
+            shortcut = x_in
 
         h = act(h + shortcut)
         if self.return_nmd:
