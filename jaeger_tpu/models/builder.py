@@ -50,6 +50,19 @@ def _sub(cfg: dict, keys: Sequence[str]) -> dict:
 #              under mask_mode="any", so positions invalid at the block
 #              input can be valid at its output and the shortcut must
 #              contribute zeros there, see ResidualBlock).
+#
+#              A residual block only erases when the UN-deferred program
+#              would deliver zeros at mask-invalid positions of its input
+#              (``_zeroed_after`` tracks that state): only then is the
+#              shared input pre-zero a no-op vs the reference program.
+#              When the un-deferred input carries NON-zero values at
+#              masked positions (e.g. batchnorm-normed stacks — the
+#              reference never re-zeroes after an affine norm), the raw-x
+#              identity shortcut consumes those values into outputs that
+#              mask growth can validate, so the block is UNSAFE to defer
+#              across and must keep the reference's raw shortcut
+#              (tests/test_e2e_live_reference.py caught exactly this on a
+#              masked_batchnorm residual model).
 #   PASSES   — either purely per-position (activations, dropout, dense,
 #              crop, plain layernorm: garbage in, garbage out, confined to
 #              masked positions) or mask-weighted in its statistics with an
@@ -75,10 +88,42 @@ _REMASK_SAFE_POOLERS = frozenset((
 
 
 def _remask_erased_by(name: str, cfg: dict) -> bool:
-    if name in ("masked_conv1d", "multi_scale_conv", "residual_block"):
+    if name in ("masked_conv1d", "multi_scale_conv"):
         return bool(cfg.get("use_masking", True))
     if name == "masked_layernorm":
         return True
+    return False
+
+
+_act_zero_at_zero = L.act_zero_at_zero
+
+
+def _block_rezeroes(cfg: dict) -> bool:
+    """Whether a residual block's un-deferred output is zero at
+    mask-invalid positions given a zeroed input: its trailing norm must
+    re-zero (DYT/masked layernorm) and its activation must fix 0."""
+    return (
+        bool(cfg.get("use_masking", True))
+        and str(cfg.get("norm_type", "masked_batchnorm")).lower()
+        in ("masked_dyt", "masked_layernorm")
+        and _act_zero_at_zero(cfg.get("activation", "gelu"))
+    )
+
+
+def _zeroed_after(name: str, cfg: dict, zeroed: bool) -> bool:
+    """Propagate the ``zeroed`` state (the UN-deferred program holds exact
+    zeros at mask-invalid positions) across one layer."""
+    if name in ("masked_dyt", "masked_layernorm"):
+        return True                       # trailing re-zero w.r.t. the mask
+    if name in ("activation", "relu", "gelu", "sigmoid", "softmax", "tanh"):
+        act = cfg.get("activation", name if name != "activation" else None)
+        return zeroed and _act_zero_at_zero(act)
+    if name in ("dropout", "crop", "nmd"):
+        return zeroed                     # value-preserving at zeros
+    if name == "residual_block":
+        return zeroed and _block_rezeroes(cfg)
+    # convs (bias / padding garbage at invalid positions), batchnorm
+    # (affine bias), dense, attention/recurrent mixers: conservative False
     return False
 
 
@@ -93,14 +138,25 @@ def _remask_passes(name: str, cfg: dict) -> bool:
     return False
 
 
-def _defer_scan(layer_configs: tuple, start: int, pooling: str | None) -> bool:
+def _defer_scan(layer_configs: tuple, start: int, pooling: str | None,
+                zeroed: bool = True) -> bool:
     """True when a trailing re-mask emitted just before ``start`` is
-    provably redundant given the layers that follow (and the pooler)."""
+    provably redundant given the layers that follow (and the pooler).
+
+    ``zeroed`` is the un-deferred program's zero-at-masked-positions state
+    entering ``layer_configs[start]`` (True right after the re-mask being
+    deferred); it decides whether a downstream residual block erases
+    (shared input pre-zero) or consumes masked values (raw shortcut)."""
     for name, cfg in layer_configs[start:]:
+        if name == "residual_block":
+            # erases iff its shared pre-zero activates (input_remasked);
+            # otherwise its raw identity shortcut consumes masked values
+            return bool(cfg.get("use_masking", True)) and zeroed
         if _remask_erased_by(name, cfg):
             return True
         if not _remask_passes(name, cfg):
             return False
+        zeroed = _zeroed_after(name, cfg, zeroed)
     return (pooling is not None
             and pooling.lower() in _REMASK_SAFE_POOLERS)
 
@@ -136,6 +192,10 @@ class LayerStack(nn.Module):
                  taps: bool = True):
         nmds: list = []
         gate = None
+        # un-deferred zero-at-masked-positions state entering each layer
+        # (the stack input is an embedding/one-hot — token 0's row is not
+        # zero, so start False; see _zeroed_after)
+        zeroed = False
         for i, (name, raw_cfg) in enumerate(self.layer_configs):
             cfg = dict(raw_cfg)
             lname = f"{name}_{i}"
@@ -186,7 +246,8 @@ class LayerStack(nn.Module):
                     name=lname, alpha_init=cfg.get("alpha_init", 0.5),
                     defer_mask=(
                         self.defer_remask
-                        and _defer_scan(self.layer_configs, i + 1, self.pooling)
+                        and _defer_scan(self.layer_configs, i + 1,
+                                        self.pooling, zeroed=True)
                     ),
                     dtype=self.dtype,
                 )(x, mask, train)
@@ -200,9 +261,12 @@ class LayerStack(nn.Module):
                     name=lname, dtype=self.dtype, block_size=block_size,
                     defer_output_mask=(
                         self.defer_remask
-                        and _defer_scan(self.layer_configs, i + 1, self.pooling)
+                        and _defer_scan(
+                            self.layer_configs, i + 1, self.pooling,
+                            zeroed=_zeroed_after(name, cfg, zeroed))
                     ),
                     defer_internal_mask=self.defer_remask,
+                    input_remasked=zeroed,
                     **_sub(cfg, _RES_KEYS),
                 )
                 out = rb(x, mask, train)
@@ -338,6 +402,7 @@ class LayerStack(nn.Module):
                 mask = None
             else:
                 raise ValueError(f"unknown layer type: {name}")
+            zeroed = _zeroed_after(name, cfg, zeroed)
 
         merged_nmd = None
         if nmds:

@@ -49,6 +49,18 @@ def _gelu(x: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.gelu(x, approximate=(x.dtype == jnp.bfloat16))
 
 
+#: activations with f(0) == 0 — they keep a zeroed masked position zeroed
+#: (the defer-remask analysis keys on this; builder._zeroed_after)
+ZERO_AT_ZERO_ACTS = frozenset((
+    "gelu", "gelu_exact", "gelu_tanh", "relu", "tanh", "sin", "swish",
+    "silu", "elu", "linear",
+))
+
+
+def act_zero_at_zero(act: str | None) -> bool:
+    return (act or "linear") in ZERO_AT_ZERO_ACTS
+
+
 def get_activation(name: str | None) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Resolve an activation by Keras name (exact GELU in f32)."""
     if name is None or name == "linear":
@@ -695,6 +707,13 @@ class ResidualBlock(nn.Module):
     # the un-deferred program bit-for-bit.
     defer_output_mask: bool = False
     defer_internal_mask: bool = False
+    # builder-proven: the UN-deferred program's input is exactly zero at
+    # mask-invalid positions (builder._zeroed_after). Required for the
+    # shared input pre-zero below — without it the reference program's
+    # raw-x identity shortcut carries NON-zero masked values that mask
+    # growth can expose, and pre-zeroing them changes outputs
+    # (tests/test_e2e_live_reference.py, masked_batchnorm residual model).
+    input_remasked: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -716,7 +735,7 @@ class ResidualBlock(nn.Module):
         # and the shortcut needs zeros at input-masked positions because
         # mask_mode="any" can validate them by the block output.
         deferring = (
-            self.use_masking and mask is not None
+            self.use_masking and mask is not None and self.input_remasked
             and (self.defer_internal_mask or self.defer_output_mask)
         )
         x_in = apply_mask(x, mask) if deferring else x
@@ -795,20 +814,34 @@ class ResidualBlockStack(nn.Module):
     alpha_init: float = 0.5
     return_nmd: bool = False
     use_masking: bool = True
-    # One flag for every block's norm2/norm_bypass. (Inner blocks' deferred
+    # One flag for every block's norm2/norm_bypass. Inner blocks' deferred
     # output garbage is erased by the next block — conv1 pre-zeroes and the
-    # identity shortcut applies the mask under deferral — so inner defers
-    # would be exact unconditionally; one shared flag is conservative and
-    # simpler.) defer_internal_mask (norm1) is exact under use_masking.
+    # identity shortcut applies the mask under deferral — but ONLY when
+    # that next block's shared pre-zero activates (its input_remasked);
+    # inner defers are gated on exactly that below.
+    # defer_internal_mask (norm1) is exact under use_masking.
     defer_output_mask: bool = False
     defer_internal_mask: bool = False
+    # see ResidualBlock.input_remasked (builder-proven, un-deferred program
+    # zero at mask-invalid positions of the STACK input)
+    input_remasked: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False):
         nmd = None
+        remasked = self.input_remasked
+        # a block's un-deferred output stays zeroed at mask-invalid
+        # positions iff its input was, its trailing norm re-zeroes, and
+        # its activation fixes 0 (builder._block_rezeroes)
+        step_rezeroes = (
+            self.use_masking
+            and self.norm_type.lower() in ("masked_dyt", "masked_layernorm")
+            and act_zero_at_zero(self.activation)
+        )
         for i in range(self.block_size):
             last = i == self.block_size - 1
+            next_remasked = remasked and step_rezeroes
             block = ResidualBlock(
                 filters=self.filters, kernel_size=self.kernel_size,
                 strides=self.strides, padding=self.padding,
@@ -818,11 +851,18 @@ class ResidualBlockStack(nn.Module):
                 alpha_init=self.alpha_init,
                 return_nmd=self.return_nmd and last,
                 use_masking=self.use_masking,
-                defer_output_mask=self.defer_output_mask,
-                defer_internal_mask=self.defer_internal_mask, dtype=self.dtype,
+                # an inner block's deferred output is only erased if the
+                # NEXT block pre-zeroes (its input_remasked holds)
+                defer_output_mask=(
+                    self.defer_output_mask if last
+                    else self.defer_output_mask and next_remasked
+                ),
+                defer_internal_mask=self.defer_internal_mask,
+                input_remasked=remasked, dtype=self.dtype,
                 name=f"block_{i}",
             )
             out = block(x, mask, train)
+            remasked = next_remasked
             if self.return_nmd and last:
                 x, mask, nmd = out
             else:

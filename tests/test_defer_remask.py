@@ -174,6 +174,158 @@ def test_defer_scan_residual_block_erases():
          "config": {"filters": 4, "kernel_size": 3, "use_masking": False}},
     ])
     assert _defer_scan(frozen_unmasked, 0, "gatedframe") is False
+    # ... or the un-deferred program would NOT have zeros at the block's
+    # input (zeroed=False): its raw-x identity shortcut then consumes
+    # masked values that mask growth can validate, so it cannot erase
+    assert _defer_scan(frozen, 0, "gatedframe", zeroed=False) is False
+    # a zeroed-killing PASSES layer (batchnorm affine) before the block
+    # downgrades the state the same way
+    frozen_bn = _freeze_layers([
+        {"name": "masked_batchnorm", "config": {}},
+        {"name": "residual_block", "config": {"filters": 4, "kernel_size": 3}},
+    ])
+    assert _defer_scan(frozen_bn, 0, "gatedframe", zeroed=True) is False
+
+
+def _rl_patch(hidden_layers, pooling="max"):
+    cfg = _inline_flagship()
+    cfg["model"]["representation_learner"] = {
+        "hidden_layers": hidden_layers, "pooling": pooling,
+    }
+    return cfg
+
+
+def _ab_pair_outputs(hidden_layers, dtype=jnp.float32):
+    cfg_on = _rl_patch(hidden_layers)
+    b_on = ModelBuilder(cfg_on, dtype=dtype)
+    model_on, variables = b_on.init(batch=1)
+    cfg_off = _rl_patch(hidden_layers)
+    cfg_off["model"]["defer_remask"] = False
+    model_off, _ = ModelBuilder(cfg_off, dtype=dtype).init(batch=1)
+    _, crop_nt = b_on.crop
+    variables = _randomized(variables)
+    if "batch_stats" in variables:
+        # keep moving variances positive (randomized negatives NaN the
+        # rsqrt and would make the A/B vacuously NaN==NaN)
+        variables = {
+            **variables,
+            "batch_stats": jax.tree_util.tree_map(
+                lambda l: jnp.abs(l) + 0.5, variables["batch_stats"]
+            ),
+        }
+    batch = _masked_batch(crop_nt)
+    out_on = model_on.apply(variables, batch, train=False)
+    assert all(np.isfinite(np.asarray(v)).all() for v in out_on.values())
+    return out_on, model_off.apply(variables, batch, train=False)
+
+
+def test_batchnorm_residual_model_bit_identical():
+    """REGRESSION (round 4): a masked_batchnorm-normed residual model —
+    the reference program never re-zeroes after the affine norm, so the
+    block's raw identity shortcut carries nonzero masked values that
+    mask_mode='any' growth exposes. Deferral must leave this model
+    untouched; the unfixed shared pre-zero changed the live-reference TSV
+    (tests/test_e2e_live_reference.py)."""
+    layers = [
+        {"name": "masked_conv1d", "config": {"filters": 8, "kernel_size": 3}},
+        {"name": "masked_batchnorm", "config": {"return_nmd": True}},
+        {"name": "activation", "config": {"activation": "gelu"}},
+        {"name": "residual_block",
+         "config": {"block_size": 2, "filters": 8, "kernel_size": 3,
+                    "dilation_rate": 2, "norm_type": "masked_batchnorm"}},
+    ]
+    out_on, out_off = _ab_pair_outputs(layers)
+    for k in out_on:
+        np.testing.assert_array_equal(
+            np.asarray(out_on[k]), np.asarray(out_off[k]), err_msg=k
+        )
+
+
+def test_dyt_stack_with_unremasked_input_bit_identical():
+    """A DYT-normed stack whose INPUT is not re-masked in the un-deferred
+    program (batchnorm precedes it): the first block must keep the raw
+    shortcut, and inner defers must stay gated on the next block's
+    pre-zero."""
+    layers = [
+        {"name": "masked_conv1d", "config": {"filters": 8, "kernel_size": 3}},
+        {"name": "masked_batchnorm", "config": {}},
+        {"name": "activation", "config": {"activation": "gelu"}},
+        {"name": "residual_block",
+         "config": {"block_size": 2, "filters": 8, "kernel_size": 3,
+                    "norm_type": "masked_dyt"}},
+        {"name": "masked_dyt", "config": {}},
+        {"name": "nmd", "config": {}},
+    ]
+    out_on, out_off = _ab_pair_outputs(layers)
+    for k in out_on:
+        np.testing.assert_array_equal(
+            np.asarray(out_on[k]), np.asarray(out_off[k]), err_msg=k
+        )
+
+
+def test_block_raw_shortcut_kept_when_input_not_remasked():
+    """Deterministic per-position pin for the round-4 regression: with
+    input_remasked=False, deferral must be inert — the identity shortcut
+    carries RAW x (reference semantics), not a pre-zeroed copy. Checked at
+    block level (no pooling) so a boundary position that mask growth
+    validates compares directly; the model-level A/Bs above can hide this
+    behind the masked max."""
+    from jaeger_tpu.models import layers as L
+
+    b, f, length, c = 2, 1, 48, 8
+    key = jax.random.PRNGKey(11)
+    x = jax.random.normal(key, (b, f, length, c), jnp.float32) + 0.7
+    mask = jnp.ones((b, f, length), bool)
+    mask = mask.at[:, :, 16:32].set(False)   # interior invalid run
+
+    kw = dict(filters=c, kernel_size=3, norm_type="masked_batchnorm")
+    block_def = L.ResidualBlock(
+        defer_internal_mask=True, defer_output_mask=True,
+        input_remasked=False, **kw,
+    )
+    block_ref = L.ResidualBlock(
+        defer_internal_mask=False, defer_output_mask=False,
+        input_remasked=False, **kw,
+    )
+    variables = block_def.init(jax.random.PRNGKey(0), x, mask)
+    variables = _randomized(variables)
+    # keep moving variances positive (randomized negatives NaN the rsqrt)
+    variables = {
+        **variables,
+        "batch_stats": jax.tree_util.tree_map(
+            lambda l: jnp.abs(l) + 0.5, variables["batch_stats"]
+        ),
+    }
+    y_def, m_def = block_def.apply(variables, x, mask)
+    y_ref, m_ref = block_ref.apply(variables, x, mask)
+    np.testing.assert_array_equal(np.asarray(m_def), np.asarray(m_ref))
+    grown = np.asarray(m_def) & ~np.asarray(mask)
+    assert grown.any(), "mask_mode='any' must validate boundary positions"
+    # compare everywhere the output mask is valid — includes the grown band
+    valid = np.asarray(m_def)[..., None]
+    np.testing.assert_array_equal(
+        np.where(valid, np.asarray(y_def), 0.0),
+        np.where(valid, np.asarray(y_ref), 0.0),
+    )
+    # and the grown band must actually carry the raw (nonzero) shortcut —
+    # guard against this assertion going vacuous
+    assert np.abs(np.asarray(y_ref)[grown]).max() > 0
+
+
+def test_flagship_blocks_input_is_remasked():
+    """The perf guard for the fix: every flagship residual block must keep
+    its shared input pre-zero (input_remasked=True at each block site) —
+    otherwise the masked-program win silently reverts to raw shortcuts."""
+    cfg = _inline_flagship()["model"]["representation_learner"]
+    frozen = _freeze_layers(cfg["hidden_layers"])
+    zeroed = False
+    saw_block = False
+    for name, lcfg in frozen:
+        if name == "residual_block":
+            saw_block = True
+            assert zeroed, "flagship block input must be provably re-masked"
+        zeroed = builder_mod._zeroed_after(name, dict(lcfg), zeroed)
+    assert saw_block
 
 
 def test_dense_batch_unaffected():
