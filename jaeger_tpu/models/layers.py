@@ -1307,6 +1307,45 @@ def _causal_toeplitz_convolve(u32: jnp.ndarray, h32: jnp.ndarray):
     return jnp.einsum("dts,bds->bdt", toep, u32)
 
 
+#: blocked-Toeplitz reach: above the direct cap the causal conv becomes
+#: one banded einsum per block-diagonal (operator memory N*C^2*D ~= L*C*D
+#: instead of L^2*D), keeping the MXU path to 4x the direct L; beyond
+#: this the O(L^2) matmul FLOPs overtake the (inefficient but O(L log L))
+#: TPU FFT lowering and the FFT form stays.
+_BLOCK_CONV_MAX_L = 4096
+_BLOCK_CONV_CHUNK = 512
+
+
+def _causal_block_toeplitz_convolve(
+    u32: jnp.ndarray, h32: jnp.ndarray, chunk: int = _BLOCK_CONV_CHUNK
+) -> jnp.ndarray:
+    """Blocked triangular-Toeplitz causal convolution for L past the
+    direct cap: split the length into N chunks of C; block (i, j) of the
+    full (L, L) operator depends only on delta = i - j (banded Toeplitz
+    of Toeplitz blocks), so the conv is N banded einsums
+    ``y[:, :, i] += T_delta @ u[:, :, i - delta]`` with
+    ``T_delta[d, t, s] = h[d, delta*C + t - s]`` (zero outside [0, L)).
+    Same f32 accumulation as ``_causal_toeplitz_convolve``; N is static
+    so XLA sees a fixed chain of MXU contractions."""
+    b, d, L = u32.shape
+    n = -(-L // chunk)
+    lp = n * chunk
+    u_pad = jnp.pad(u32, ((0, 0), (0, 0), (0, lp - L)))
+    h_pad = jnp.pad(h32, ((0, 0), (0, lp - L)))
+    ub = u_pad.reshape(b, d, n, chunk)
+    rel = jnp.arange(chunk)[:, None] - jnp.arange(chunk)[None, :]
+    y = jnp.zeros((b, d, n, chunk), jnp.float32)
+    for delta in range(n):
+        idx = delta * chunk + rel
+        toep = jnp.where(
+            (idx >= 0) & (idx < L), h_pad[:, jnp.clip(idx, 0, lp - 1)], 0.0
+        )
+        y = y.at[:, :, delta:].add(
+            jnp.einsum("dts,bdjs->bdjt", toep, ub[:, :, : n - delta])
+        )
+    return y.reshape(b, d, lp)[..., :L]
+
+
 def causal_fft_convolve(u: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
     """Depthwise causal convolution via rFFT with 2L-1 padding.
 
@@ -1316,16 +1355,23 @@ def causal_fft_convolve(u: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
     In bf16 the convolution dispatches to the MXU Toeplitz-matmul form
     for L <= ``_DIRECT_CONV_MAX_L`` (same result up to float rounding,
     which is below bf16 output rounding — the GELU dtype-dispatch
-    precedent); f32 keeps the literal FFT so converted-weight golden
-    logits stay bit-stable.
+    precedent), and to the blocked banded form up to
+    ``_BLOCK_CONV_MAX_L``; f32 keeps the literal FFT so converted-weight
+    golden logits stay bit-stable.
     """
     orig = u.dtype
     u32 = u.astype(jnp.float32)
     h32 = h.astype(jnp.float32)
     L = u.shape[-1]
-    if (orig == jnp.bfloat16 and L <= _DIRECT_CONV_MAX_L
-            and h.shape[0] * L * L * 4 <= _DIRECT_CONV_MAX_BYTES):
-        return _causal_toeplitz_convolve(u32, h32).astype(orig)
+    if orig == jnp.bfloat16:
+        if (L <= _DIRECT_CONV_MAX_L
+                and h.shape[0] * L * L * 4 <= _DIRECT_CONV_MAX_BYTES):
+            return _causal_toeplitz_convolve(u32, h32).astype(orig)
+        nblk = -(-L // _BLOCK_CONV_CHUNK)
+        if (_DIRECT_CONV_MAX_L < L <= _BLOCK_CONV_MAX_L
+                and h.shape[0] * nblk * _BLOCK_CONV_CHUNK ** 2 * 4
+                <= _DIRECT_CONV_MAX_BYTES):
+            return _causal_block_toeplitz_convolve(u32, h32).astype(orig)
     n = 2 * L - 1
     H = jnp.fft.rfft(h32, n=n, axis=-1)
     U = jnp.fft.rfft(u32, n=n, axis=-1)

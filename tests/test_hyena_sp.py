@@ -185,3 +185,64 @@ def test_toeplitz_gate_on_operator_bytes(rng, monkeypatch):
     out = lyr.causal_fft_convolve(u, h)
     assert not calls  # over budget: FFT fallback
     assert out.dtype == jnp.bfloat16
+
+
+def test_blocked_toeplitz_matches_direct_and_fft(rng):
+    """The blocked banded form (L past the direct cap) equals both the
+    direct Toeplitz matmul and the FFT convolution in f32 (same
+    accumulation dtype; einsum order differs -> tiny tolerance). L is
+    deliberately NOT a chunk multiple to cover the padded tail."""
+    import jax.numpy as jnp
+
+    from jaeger_tpu.models.layers import (_causal_block_toeplitz_convolve,
+                                          _causal_toeplitz_convolve,
+                                          causal_fft_convolve)
+
+    L = 1337
+    u = rng.standard_normal((2, 4, L)).astype(np.float32)
+    h = (rng.standard_normal((4, L)) *
+         np.exp(-np.arange(L) / 150.0)).astype(np.float32)
+    blocked = np.asarray(_causal_block_toeplitz_convolve(
+        jnp.asarray(u), jnp.asarray(h), chunk=256))
+    direct = np.asarray(_causal_toeplitz_convolve(
+        jnp.asarray(u), jnp.asarray(h)))
+    fft = np.asarray(causal_fft_convolve(jnp.asarray(u), jnp.asarray(h)))
+    np.testing.assert_allclose(blocked, direct, rtol=0, atol=2e-3)
+    np.testing.assert_allclose(blocked, fft, rtol=0, atol=2e-3)
+
+
+def test_bf16_blocked_dispatch_and_gradient(rng, monkeypatch):
+    """bf16 + L in (direct cap, block cap] routes through the blocked
+    form; the path is differentiable; L past the block cap stays FFT."""
+    from jaeger_tpu.models import layers as lyr
+
+    calls = []
+    real = lyr._causal_block_toeplitz_convolve
+    monkeypatch.setattr(
+        lyr, "_causal_block_toeplitz_convolve",
+        lambda *a, **k: calls.append(1) or real(*a, **k))
+    # shrink the caps so the test stays small: direct cap 64, block cap 256
+    monkeypatch.setattr(lyr, "_DIRECT_CONV_MAX_L", 64)
+    monkeypatch.setattr(lyr, "_BLOCK_CONV_MAX_L", 256)
+    monkeypatch.setattr(lyr, "_BLOCK_CONV_CHUNK", 64)
+
+    L = 160
+    u = jnp.asarray(rng.standard_normal((2, 4, L)), jnp.bfloat16)
+    h = jnp.asarray(rng.standard_normal((4, L)) * 0.1, jnp.bfloat16)
+    out = lyr.causal_fft_convolve(u, h)
+    assert calls and out.dtype == jnp.bfloat16
+    ref = np.asarray(lyr.causal_fft_convolve(
+        u.astype(jnp.float32), h.astype(jnp.float32)))
+    scale = np.maximum(np.abs(ref), 1.0)
+    assert np.max(np.abs(np.asarray(out.astype(jnp.float32)) - ref)
+                  / scale) < 0.05  # bf16 rounding
+
+    g = jax.grad(lambda a, b: jnp.sum(
+        lyr.causal_fft_convolve(a, b).astype(jnp.float32)))(u, h)
+    assert np.isfinite(np.asarray(g, np.float32)).all()
+
+    calls.clear()
+    u_big = jnp.asarray(rng.standard_normal((1, 2, 300)), jnp.bfloat16)
+    h_big = jnp.asarray(rng.standard_normal((2, 300)) * 0.1, jnp.bfloat16)
+    lyr.causal_fft_convolve(u_big, h_big)
+    assert not calls  # past the block cap: FFT fallback
