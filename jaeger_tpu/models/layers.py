@@ -88,10 +88,20 @@ def _mask3(mask: jnp.ndarray | None) -> jnp.ndarray | None:
 
 
 def apply_mask(x: jnp.ndarray, mask: jnp.ndarray | None) -> jnp.ndarray:
-    """Zero masked positions (mask is (B, F, L), x is (B, F, L, C))."""
+    """Zero masked positions (mask is (B, F, L), x is (B, F, L, C)).
+
+    Lowered as a select, not ``x * mask.astype``: chip-measured 4.7
+    ms/2048 cheaper across the flagship masked program (the bool
+    predicate broadcasts without a dtype convert and fuses;
+    experiments/mask_mul_forms.py), and it writes exact +0.0 even for
+    non-finite garbage where a multiply would propagate NaNs into
+    positions the pre-zero contract promises are zero. For finite x the
+    two forms agree except the sign of the zero (multiply keeps x's
+    sign), which no consumer observes — byte-parity suites pin it.
+    """
     if mask is None:
         return x
-    return x * mask[..., None].astype(x.dtype)
+    return jnp.where(mask[..., None], x, jnp.zeros((), x.dtype))
 
 
 def conv_output_length(length: int, kernel: int, stride: int, padding: str,
