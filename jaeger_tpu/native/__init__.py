@@ -104,6 +104,32 @@ def _load() -> ctypes.CDLL | None:
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_long), ctypes.c_long,
         ctypes.c_long, ctypes.POINTER(ctypes.c_long),
     ]
+    lib.jt_contig_rows.restype = ctypes.c_long
+    lib.jt_contig_rows.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_long), ctypes.c_long,
+        ctypes.c_long, ctypes.c_long, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.jt_pipeline_open.restype = ctypes.c_void_p
+    lib.jt_pipeline_open.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_long, ctypes.c_int,
+        ctypes.c_double, ctypes.c_long, ctypes.c_long, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_long, ctypes.c_int,
+    ]
+    lib.jt_pipeline_next.restype = ctypes.c_long
+    lib.jt_pipeline_next.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.jt_pipeline_header_bytes.restype = ctypes.c_long
+    lib.jt_pipeline_header_bytes.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_long),
+    ]
+    lib.jt_pipeline_drain_headers.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_long),
+    ]
+    lib.jt_pipeline_close.argtypes = [ctypes.c_void_p]
     lib.jt_smith_waterman.restype = ctypes.c_long
     lib.jt_smith_waterman.argtypes = [
         ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p, ctypes.c_long,
@@ -215,6 +241,96 @@ def window_counts_native(ids, starts, width: int):
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
     )
     return out
+
+
+def contig_rows_native(seq: str, starts, fragsize: int, seqlen_meta: int,
+                       dustmask: bool = True, window: int = 64,
+                       threshold: int = 20):
+    """The whole per-contig window loop in ONE GIL-released native call.
+
+    Returns ``(wins, meta)``: ``wins`` is ``(n_windows, fragsize)`` uint8
+    base IDs, ``meta`` is the ``(n_windows, 11)`` float64 batcher block
+    ``[length, hidx=0, start, contig_end, ordinal, seqlen, g, c, a, t,
+    gc_skew]``. ctypes drops the GIL for the call's full duration, so the
+    ``window_batches(workers=N)`` thread pool scales with cores instead
+    of serializing on per-window Python (round-5 ingest scaling).
+    Behaviour pinned against the pure-Python ``_contig_rows`` fallback by
+    tests/test_native.py.
+    """
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    raw = seq.encode("ascii")
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    n_win = starts.shape[0]
+    wins = np.empty((n_win, fragsize), dtype=np.uint8)
+    meta = np.empty((n_win, 11), dtype=np.float64)
+    lib.jt_contig_rows(
+        raw, len(raw), 1 if dustmask else 0, window, threshold,
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_long)), n_win,
+        fragsize, seqlen_meta,
+        wins.ctypes.data_as(ctypes.c_char_p),
+        meta.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return wins, meta
+
+
+def window_pipeline_native(path: str, fragsize: int, stride: int | None,
+                           dynamic_stride: bool, dyn_threshold: float,
+                           min_len: int, max_len: int | None,
+                           dustmask: bool, batch_capacity: int,
+                           workers: int):
+    """Stream ``(bases, meta, new_headers)`` batches from the all-native
+    window pipeline (reader thread + worker pool + ordered batcher in
+    jaeger_host.cpp). One GIL-released call per batch; ``meta`` is the
+    11-column float64 block of ``window_batches`` with the GLOBAL contig
+    index already in column 1. Byte-identical to the Python pipeline
+    (tests/test_native.py::test_pipeline_matches_python).
+    """
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    handle = lib.jt_pipeline_open(
+        str(path).encode(), fragsize, -1 if stride is None else stride,
+        1 if dynamic_stride else 0, float(dyn_threshold), min_len,
+        -1 if max_len is None else max_len, 1 if dustmask else 0,
+        64, 20, batch_capacity, workers,
+    )
+    if not handle:
+        raise OSError(f"cannot open {path}")
+    try:
+        while True:
+            bases = np.empty((batch_capacity, fragsize), dtype=np.uint8)
+            meta = np.empty((batch_capacity, 11), dtype=np.float64)
+            n = lib.jt_pipeline_next(
+                handle, bases.ctypes.data_as(ctypes.c_char_p),
+                meta.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+            if n < 0:
+                raise OSError(f"cannot read {path}")
+            count = ctypes.c_long()
+            total = lib.jt_pipeline_header_bytes(handle,
+                                                 ctypes.byref(count))
+            new_headers: list[str] = []
+            if count.value:
+                buf = ctypes.create_string_buffer(max(1, total))
+                lens = (ctypes.c_long * count.value)()
+                lib.jt_pipeline_drain_headers(handle, buf, lens)
+                off = 0
+                for i in range(count.value):
+                    new_headers.append(
+                        buf.raw[off: off + lens[i]].decode("ascii"))
+                    off += lens[i]
+            if n == 0 and not new_headers:
+                break
+            yield bases[:n], meta[:n], new_headers
+            if n == 0:
+                break
+    finally:
+        lib.jt_pipeline_close(handle)
 
 
 def smith_waterman_native(query: str, ref: str, open_: int = 100,

@@ -10,11 +10,19 @@
 // Python oracles by tests/test_native.py.
 
 #include <algorithm>
+#include <atomic>
+#include <cfenv>
+#include <cmath>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <deque>
+#include <map>
+#include <mutex>
 #include <string>
+#include <thread>
 #include <vector>
 
 #include <zlib.h>
@@ -363,6 +371,366 @@ void jt_window_counts(const unsigned char* ids, const long* starts,
         out[w * 4] = a; out[w * 4 + 1] = t;
         out[w * 4 + 2] = g; out[w * 4 + 3] = c;
     }
+}
+
+// Reference-parity 2-decimal rounding of (g-c)/(g+c): CPython's
+// round(x, 2) correctly rounds the double's exact decimal expansion
+// (ties to even), which glibc's printf shortest-correct conversion also
+// does — np.round's scale-by-100 trick does NOT (it rounds the binary
+// product) and disagrees on half-way-straddling values. Fuzz-pinned
+// against Python round() in tests/test_native.py.
+static double jt_gc_skew(long g, long c) {
+    long den = g + c;
+    if (den == 0) return 0.0;
+    double v = (double)(g - c) / (double)den;
+    char buf[32];
+    snprintf(buf, sizeof(buf), "%.2f", v);
+    return strtod(buf, nullptr);
+}
+
+// The whole per-contig window loop in ONE GIL-released call:
+// uppercase + SDUST + encode (jt_contig_ids), per-window A/T/G/C counts
+// (jt_window_counts), reference-parity gc_skew, window slicing, and the
+// 11-column meta block the batcher consumes. Replaces four native
+// calls + per-contig numpy/python glue that serialized the thread pool
+// on the GIL (round-5 ingest scaling; experiments/ingest_profile.py).
+//
+// wins: (n_windows, fragsize) uint8 row-major.
+// meta: (n_windows, 11) float64 laid out
+//   [length, hidx(left 0), start, contig_end, ordinal, seqlen,
+//    g, c, a, t, gc_skew]
+// Returns the dust-interval count (parity with jt_contig_ids).
+long jt_contig_rows(const char* seq, long len, int do_dust, int window,
+                    int threshold, const long* starts, long n_windows,
+                    long fragsize, long seqlen_meta,
+                    unsigned char* wins, double* meta) {
+    std::vector<unsigned char> ids(len);
+    long n_iv = jt_contig_ids(seq, len, do_dust, window, threshold,
+                              ids.data());
+    for (long w = 0; w < n_windows; ++w) {
+        const unsigned char* p = ids.data() + starts[w];
+        memcpy(wins + w * fragsize, p, fragsize);
+        long a = 0, t = 0, g = 0, c = 0;
+        for (long k = 0; k < fragsize; ++k) {
+            unsigned char v = p[k];
+            a += (v == 0); t += (v == 1);
+            g += (v == 2); c += (v == 3);
+        }
+        double* m = meta + w * 11;
+        m[0] = (double)fragsize;
+        m[1] = 0.0;                       // hidx, filled by the batcher
+        m[2] = (double)starts[w];
+        m[3] = (w == n_windows - 1) ? 1.0 : 0.0;
+        m[4] = (double)w;
+        m[5] = (double)seqlen_meta;
+        m[6] = (double)g;
+        m[7] = (double)c;
+        m[8] = (double)a;
+        m[9] = (double)t;
+        m[10] = jt_gc_skew(g, c);
+    }
+    return n_iv;
+}
+
+// ---------------------------------------------------------------------------
+// Full window pipeline: reader thread + worker pool + ordered batcher,
+// entirely native. Python calls jt_pipeline_next once per BATCH, so the
+// GIL is held only for a handful of calls per 4096 windows — the
+// round-4 worker curve regressed past 2 threads because per-contig
+// Python (submit/result glue, meta assembly, flush) serialized on the
+// GIL. Semantics are byte-identical to seqops.windows.window_batches
+// (pinned by tests/test_native.py::test_pipeline_matches_python).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// window start positions, mirroring seqops.windows.window_indices
+// (incl. the dynamic-stride spread with Python round()'s half-even)
+static void jt_window_starts(long seqlen, long fragsize, long stride,
+                             int dynamic, double dyn_threshold,
+                             std::vector<long>& out) {
+    out.clear();
+    if (!dynamic || (double)seqlen >= dyn_threshold * (double)fragsize) {
+        long step = stride > 0 ? stride : fragsize;
+        for (long s = 0; s <= seqlen - fragsize; s += step) out.push_back(s);
+        return;
+    }
+    long n_windows = (seqlen + fragsize - 1) / fragsize;
+    if (n_windows < 1) n_windows = 1;
+    if (n_windows == 1) { out.push_back(0); return; }
+    double raw_stride = (double)(seqlen - fragsize) / (double)(n_windows - 1);
+    std::vector<long> idx(n_windows);
+    for (long i = 0; i < n_windows; ++i) {
+        // Python round() on a float: correctly-rounded half-even
+        double v = raw_stride * (double)i;
+        idx[i] = (long)nearbyint(v);
+    }
+    idx[n_windows - 1] = seqlen - fragsize;
+    // de-dup preserving order
+    for (long i = 0; i < n_windows; ++i) {
+        bool seen = false;
+        for (long v : out) if (v == idx[i]) { seen = true; break; }
+        if (!seen) out.push_back(idx[i]);
+    }
+}
+
+struct JtContigJob {
+    long ord = 0;              // submission order
+    std::string header;        // stripped, commas replaced
+    std::string seq;
+};
+
+struct JtContigResult {
+    std::string header;
+    long n_win = 0;            // 0 = headerless slot only (sub-min_len)
+    std::vector<unsigned char> wins;   // n_win * fragsize, N-padded rows
+    std::vector<double> meta;          // n_win * 11, hidx left 0
+};
+
+struct JtPipeline {
+    // config
+    std::string path;
+    long fragsize, stride, min_len, max_len, batch_capacity;
+    int dynamic_stride, dustmask, dust_window, dust_threshold;
+    double dyn_threshold;
+    int n_workers;
+
+    // reader -> workers
+    std::mutex mu;
+    std::condition_variable cv_submit, cv_result;
+    std::deque<JtContigJob> jobs;
+    std::map<long, JtContigResult> done;   // keyed by ord
+    long next_ord_submit = 0;              // reader side
+    long next_ord_consume = 0;             // batcher side
+    bool reader_done = false, abort = false;
+    std::string reader_error;
+
+    // batcher state (consumer side, no lock needed: single consumer)
+    JtContigResult cur;                    // contig being drained
+    long cur_off = 0;                      // rows consumed from cur
+    bool cur_live = false;
+    long global_hidx = 0;                  // headers consumed so far
+    std::vector<std::string> new_headers;  // since last drain
+
+    std::vector<std::thread> threads;
+};
+
+static void jt_worker_process(JtPipeline* p, JtContigJob& job,
+                              JtContigResult& res) {
+    res.header = std::move(job.header);
+    const std::string& seq = job.seq;
+    long seqlen = (long)seq.size();
+    if (seqlen >= p->fragsize) {
+        std::vector<long> starts;
+        jt_window_starts(seqlen, p->fragsize, p->stride, p->dynamic_stride,
+                         p->dyn_threshold, starts);
+        res.n_win = (long)starts.size();
+        res.wins.resize(res.n_win * p->fragsize);
+        res.meta.resize(res.n_win * 11);
+        jt_contig_rows(seq.data(), seqlen, p->dustmask, p->dust_window,
+                       p->dust_threshold, starts.data(), res.n_win,
+                       p->fragsize, seqlen, res.wins.data(),
+                       res.meta.data());
+    } else if (seqlen >= p->min_len) {
+        std::vector<unsigned char> ids(seqlen);
+        jt_contig_ids(seq.data(), seqlen, p->dustmask, p->dust_window,
+                      p->dust_threshold, ids.data());
+        res.n_win = 1;
+        res.wins.assign(p->fragsize, 4);   // N-padded tail
+        memcpy(res.wins.data(), ids.data(), seqlen);
+        // reference counts UPPERCASE base IDs only (soft-masked excluded)
+        long a = 0, t = 0, g = 0, c = 0;
+        for (long i = 0; i < seqlen; ++i) {
+            unsigned char v = ids[i];
+            a += (v == 0); t += (v == 1); g += (v == 2); c += (v == 3);
+        }
+        res.meta.assign(11, 0.0);
+        res.meta[0] = (double)seqlen;
+        res.meta[3] = 1.0;                 // contig_end
+        res.meta[5] = (double)seqlen;
+        res.meta[6] = (double)g; res.meta[7] = (double)c;
+        res.meta[8] = (double)a; res.meta[9] = (double)t;
+        res.meta[10] = jt_gc_skew(g, c);
+    } else {
+        res.n_win = 0;                     // header slot only
+    }
+}
+
+static void jt_worker_main(JtPipeline* p) {
+    while (true) {
+        JtContigJob job;
+        {
+            std::unique_lock<std::mutex> lk(p->mu);
+            p->cv_submit.wait(lk, [&] {
+                return p->abort || !p->jobs.empty() || p->reader_done;
+            });
+            if (p->abort || (p->jobs.empty() && p->reader_done)) return;
+            job = std::move(p->jobs.front());
+            p->jobs.pop_front();
+        }
+        JtContigResult res;
+        jt_worker_process(p, job, res);
+        {
+            std::lock_guard<std::mutex> lk(p->mu);
+            p->done.emplace(job.ord, std::move(res));
+        }
+        p->cv_result.notify_all();
+    }
+}
+
+static void jt_reader_main(JtPipeline* p) {
+    void* fh = jt_open_fasta(p->path.c_str());
+    if (!fh) {
+        std::lock_guard<std::mutex> lk(p->mu);
+        p->reader_error = "cannot open " + p->path;
+        p->reader_done = true;
+        p->cv_submit.notify_all();
+        p->cv_result.notify_all();
+        return;
+    }
+    const char* header; const char* seq;
+    while (true) {
+        long n = jt_next_contig(fh, &header, &seq);
+        if (n < 0) break;
+        if (p->max_len >= 0 && n > p->max_len) continue;  // no header slot
+        JtContigJob job;
+        job.header.assign(header);
+        // commas -> ___ (reference header normalization)
+        size_t pos = 0;
+        while ((pos = job.header.find(',', pos)) != std::string::npos) {
+            job.header.replace(pos, 1, "___");
+            pos += 3;
+        }
+        job.seq.assign(seq, n);
+        {
+            std::unique_lock<std::mutex> lk(p->mu);
+            // bounded queue: cap in-flight contigs like the Python pool
+            p->cv_result.wait(lk, [&] {
+                return p->abort ||
+                    (long)(p->jobs.size() + p->done.size())
+                        < 2 * p->n_workers + 2;
+            });
+            if (p->abort) break;
+            job.ord = p->next_ord_submit++;
+            p->jobs.push_back(std::move(job));
+        }
+        p->cv_submit.notify_one();
+    }
+    jt_close_fasta(fh);
+    {
+        std::lock_guard<std::mutex> lk(p->mu);
+        p->reader_done = true;
+    }
+    p->cv_submit.notify_all();
+    p->cv_result.notify_all();
+}
+
+}  // namespace
+
+void* jt_pipeline_open(const char* path, long fragsize, long stride,
+                       int dynamic_stride, double dyn_threshold,
+                       long min_len, long max_len, int dustmask,
+                       int dust_window, int dust_threshold,
+                       long batch_capacity, int workers) {
+    auto* p = new JtPipeline();
+    p->path = path;
+    p->fragsize = fragsize;
+    p->stride = stride;
+    p->dynamic_stride = dynamic_stride;
+    p->dyn_threshold = dyn_threshold;
+    p->min_len = min_len;
+    p->max_len = max_len;
+    p->dustmask = dustmask;
+    p->dust_window = dust_window;
+    p->dust_threshold = dust_threshold;
+    p->batch_capacity = batch_capacity;
+    p->n_workers = workers < 1 ? 1 : workers;
+    p->threads.emplace_back(jt_reader_main, p);
+    for (int i = 0; i < p->n_workers; ++i)
+        p->threads.emplace_back(jt_worker_main, p);
+    return p;
+}
+
+// Assemble the next batch into caller-provided buffers:
+//   bases (batch_capacity, fragsize) uint8, meta (batch_capacity, 11) f64
+// Returns rows written (0 = end of stream, -1 = reader error).
+// New headers encountered while assembling accumulate internally; drain
+// them with jt_pipeline_header_bytes / jt_pipeline_drain_headers after
+// each call (hidx in meta indexes the GLOBAL header list).
+long jt_pipeline_next(void* handle, unsigned char* bases, double* meta) {
+    auto* p = static_cast<JtPipeline*>(handle);
+    long row = 0;
+    while (row < p->batch_capacity) {
+        if (!p->cur_live) {
+            std::unique_lock<std::mutex> lk(p->mu);
+            p->cv_result.wait(lk, [&] {
+                return p->abort || !p->reader_error.empty()
+                    || p->done.count(p->next_ord_consume)
+                    || (p->reader_done && p->jobs.empty()
+                        && p->next_ord_consume >= p->next_ord_submit);
+            });
+            if (!p->reader_error.empty()) return -1;
+            if (p->abort) return 0;
+            auto it = p->done.find(p->next_ord_consume);
+            if (it == p->done.end()) break;  // stream exhausted
+            p->cur = std::move(it->second);
+            p->done.erase(it);
+            ++p->next_ord_consume;
+            lk.unlock();
+            p->cv_result.notify_all();  // reader may refill the bound
+            p->cur_off = 0;
+            p->cur_live = true;
+            p->new_headers.push_back(std::move(p->cur.header));
+            ++p->global_hidx;
+            if (p->cur.n_win == 0) { p->cur_live = false; continue; }
+        }
+        long take = std::min(p->cur.n_win - p->cur_off,
+                             p->batch_capacity - row);
+        memcpy(bases + row * p->fragsize,
+               p->cur.wins.data() + p->cur_off * p->fragsize,
+               take * p->fragsize);
+        memcpy(meta + row * 11, p->cur.meta.data() + p->cur_off * 11,
+               take * 11 * sizeof(double));
+        double hidx = (double)(p->global_hidx - 1);
+        for (long r = 0; r < take; ++r) meta[(row + r) * 11 + 1] = hidx;
+        row += take;
+        p->cur_off += take;
+        if (p->cur_off >= p->cur.n_win) p->cur_live = false;
+    }
+    return row;
+}
+
+// Total bytes + count of headers pending drain (call after next()).
+long jt_pipeline_header_bytes(void* handle, long* count) {
+    auto* p = static_cast<JtPipeline*>(handle);
+    long total = 0;
+    for (auto& h : p->new_headers) total += (long)h.size();
+    *count = (long)p->new_headers.size();
+    return total;
+}
+
+// Write pending headers (concatenated) + per-header lengths; clears them.
+void jt_pipeline_drain_headers(void* handle, char* buf, long* lens) {
+    auto* p = static_cast<JtPipeline*>(handle);
+    long off = 0, i = 0;
+    for (auto& h : p->new_headers) {
+        memcpy(buf + off, h.data(), h.size());
+        off += (long)h.size();
+        lens[i++] = (long)h.size();
+    }
+    p->new_headers.clear();
+}
+
+void jt_pipeline_close(void* handle) {
+    auto* p = static_cast<JtPipeline*>(handle);
+    {
+        std::lock_guard<std::mutex> lk(p->mu);
+        p->abort = true;
+    }
+    p->cv_submit.notify_all();
+    p->cv_result.notify_all();
+    for (auto& t : p->threads) t.join();
+    delete p;
 }
 
 // ---------------------------------------------------------------------------

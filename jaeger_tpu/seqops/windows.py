@@ -201,23 +201,47 @@ def _contig_rows(header, seq, fragsize, stride, dynamic_stride,
                  dynamic_stride_threshold, min_len, dustmask,
                  replace_comma=True):
     """Per-contig heavy work: uppercase + DUST + encode + window slicing
-    + composition, fully vectorized (no per-window Python). Runs on
-    worker threads under ``workers > 1`` (the native calls and numpy
-    release the GIL). Returns ``(header, bases2d | None, meta2d | None)``
+    + composition. Returns ``(header, bases2d | None, meta2d | None)``
     where ``bases2d`` is ``(W, w<=fragsize) uint8`` and ``meta2d`` is
-    ``(W, 10) float64`` with columns
-    ``[length, start, contig_end, ordinal, seqlen, g, c, a, t, gc_skew]``.
+    ``(W, 11) float64`` with columns ``[length, hidx(left 0), start,
+    contig_end, ordinal, seqlen, g, c, a, t, gc_skew]`` (the batcher
+    fills ``hidx``).
+
+    The whole windowed path is ONE native call (``jt_contig_rows``) that
+    releases the GIL for its full duration, so ``workers > 1`` thread
+    pools scale with cores — the round-4 curve regressed past 2 workers
+    because per-window Python (gc_skew round loop, meta assembly, numpy
+    glue between four native calls) serialized on the GIL
+    (experiments/ingest_profile.py). The pure-Python fallback reproduces
+    it exactly (pinned by tests/test_native.py).
     """
+    import os
+
     seqlen = len(seq)
     sequence = seq.strip()
     if replace_comma:
         header = header.strip().replace(",", "___")
-    ids = _contig_ids(sequence, dustmask)
-    if seqlen >= fragsize and ids.shape[0] >= fragsize:
+
+    native_mod = None
+    if os.environ.get("JAEGER_TPU_NATIVE", "1") != "0":
+        try:
+            from jaeger_tpu import native
+
+            if native.available():
+                native_mod = native
+        except Exception:
+            pass
+
+    if seqlen >= fragsize and len(sequence) >= fragsize:
         starts = np.asarray(window_indices(
             seqlen, fragsize, stride, dynamic_stride,
             dynamic_stride_threshold,
         ), dtype=np.int64)
+        if native_mod is not None and len(sequence) == seqlen:
+            wins, meta = native_mod.contig_rows_native(
+                sequence, starts, fragsize, seqlen, dustmask)
+            return header, wins, meta
+        ids = _contig_ids(sequence, dustmask)
         counts = _window_counts(ids, starts, fragsize)
         a, t = counts[:, 0], counts[:, 1]
         g, c = counts[:, 2], counts[:, 3]
@@ -225,29 +249,31 @@ def _contig_rows(header, seq, fragsize, stride, dynamic_stride,
         # round(), which rounds the decimal expansion exactly — np.round
         # scales by 100 first and disagrees on half-way-straddling values
         # (caught by the live fuzz parity test), so skew stays scalar
-        n_win_ = g.shape[0]
+        n_win = g.shape[0]
         skew = np.fromiter(
             (_gc_skew(gv, cv) for gv, cv in zip(g.tolist(), c.tolist())),
-            dtype=np.float64, count=n_win_)
+            dtype=np.float64, count=n_win)
         wins = ids[starts[:, None] + np.arange(fragsize)]
-        n_win = starts.shape[0]
-        meta = np.empty((n_win, 10), dtype=np.float64)
+        meta = np.empty((n_win, 11), dtype=np.float64)
         meta[:, 0] = fragsize
-        meta[:, 1] = starts
-        meta[:, 2] = 0.0
-        meta[-1, 2] = 1.0
-        meta[:, 3] = np.arange(n_win)
-        meta[:, 4] = seqlen
-        meta[:, 5] = g
-        meta[:, 6] = c
-        meta[:, 7] = a
-        meta[:, 8] = t
-        meta[:, 9] = skew
+        meta[:, 1] = 0.0
+        meta[:, 2] = starts
+        meta[:, 3] = 0.0
+        meta[-1, 3] = 1.0
+        meta[:, 4] = np.arange(n_win)
+        meta[:, 5] = seqlen
+        meta[:, 6] = g
+        meta[:, 7] = c
+        meta[:, 8] = a
+        meta[:, 9] = t
+        meta[:, 10] = skew
         return header, wins, meta
+    ids = _contig_ids(sequence, dustmask)
     if seqlen >= min_len:
         g, c, a, t = _composition(ids)
         meta = np.array(
-            [[ids.shape[0], 0, 1, 0, seqlen, g, c, a, t, _gc_skew(g, c)]],
+            [[ids.shape[0], 0, 0, 1, 0, seqlen, g, c, a, t,
+              _gc_skew(g, c)]],
             dtype=np.float64,
         )
         return header, ids[None, :], meta
@@ -284,6 +310,49 @@ def window_batches(
     """
     if min_len is None:
         min_len = fragsize
+
+    import os
+
+    if os.environ.get("JAEGER_TPU_NATIVE", "1") != "0" and contig_filter is None:
+        try:
+            from jaeger_tpu import native
+
+            native_ok = native.available()
+        except Exception:
+            native_ok = False
+        if native_ok:
+            # all-native pipeline: reader thread + worker pool + ordered
+            # batcher in C++, one GIL-released call per batch (the Python
+            # pipeline below serialized on per-contig glue past 2
+            # workers; experiments/ingest_profile.py). Byte-identical
+            # output, pinned by tests/test_native.py. contig_filter is a
+            # Python callable, so multi-host sharding keeps the Python
+            # path.
+            headers_acc: list[str] = []
+            for bases2, meta2, new_headers in native.window_pipeline_native(
+                path, fragsize, stride, dynamic_stride,
+                dynamic_stride_threshold, min_len, max_len, dustmask,
+                batch_capacity, max(1, workers),
+            ):
+                headers_acc.extend(new_headers)
+                if bases2.shape[0] == 0:
+                    continue
+                yield WindowBatch(
+                    bases=bases2,
+                    length=meta2[:, 0].astype(np.int32),
+                    contig=meta2[:, 1].astype(np.int32),
+                    start=meta2[:, 2].astype(np.int32),
+                    contig_end=meta2[:, 3].astype(np.int8),
+                    ordinal=meta2[:, 4].astype(np.int32),
+                    seqlen=meta2[:, 5].astype(np.int32),
+                    g=meta2[:, 6].astype(np.int32),
+                    c=meta2[:, 7].astype(np.int32),
+                    a=meta2[:, 8].astype(np.int32),
+                    t=meta2[:, 9].astype(np.int32),
+                    gc_skew=meta2[:, 10].astype(np.float32),
+                    headers=list(headers_acc),
+                )
+            return
 
     cap = fragsize
     # per-contig blocks of (bases2d, meta2d-with-hidx); batch boundaries
@@ -355,18 +424,14 @@ def window_batches(
                     dynamic_stride_threshold, min_len, dustmask,
                 )
 
-    for header, wins, meta10 in processed():
+    for header, wins, meta11 in processed():
         # sub-min_len contigs still consume a header slot (parity with
         # the reference's global contig indexing)
         headers.append(header)
         if wins is None:
             continue
-        hidx = len(headers) - 1
-        n_win = meta10.shape[0]
-        meta11 = np.empty((n_win, 11), dtype=np.float64)
-        meta11[:, 0] = meta10[:, 0]
-        meta11[:, 1] = hidx
-        meta11[:, 2:] = meta10[:, 1:]
+        n_win = meta11.shape[0]
+        meta11[:, 1] = len(headers) - 1  # hidx, left 0 by _contig_rows
         off = 0
         while off < n_win:
             take = min(n_win - off, batch_capacity - n_buf)

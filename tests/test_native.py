@@ -193,3 +193,55 @@ def test_cache_fallback_when_package_dir_unwritable(monkeypatch, tmp_path):
     cached = list((tmp_path / "cache" / "jaeger_tpu").glob("*.so"))
     assert len(cached) == 1
     importlib.reload(n)  # restore pristine module state for other tests
+
+
+def test_contig_rows_native_matches_python(monkeypatch):
+    """The one-call per-contig window loop (jt_contig_rows) is
+    byte-identical to the pure-Python _contig_rows fallback across
+    composition regimes: random DNA, tandem repeats (DUST fires), Ns,
+    soft-masked lowercase, and the dynamic-stride path."""
+    from jaeger_tpu.seqops import windows as W
+
+    rng = np.random.default_rng(7)
+    alphabet = list("ATGCatgcN")
+    probs = [.22, .22, .22, .22, .02, .02, .02, .02, .04]
+    for trial in range(40):
+        n = int(rng.integers(400, 6000))
+        seq = "".join(rng.choice(alphabet, p=probs, size=n))
+        if trial % 3 == 0:
+            seq = seq[:50] + "ATATATATAT" * 15 + seq[50:]
+        if trial % 5 == 0:
+            seq = seq[:20] + "N" * 30 + seq[20:]
+        dyn = trial % 4 == 0
+        args = ("ctg,x", seq, 500, 300, dyn, 10.0, 200, True)
+        monkeypatch.setenv("JAEGER_TPU_NATIVE", "1")
+        h1, w1, m1 = W._contig_rows(*args)
+        monkeypatch.setenv("JAEGER_TPU_NATIVE", "0")
+        h2, w2, m2 = W._contig_rows(*args)
+        assert h1 == h2
+        if w2 is None:
+            assert w1 is None
+            continue
+        assert np.array_equal(w1, w2), trial
+        # float64-exact: incl. the gc_skew Python-round parity column
+        assert np.array_equal(m1, m2), trial
+
+
+def test_native_gc_skew_python_round_parity():
+    """jt_contig_rows' 2-decimal skew rounding (printf shortest-correct
+    conversion) equals CPython round((g-c)/(g+c), 2) exactly, including
+    the half-way-straddling values where np.round's scale-by-100
+    disagrees."""
+    from jaeger_tpu.seqops import windows as W
+
+    rng = np.random.default_rng(3)
+    gs = np.concatenate([rng.integers(0, 2000, 3000),
+                         np.array([0, 1, 2, 125, 875])])
+    cs = np.concatenate([rng.integers(0, 2000, 3000),
+                         np.array([0, 2, 1, 875, 125])])
+    for g, c in zip(gs.tolist(), cs.tolist()):
+        seq = "G" * g + "C" * c + "AT" * 10
+        starts = np.zeros(1, dtype=np.int64)
+        wins, meta = native.contig_rows_native(
+            seq, starts, len(seq), len(seq), dustmask=False)
+        assert meta[0, 10] == W._gc_skew(g, c), (g, c)
