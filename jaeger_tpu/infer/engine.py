@@ -99,46 +99,87 @@ class InferenceEngine:
             getattr(self.model, "masking_enabled", True),
         )
 
+    def _mask_plans(self):
+        """Bounded-mask cut candidates for this model (cached), or []."""
+        plans = getattr(self, "_mask_plans_cache", None)
+        if plans is None:
+            from jaeger_tpu.models.builder import mask_cut_plan
+
+            cfg = getattr(self.model, "config", None) or {}
+            plans = mask_cut_plan(cfg.get("representation_learner", {})) \
+                if isinstance(cfg, dict) else None
+            plans = plans or []
+            self._mask_plans_cache = plans
+        return plans
+
     def _plan_batch(self, bases: np.ndarray, lengths: np.ndarray,
                     n_valid: int):
-        """One host scan -> (dense, split): ``dense`` selects the
-        maskless program for the whole batch; ``split`` is
-        (masked_idx, bucket) when a mostly-dense batch should run as
-        dense-on-all + masked-bucket-on-few; (False, None) keeps the
-        plain masked program (all/mostly-masked, tiny batches, or
-        splitting disabled).
+        """One host scan -> (dense, split, mask_cut).
+
+        ``dense`` selects the maskless program for the whole batch;
+        ``split`` is (masked_idx, bucket) when the batch should run as
+        base-program-on-all + masked-bucket-on-few; ``mask_cut`` (a
+        ``builder.mask_cut_plan`` cut spec) selects the BOUNDED program
+        as the base — mask machinery only up to the cut, exact because
+        every remaining row's invalid runs are short enough that the
+        mask is provably all-true there (encode.bounded_mask_levels).
+        (False, None, None) keeps the plain masked program.
 
         The bucket is the smallest of {bs/16, bs/8} (rounded up to a
         mesh multiple, and always < bs — at bucket == bs the split
-        would run BOTH full-size programs) that fits the masked rows —
+        would run BOTH full-size programs) that fits the bucket rows —
         each bucket shape compiles once and is cached like every other
         program. Chip-measured on the flagship
         (experiments/split_bench.py): the split runs 1.18x the
         all-masked program at bucket bs/16 and 1.10x at bs/8, but only
-        0.97x at bs/4 — hence the bs/8 cap."""
+        0.97x at bs/4 — hence the bs/8 cap. Bounded programs:
+        experiments/bounded_bench.py (cut A 0.98x dense, cut B 0.94x
+        vs masked 0.88x)."""
         crop = getattr(self.model, "crop_nt", None)
         if crop is None or n_valid == 0:
-            return False, None
-        from jaeger_tpu.ops.encode import dense_window_rows
+            return False, None, None
+        from jaeger_tpu.ops.encode import (bounded_mask_levels,
+                                           dense_window_rows)
 
-        rows = dense_window_rows(
-            bases[:n_valid], lengths[:n_valid], crop,
-            getattr(self.model, "masking_enabled", True),
-        )
+        masking = getattr(self.model, "masking_enabled", True)
+        rows = dense_window_rows(bases[:n_valid], lengths[:n_valid],
+                                 crop, masking)
         if rows.all():
-            return True, None
-        if not self.split_mixed or not rows.any():
-            return False, None
-        masked_idx = np.nonzero(~rows)[0]
+            return True, None, None
+
         mult = self.mesh.devices.size if self.mesh is not None else 1
         bs = self.batch_size
-        for b in (bs // 16, bs // 8):
-            b = -(-max(b, 1) // mult) * mult
-            if b >= bs:
-                break
-            if masked_idx.size <= b:
-                return False, (masked_idx, b)
-        return False, None  # too mixed: the plain masked program wins
+
+        def bucket_for(k: int):
+            for b in (bs // 16, bs // 8):
+                b = -(-max(b, 1) // mult) * mult
+                if b >= bs:
+                    break
+                if k <= b:
+                    return b
+            return None
+
+        if self.split_mixed and rows.any():
+            masked_idx = np.nonzero(~rows)[0]
+            b = bucket_for(masked_idx.size)
+            if b is not None:
+                return False, (masked_idx, b), None
+        plans = self._mask_plans()
+        if plans:
+            levels = bounded_mask_levels(
+                bases[:n_valid], lengths[:n_valid], crop, masking, plans)
+            bad_idx = np.nonzero(levels < 0)[0]
+            if bad_idx.size == 0:
+                return False, None, plans[int(levels.max())][0]
+            if self.split_mixed and bad_idx.size < n_valid:
+                # long-run rows to a full-masked bucket; the bounded
+                # program covers the rest (its neutralized bucket slots
+                # are clean placeholder windows)
+                b = bucket_for(bad_idx.size)
+                if b is not None:
+                    cut = plans[int(levels[levels >= 0].max())][0]
+                    return False, (bad_idx, b), cut
+        return False, None, None  # plain masked program
 
     def _mixed_split(self, bases: np.ndarray, lengths: np.ndarray,
                      n_valid: int):
@@ -163,8 +204,13 @@ class InferenceEngine:
         ln[midx] = b.shape[1]
         return mb, mln, b, ln
 
-    def _forward(self, variables, bases, lengths, dense: bool = False):
-        kwargs = {"assume_dense": True} if dense else {}
+    def _forward(self, variables, bases, lengths, dense: bool = False,
+                 mask_cut=None):
+        kwargs = {}
+        if dense:
+            kwargs["assume_dense"] = True
+        elif mask_cut is not None:
+            kwargs["mask_layers"] = mask_cut
         out = self.model.apply(
             variables, {"bases": bases, "lengths": lengths}, train=False,
             **kwargs,
@@ -174,14 +220,15 @@ class InferenceEngine:
         return {k: v.astype(jnp.float32) for k, v in out.items()}
 
     def _forward_packed(self, variables, packed, lengths, length: int,
-                        dense: bool = False):
+                        dense: bool = False, mask_cut=None):
         from jaeger_tpu.ops.encode import unpack_bases
 
         bases = unpack_bases(packed, length)
-        return self._forward(variables, bases, lengths, dense)
+        return self._forward(variables, bases, lengths, dense, mask_cut)
 
-    def _get_fn(self, shape: tuple, dense: bool = False):
-        key = (shape, dense)
+    def _get_fn(self, shape: tuple, dense: bool = False, mask_cut=None):
+        mask_cut = None if dense else mask_cut
+        key = (shape, dense, mask_cut)
         fn = self._compiled.get(key)
         if fn is None:
             jit_kwargs = {}
@@ -194,11 +241,12 @@ class InferenceEngine:
             if self.pack_transfer:
                 fn = jax.jit(
                     functools.partial(self._forward_packed, length=shape[1],
-                                      dense=dense),
+                                      dense=dense, mask_cut=mask_cut),
                     **jit_kwargs,
                 )
             else:
-                fn = jax.jit(functools.partial(self._forward, dense=dense),
+                fn = jax.jit(functools.partial(self._forward, dense=dense,
+                                               mask_cut=mask_cut),
                              **jit_kwargs)
             fn = self._with_seq_mesh(fn)
             self._compiled[key] = fn
@@ -265,7 +313,7 @@ class InferenceEngine:
             # plan on the valid rows only: padded rows' outputs are
             # trimmed, and per-example compute at inference means they
             # cannot contaminate valid rows
-            dense, split = self._plan_batch(b, ln, valid)
+            dense, split, mask_cut = self._plan_batch(b, ln, valid)
             pad = bs - valid
             if pad:
                 b = np.pad(b, ((0, pad), (0, 0)), constant_values=4)
@@ -278,8 +326,10 @@ class InferenceEngine:
                 out_m = fn_m(self.variables, to_payload(mb),
                              jnp.asarray(mln))
                 merge = (out_m, midx, midx.size)
-                dense = True
-            fn = self._get_fn((bs, b.shape[1]), dense)
+                # base program covers the rest: dense when every other
+                # row is clean, bounded when they merely qualify a cut
+                dense = mask_cut is None
+            fn = self._get_fn((bs, b.shape[1]), dense, mask_cut)
             out = fn(self.variables, to_payload(b), jnp.asarray(ln))
             in_flight.append((out, valid, merge))
             if len(in_flight) > self.pipeline_depth:
@@ -300,15 +350,20 @@ class InferenceEngine:
     # ------------------------------------------------------------------
 
     def _get_reduced_fn(self, shape: tuple, with_reliability: bool,
-                        dense: bool = False):
-        key = ("reduced", shape, with_reliability, dense)
+                        dense: bool = False, mask_cut=None):
+        mask_cut = None if dense else mask_cut
+        key = ("reduced", shape, with_reliability, dense, mask_cut)
         fn = self._compiled.get(key)
         if fn is None:
             from jaeger_tpu.ops.encode import unpack_bases
             from jaeger_tpu.ops.reduce import contig_partials
 
             bs = shape[0]
-            apply_kwargs = {"assume_dense": True} if dense else {}
+            apply_kwargs = {}
+            if dense:
+                apply_kwargs["assume_dense"] = True
+            elif mask_cut is not None:
+                apply_kwargs["mask_layers"] = mask_cut
 
             def forward_reduced(variables, payload, lengths, seg_ids, valid):
                 if self.pack_transfer:
@@ -410,7 +465,7 @@ class InferenceEngine:
                 ln = batch.length[i : i + bs]
                 contig = batch.contig[i : i + bs].astype(np.int64)
                 n_valid = b.shape[0]
-                dense, split = self._plan_batch(b, ln, n_valid)
+                dense, split, mask_cut = self._plan_batch(b, ln, n_valid)
                 pad = bs - n_valid
                 if pad:
                     b = np.pad(b, ((0, pad), (0, 0)), constant_values=4)
@@ -441,9 +496,10 @@ class InferenceEngine:
                     # the segment sums
                     valid[midx] = False
                     merge = (partial_m, seg_to_m, midx, m)
-                    dense = True
+                    dense = mask_cut is None
                 fn = self._get_reduced_fn((bs, b.shape[1]),
-                                          with_reliability, dense)
+                                          with_reliability, dense,
+                                          mask_cut)
                 partial = fn(self.variables, to_payload(b),
                              jnp.asarray(ln),
                              jnp.asarray(seg_local), jnp.asarray(valid))

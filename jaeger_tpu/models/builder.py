@@ -138,6 +138,154 @@ def _remask_passes(name: str, cfg: dict) -> bool:
     return False
 
 
+# --- mask-bounded program analysis -----------------------------------------
+# Under mask_mode="any" (the default), every masked conv GROWS the valid
+# set: an invalid run shrinks by the conv's one-sided span
+# ``d*(k-1)/2`` per side (interior runs) or per valid side (edge runs).
+# For typical soft-masked inputs (short N/lowercase runs) the mask is
+# therefore PROVABLY all-true after the first residual stack — at which
+# point dropping the mask entirely is bit-exact (apply_mask with an
+# all-true mask is the identity; masked statistics with an all-ones
+# weight equal their dense forms — pinned by tests/test_mask_bounded.py).
+# The engine exploits this with a "bounded" program that runs mask
+# machinery only through the cut layer: each activation-size mask op
+# costs ~0.65 ms/2048 of irreducible VPU work (chip-measured,
+# experiments/mask_fusion_probe.py — fusion cannot remove it), so
+# halving the masked layer count closes most of the masked-vs-dense gap.
+
+#: layers after the cut must treat an all-true mask identically to None
+#: (bitwise); anything else (attention/hyena/bilstm/branches) is out
+_MASK_CUT_SAFE_AFTER = frozenset((
+    "masked_conv1d", "conv1d", "residual_block", "masked_dyt", "nmd",
+    "activation", "relu", "gelu", "sigmoid", "softmax", "tanh", "dropout",
+    "dense", "masked_batchnorm", "batchnorm", "crop",
+))
+_MASK_CUT_SAFE_POOLERS = frozenset((
+    "max", "average", "max1d", "average1d", "masked_max", "masked_average",
+    "last", "masked_last", "gatedframe",
+))
+
+
+def _conv_run_shrink(cfg: dict, default_padding: str) -> int | None:
+    """Worst-case shrink of ONE invalid run by an any-mode masked conv
+    (minimum over interior/edge placements); None = unsupported.
+
+    SAME padding erodes a run by span/2 per side — an edge run still
+    loses span/2 from its valid side. VALID padding erodes span-1 from
+    the right only, so a right-edge run (padded window tails) can lose
+    0 — its contribution to the conservative bound is 0.
+    """
+    if not cfg.get("use_masking", True):
+        return 0
+    if cfg.get("mask_mode", "any") != "any":
+        return None
+    if cfg.get("strides", 1) != 1:
+        return None
+    pad = str(cfg.get("padding", default_padding)).lower()
+    if pad not in ("same", "valid"):
+        return None
+    k = int(cfg.get("kernel_size", 3))
+    d = int(cfg.get("dilation_rate", 1))
+    return (d * (k - 1)) // 2 if pad == "same" else 0
+
+
+def _conv_shrinks(cfg: dict, default_padding: str) -> tuple[int, int] | None:
+    """(interior_shrink, edge_shrink) of one any-mode masked conv, or
+    None when unsupported.
+
+    Interior runs erode by the full dilated span-1 (both sides for SAME,
+    right side for VALID); a run pinned to a window edge erodes only
+    from its valid side — span/2 for SAME, and 0 worst-case for VALID
+    (a right-edge run keeps its edge).
+    """
+    if not cfg.get("use_masking", True):
+        return 0, 0
+    if cfg.get("mask_mode", "any") != "any":
+        return None
+    if cfg.get("strides", 1) != 1:
+        return None
+    pad = str(cfg.get("padding", default_padding)).lower()
+    if pad not in ("same", "valid"):
+        return None
+    k = int(cfg.get("kernel_size", 3))
+    d = int(cfg.get("dilation_rate", 1))
+    span1 = d * (k - 1)
+    if pad == "same":
+        return span1, span1 // 2
+    return span1, 0
+
+
+def mask_cut_plan(rep_cfg: dict) -> list[tuple[object, int, int]] | None:
+    """Candidate cuts for the bounded-mask program, or None when the
+    architecture doesn't support it.
+
+    Returns ``[(cut_spec, interior_bound, edge_bound), ...]`` ordered
+    earliest-cut first. A window qualifies for a cut when every invalid
+    run not touching a window edge is <= ``interior_bound`` codons and
+    every edge-touching run is <= ``edge_bound`` — then any-mode growth
+    provably clears the mask by the cut (every output position is its
+    own center tap, so invalid runs only ever shrink; they can never
+    merge or grow). ``cut_spec`` is either a rep-learner layer index
+    (mask dropped from that layer on) or ``(index, "conv1")`` — the cut
+    sits inside the first residual block, right after its first conv
+    (only ONE activation-size mask op remains in that program: the
+    block's shared input pre-zero).
+    """
+    layers = _freeze_layers(rep_cfg.get("hidden_layers", []))
+    pooling = rep_cfg.get("pooling")
+    if "branch" in rep_cfg or not layers:
+        return None
+    if pooling is not None and pooling.lower() not in _MASK_CUT_SAFE_POOLERS:
+        return None
+    interior = 0
+    edge = 0
+    plans: list[tuple[object, int, int]] = []
+    done = False
+    for i, (name, cfg) in enumerate(layers):
+        if not done:
+            if name in ("masked_conv1d", "conv1d"):
+                use_mask = cfg.get("use_masking", name == "masked_conv1d")
+                s = _conv_shrinks(dict(cfg, use_masking=use_mask),
+                                  default_padding="valid")
+                if s is None:
+                    return None
+                interior += s[0]
+                edge += s[1]
+            elif name == "residual_block":
+                s = _conv_shrinks(cfg, default_padding="same")
+                if s is None or not cfg.get("use_masking", True) or \
+                        cfg.get("return_nmd", False):
+                    return None
+                # cut A: inside the block, after conv1 of its first
+                # sub-block — one mask site total
+                if interior + s[0] > 0:
+                    plans.append(((i, "conv1"),
+                                  interior + s[0], edge + s[1]))
+                n_convs = 2 * int(cfg.get("block_size", 1))
+                interior += n_convs * s[0]
+                edge += n_convs * s[1]
+                # cut B: after the whole first stack
+                plans.append((i + 1, interior, edge))
+                done = True
+            elif name in ("nmd", "masked_dyt", "activation", "relu", "gelu",
+                          "sigmoid", "softmax", "tanh", "dropout",
+                          "masked_batchnorm", "batchnorm"):
+                pass  # mask-preserving
+            else:
+                return None
+        else:
+            if name not in _MASK_CUT_SAFE_AFTER:
+                return None
+            if cfg.get("return_nmd", False):
+                # norm-embedded NMD taps use the eps-carrying masked
+                # statistics; only standalone `nmd` layers get the
+                # masked-parity-dense treatment post-cut (LayerStack)
+                return None
+    if not done or not plans:
+        return None
+    return [p for p in plans if p[1] > 0]
+
+
 def _defer_scan(layer_configs: tuple, start: int, pooling: str | None,
                 zeroed: bool = True) -> bool:
     """True when a trailing re-mask emitted just before ``start`` is
@@ -185,6 +333,14 @@ class LayerStack(nn.Module):
     # config key model.defer_remask — kept as an escape hatch / for the
     # exactness A/B tests
     defer_remask: bool = True
+    # drop the mask from this layer index on (the engine's bounded-mask
+    # program; see mask_cut_plan). Either an int layer index, or
+    # ``(index, "conv1")`` for the cut inside layer `index`'s first
+    # residual sub-block right after conv1. Exact ONLY when the caller
+    # proves the mask is all-true at the cut — the engine's run-length
+    # detector does (infer/engine.py), pinned by
+    # tests/test_mask_bounded.py.
+    mask_until: Any = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -196,7 +352,30 @@ class LayerStack(nn.Module):
         # (the stack input is an embedding/one-hot — token 0's row is not
         # zero, so start False; see _zeroed_after)
         zeroed = False
+        post_cut = False
+        mu = self.mask_until
+        inner_at = None
+        cut_at = None
+        if mu is not None:
+            if isinstance(mu, (tuple, list)):
+                inner_at = int(mu[0])
+                cut_at = inner_at + 1
+            else:
+                cut_at = int(mu)
         for i, (name, raw_cfg) in enumerate(self.layer_configs):
+            if cut_at is not None and i == cut_at:
+                # bounded program: the mask is provably all-true here, so
+                # drop it structurally — each remaining activation-size
+                # mask op costs ~0.65-1.2 ms/2048 of irreducible VPU
+                # work (experiments/mask_fusion_probe.py; a constant-
+                # true tensor is NOT folded by XLA, chip-measured in
+                # experiments/bounded_bench.py). Every mask op is
+                # bitwise an identity under an all-true mask — except
+                # the NMD taps' eps-carrying statistics, which therefore
+                # switch to the masked-parity dense form below.
+                # Exactness pinned by tests/test_mask_bounded.py.
+                mask = None
+                post_cut = True
             cfg = dict(raw_cfg)
             lname = f"{name}_{i}"
             fold_kw = (
@@ -267,6 +446,7 @@ class LayerStack(nn.Module):
                     ),
                     defer_internal_mask=self.defer_remask,
                     input_remasked=zeroed,
+                    drop_mask_after_first_conv1=(i == inner_at),
                     **_sub(cfg, _RES_KEYS),
                 )
                 out = rb(x, mask, train)
@@ -345,11 +525,25 @@ class LayerStack(nn.Module):
                 # never updates during those branches (nnlib/v2/nmd.py:70-72
                 # only runs when the node executes).
                 if taps:
+                    nmd_mask = mask
+                    if post_cut and mask is None:
+                        # post-cut NMD taps keep the exact masked-stats
+                        # graph (the eps-carrying denominators AND the
+                        # reduce-with-multiply fusion shape — a plain
+                        # sum is NOT bitwise the same reduce) under an
+                        # all-true mask. The optimization barrier stops
+                        # XLA from folding x*1 away, which would change
+                        # the fused-reduce rounding (1-ulp nmd drift,
+                        # caught on CPU). The mask work rides the
+                        # reductions, chip-measured free
+                        # (experiments/bounded_bench.py).
+                        nmd_mask = jax.lax.optimization_barrier(
+                            jnp.ones(x.shape[:-1], bool))
                     nmds.append(
                         L.NMDLayer(
                             name=lname, momentum=cfg.get("momentum", 0.9),
                             dtype=self.dtype,
-                        )(x, mask, train)
+                        )(x, nmd_mask, train)
                     )
             elif name == "dense":
                 dt = (
@@ -491,6 +685,7 @@ class JaegerModel(nn.Module):
     def __call__(self, inputs: dict, train: bool = False,
                  with_projection: bool = False,
                  assume_dense: bool = False,
+                 mask_layers: int | None = None,
                  heads: tuple | None = None):
         """``heads`` selects which output heads to compute (None = all).
 
@@ -509,6 +704,13 @@ class JaegerModel(nn.Module):
         inference engine checks that predicate per device batch; the
         maskless program saves the mask-propagation elementwise work
         (~30% of the flagship forward, experiments/floor_probe.py).
+
+        ``mask_layers`` (static int) builds the BOUNDED-mask program:
+        mask machinery runs through rep-learner layer index
+        ``mask_layers - 1`` and the mask is dropped from there on —
+        exact when the mask is provably all-true at the cut, which the
+        engine's run-length detector establishes per batch from
+        ``mask_cut_plan`` (any-mode convs only shrink invalid runs).
         """
         cfg = self.config
         emb_cfg = cfg.get("embedding", {})
@@ -660,6 +862,7 @@ class JaegerModel(nn.Module):
                 nmd_merge=merge_cfg, seq_axis=seq_axis,
                 remat=bool(cfg.get("remat", False)),
                 defer_remask=bool(cfg.get("defer_remask", True)),
+                mask_until=mask_layers,
                 dtype=self.dtype,
             )(x, mask, train, fold_table=fold_table, taps=_need_rel)
 

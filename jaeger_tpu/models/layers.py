@@ -724,6 +724,14 @@ class ResidualBlock(nn.Module):
     # growth can expose, and pre-zeroing them changes outputs
     # (tests/test_e2e_live_reference.py, masked_batchnorm residual model).
     input_remasked: bool = False
+    # bounded-mask cut A (builder.mask_cut_plan): conv1's output mask is
+    # provably all-true, so drop the mask right after conv1 — norm1 /
+    # conv2 / norm2 run dense (bitwise identical to their masked paths
+    # under an all-true mask) and the block emits mask None. The block
+    # INPUT mask stays real: conv1's pre-zero / the shared shortcut
+    # pre-zero are the program's only remaining activation-size mask
+    # ops. Exactness pinned by tests/test_mask_bounded.py.
+    drop_mask_after_conv1: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -754,6 +762,8 @@ class ResidualBlock(nn.Module):
                              skip_input_mask=deferring, **conv_kw)(
             x_in, mask, train
         )
+        if self.drop_mask_after_conv1:
+            m1 = None  # provably all-true (bounded program cut A)
         h, m1 = _norm2(
             _make_norm(self.norm_type, "norm1", use_masking=self.use_masking,
                        alpha_init=self.alpha_init,
@@ -835,6 +845,10 @@ class ResidualBlockStack(nn.Module):
     # see ResidualBlock.input_remasked (builder-proven, un-deferred program
     # zero at mask-invalid positions of the STACK input)
     input_remasked: bool = False
+    # bounded-mask cut A: first sub-block drops the mask after its conv1
+    # (see ResidualBlock.drop_mask_after_conv1); later sub-blocks then
+    # run dense since the mask is None
+    drop_mask_after_first_conv1: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -868,7 +882,10 @@ class ResidualBlockStack(nn.Module):
                     else self.defer_output_mask and next_remasked
                 ),
                 defer_internal_mask=self.defer_internal_mask,
-                input_remasked=remasked, dtype=self.dtype,
+                input_remasked=remasked,
+                drop_mask_after_conv1=(
+                    self.drop_mask_after_first_conv1 and i == 0),
+                dtype=self.dtype,
                 name=f"block_{i}",
             )
             out = block(x, mask, train)
@@ -1325,6 +1342,14 @@ def _causal_toeplitz_convolve(u32: jnp.ndarray, h32: jnp.ndarray):
 _BLOCK_CONV_MAX_L = 4096
 _BLOCK_CONV_CHUNK = 512
 
+#: single-chip long-context reach: past the unrolled blocked form the
+#: same banded decomposition runs as a ``lax.scan`` over block-delta
+#: (one (D, C, C) operator live at a time — O(C^2 D) memory at any L),
+#: so a 100 kb full-contig window (L ~= 33k codons) rides the MXU.
+#: O(L^2 D) MACs eventually lose to the O(L log L) FFT; the cap is set
+#: from chip measurement (experiments/hyena_longctx_bench.py).
+_SCAN_CONV_MAX_L = 65536
+
 
 def _causal_block_toeplitz_convolve(
     u32: jnp.ndarray, h32: jnp.ndarray, chunk: int = _BLOCK_CONV_CHUNK
@@ -1356,6 +1381,55 @@ def _causal_block_toeplitz_convolve(
     return y.reshape(b, d, lp)[..., :L]
 
 
+def _causal_chunked_scan_convolve(
+    u32: jnp.ndarray, h32: jnp.ndarray, chunk: int = _BLOCK_CONV_CHUNK
+) -> jnp.ndarray:
+    """Single-chip chunked overlap-save causal convolution for long L.
+
+    Same banded-Toeplitz decomposition as
+    ``_causal_block_toeplitz_convolve`` (and the multi-chip ppermute ring,
+    ``parallel/hyena_sp.py``), but iterated as a ``lax.scan`` over the
+    block-delta so only ONE (D, chunk, chunk) operator block is live per
+    step — O(C^2 D) operator memory at any L, where the unrolled form
+    materializes all N blocks and the direct form the full (D, L, L)
+    operator. Per step, the banded contribution
+    ``y[:, :, j] += T_delta @ u[:, :, j - delta]`` is one einsum against a
+    block-shifted copy of the input (zeros shift in, so over-range blocks
+    contribute exactly nothing), and ``T_delta`` is a static gather from a
+    dynamically sliced (D, 2C-1) filter segment — the
+    ``_filter_segments`` indexing of the ring, with the causal guard
+    carried by the zero padding.
+
+    Role parity: the reference's single-device O(L log L) FFT Hyena conv
+    (``nnlib/v2/layers.py:2724-2764``) — this is the MXU-native route to
+    the same full-contig lengths (chip A/B:
+    ``experiments/hyena_longctx_bench.py``).
+    """
+    b, d, L = u32.shape
+    n = -(-L // chunk)
+    lp = n * chunk
+    u_pad = jnp.pad(u32, ((0, 0), (0, 0), (0, lp - L)))
+    # zero-pad the filter to lp on the right (taps >= L read zero) and by
+    # chunk-1 on the left (delta=0's negative taps = the causality guard)
+    h_pad = jnp.pad(h32, ((0, 0), (chunk - 1, lp - L)))
+    ub = u_pad.reshape(b, d, n, chunk)
+    rel = jnp.arange(chunk)[:, None] - jnp.arange(chunk)[None, :]  # t - s
+
+    def step(carry, delta):
+        acc, u_shift = carry
+        seg = jax.lax.dynamic_slice_in_dim(
+            h_pad, delta * chunk, 2 * chunk - 1, axis=1)   # (D, 2C-1)
+        toep = seg[:, rel + (chunk - 1)]                   # (D, C, C)
+        acc = acc + jnp.einsum("dts,bdjs->bdjt", toep, u_shift)
+        u_shift = jnp.concatenate(
+            [jnp.zeros_like(u_shift[:, :, :1]), u_shift[:, :, :-1]], axis=2)
+        return (acc, u_shift), None
+
+    acc0 = jnp.zeros((b, d, n, chunk), jnp.float32)
+    (acc, _), _ = jax.lax.scan(step, (acc0, ub), jnp.arange(n))
+    return acc.reshape(b, d, lp)[..., :L]
+
+
 def causal_fft_convolve(u: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
     """Depthwise causal convolution via rFFT with 2L-1 padding.
 
@@ -1377,11 +1451,21 @@ def causal_fft_convolve(u: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
         if (L <= _DIRECT_CONV_MAX_L
                 and h.shape[0] * L * L * 4 <= _DIRECT_CONV_MAX_BYTES):
             return _causal_toeplitz_convolve(u32, h32).astype(orig)
+        # blocked form also catches L <= _DIRECT_CONV_MAX_L when only the
+        # direct BYTE gate (high D) rejected above (advisor, round 4)
         nblk = -(-L // _BLOCK_CONV_CHUNK)
-        if (_DIRECT_CONV_MAX_L < L <= _BLOCK_CONV_MAX_L
+        if (L <= _BLOCK_CONV_MAX_L
                 and h.shape[0] * nblk * _BLOCK_CONV_CHUNK ** 2 * 4
                 <= _DIRECT_CONV_MAX_BYTES):
-            return _causal_block_toeplitz_convolve(u32, h32).astype(orig)
+            return _causal_block_toeplitz_convolve(
+                u32, h32, chunk=_BLOCK_CONV_CHUNK).astype(orig)
+        # scan keeps one (D, C, C) operator block live at a time; the
+        # byte gate guards pathological model dims only
+        if (L <= _SCAN_CONV_MAX_L
+                and h.shape[0] * _BLOCK_CONV_CHUNK ** 2 * 4
+                <= _DIRECT_CONV_MAX_BYTES):
+            return _causal_chunked_scan_convolve(
+                u32, h32, chunk=_BLOCK_CONV_CHUNK).astype(orig)
     n = 2 * L - 1
     H = jnp.fft.rfft(h32, n=n, axis=-1)
     U = jnp.fft.rfft(u32, n=n, axis=-1)

@@ -123,6 +123,98 @@ def dense_window_rows(bases: np.ndarray, lengths: np.ndarray,
     return ok & ~(window == 4).any(axis=1)
 
 
+def _run_stats(cod: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(interior_max, edge_max) True-run lengths per row of (N, K)."""
+    n, K = cod.shape
+    cs = np.cumsum(cod, axis=1)
+    last = np.maximum.accumulate(np.where(~cod, cs, 0), axis=1)
+    runlen = np.where(cod, cs - last, 0)
+    has_false = ~cod.all(axis=1)
+    lead = np.where(cod[:, 0],
+                    np.where(has_false, np.argmin(cod, axis=1), K), 0)
+    rev = cod[:, ::-1]
+    trail = np.where(cod[:, -1],
+                     np.where(has_false, np.argmin(rev, axis=1), K), 0)
+    pos = np.arange(K)[None, :]
+    interior = np.where(
+        (pos >= lead[:, None]) & (pos < K - trail[:, None]), runlen, 0
+    ).max(axis=1)
+    return interior, np.maximum(lead, trail)
+
+
+def bounded_mask_levels(bases: np.ndarray, lengths: np.ndarray,
+                        crop_nt: int, masking_enabled: bool,
+                        plans) -> np.ndarray:
+    """Per-row earliest qualifying bounded-mask cut, or -1.
+
+    ``plans`` is ``builder.mask_cut_plan``'s list: row i qualifies for
+    plan p when every invalid run not touching a window edge is at most
+    ``p[1]`` codons and every edge-touching run at most ``p[2]`` —
+    any-mode mask growth then provably clears the mask by that cut
+    (invalid runs only ever shrink, each conv by at least its accounted
+    span, because every output position is its own center tap; they can
+    never merge or grow).
+
+    Mirrors :func:`encode_frames`' token-0 semantics exactly: base IDs
+    >= 4 (>= masking, else only N/padding), the crop-contract
+    ``p_valid`` tail cutoff, and the reverse-complement frames (their
+    runs are the forward runs mirrored over the valid prefix, then
+    right-padded invalid).
+    """
+    from jaeger_tpu.seqops import crop as crop_contract
+
+    n = bases.shape[0]
+    C = int(crop_nt)
+    if bases.shape[1] < C:
+        return np.full(n, -1, np.int64)
+    b = np.asarray(bases[:, :C])
+    m = np.minimum(np.asarray(lengths, np.int64), C)
+    if masking_enabled:
+        bad = b >= 4
+    else:
+        bad = b == 4
+    pos = np.arange(C)[None, :]
+    bad = bad | (pos >= m[:, None])
+    K = frame_positions(C)
+    offset = crop_contract.OFFSET_LUT[C % 3]
+    p_valid = np.maximum(0, -((-(m - 5 + offset)) // 3))
+    tail = np.arange(K)[None, :] >= p_valid[:, None]
+    # rc stream: reverse of bad over the valid prefix, right-padded True
+    idx = m[:, None] - 1 - pos
+    rc_bad = np.where(
+        idx >= 0, np.take_along_axis(bad, np.clip(idx, 0, C - 1), axis=1),
+        True,
+    )
+    interior = np.zeros(n, np.int64)
+    edge = np.zeros(n, np.int64)
+    for src in (bad, rc_bad):
+        for o in range(3):
+            seg = src[:, o:o + 3 * K]
+            if seg.shape[1] < 3 * K:
+                seg = np.pad(seg, ((0, 0), (0, 3 * K - seg.shape[1])),
+                             constant_values=True)
+            cod = seg.reshape(n, K, 3).any(axis=2) | tail
+            i_max, e_max = _run_stats(cod)
+            interior = np.maximum(interior, i_max)
+            edge = np.maximum(edge, e_max)
+    level = np.full(n, -1, np.int64)
+    for p_idx in reversed(range(len(plans))):
+        _, i_bound, e_bound = plans[p_idx]
+        level = np.where((interior <= i_bound) & (edge <= e_bound),
+                         p_idx, level)
+    return level
+
+
+def bounded_mask_rows(bases: np.ndarray, lengths: np.ndarray,
+                      crop_nt: int, masking_enabled: bool,
+                      max_run: int) -> np.ndarray:
+    """Single-bound predicate (conservative: interior and edge runs both
+    held to ``max_run``); see :func:`bounded_mask_levels`."""
+    level = bounded_mask_levels(bases, lengths, crop_nt, masking_enabled,
+                                [(None, max_run, max_run)])
+    return level == 0
+
+
 def dense_window_batch(bases: np.ndarray, lengths: np.ndarray,
                        crop_nt: int, masking_enabled: bool = True) -> bool:
     """Whole-batch dense predicate (see :func:`dense_window_rows`).

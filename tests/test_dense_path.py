@@ -139,11 +139,11 @@ def test_engine_mixed_batches_match_masked_only(built):
 
     class NeverDense(InferenceEngine):
         def _plan_batch(self, b_, ln_, n_valid_):
-            return False, None  # masked program on every whole batch
+            return False, None, None  # masked program on every batch
 
     ref = NeverDense(model, variables, batch_size=5)
     out_ref = ref.predict_windows(bases, lengths)
-    assert any(k[-1] is True for k in eng._compiled), list(eng._compiled)
+    assert any(k[1] is True for k in eng._compiled), list(eng._compiled)
     # batch 0 (windows 0-4) has the N -> masked; batch 1 (5-9) has the
     # short window -> masked; force one dense batch too:
     clean = rng.integers(0, 4, size=(5, crop_nt + 20), dtype=np.uint8)

@@ -245,4 +245,89 @@ def test_bf16_blocked_dispatch_and_gradient(rng, monkeypatch):
     u_big = jnp.asarray(rng.standard_normal((1, 2, 300)), jnp.bfloat16)
     h_big = jnp.asarray(rng.standard_normal((2, 300)) * 0.1, jnp.bfloat16)
     lyr.causal_fft_convolve(u_big, h_big)
-    assert not calls  # past the block cap: FFT fallback
+    assert not calls  # past the block cap: the chunked-scan form takes over
+
+
+def test_scan_conv_matches_fft(rng):
+    """The chunked-scan form (single-chip long-context path) equals the
+    FFT convolution in f32; L deliberately not a chunk multiple."""
+    from jaeger_tpu.models.layers import (_causal_chunked_scan_convolve,
+                                          causal_fft_convolve)
+
+    L = 2500
+    u = rng.standard_normal((2, 3, L)).astype(np.float32)
+    h = (rng.standard_normal((3, L)) *
+         np.exp(-np.arange(L) / 400.0)).astype(np.float32)
+    scan = np.asarray(_causal_chunked_scan_convolve(
+        jnp.asarray(u), jnp.asarray(h), chunk=256))
+    fft = np.asarray(causal_fft_convolve(jnp.asarray(u), jnp.asarray(h)))
+    np.testing.assert_allclose(scan, fft, rtol=0, atol=2e-3)
+
+
+def test_bf16_scan_dispatch_and_gradient(rng, monkeypatch):
+    """bf16 + L past the block cap routes through the chunked-scan form
+    (not the slow TPU FFT); the path is differentiable; L past the scan
+    cap still falls back to FFT."""
+    from jaeger_tpu.models import layers as lyr
+
+    calls = []
+    real = lyr._causal_chunked_scan_convolve
+    monkeypatch.setattr(
+        lyr, "_causal_chunked_scan_convolve",
+        lambda *a, **k: calls.append(k.get("chunk")) or real(*a, **k))
+    monkeypatch.setattr(lyr, "_DIRECT_CONV_MAX_L", 64)
+    monkeypatch.setattr(lyr, "_BLOCK_CONV_MAX_L", 128)
+    monkeypatch.setattr(lyr, "_BLOCK_CONV_CHUNK", 64)
+    monkeypatch.setattr(lyr, "_SCAN_CONV_MAX_L", 1024)
+
+    L = 333
+    u = jnp.asarray(rng.standard_normal((2, 4, L)), jnp.bfloat16)
+    h = jnp.asarray(rng.standard_normal((4, L)) * 0.1, jnp.bfloat16)
+    out = lyr.causal_fft_convolve(u, h)
+    # the gate must hand the scan kernel its own chunk constant (advisor
+    # round 4: gate/kernel chunk mismatch) -> multi-block execution here
+    assert calls == [64] and out.dtype == jnp.bfloat16
+    ref = np.asarray(lyr.causal_fft_convolve(
+        u.astype(jnp.float32), h.astype(jnp.float32)))
+    scale = np.maximum(np.abs(ref), 1.0)
+    assert np.max(np.abs(np.asarray(out.astype(jnp.float32)) - ref)
+                  / scale) < 0.05  # bf16 rounding
+
+    g = jax.grad(lambda a, b: jnp.sum(
+        lyr.causal_fft_convolve(a, b).astype(jnp.float32)))(u, h)
+    assert np.isfinite(np.asarray(g, np.float32)).all()
+
+    calls.clear()
+    u_big = jnp.asarray(rng.standard_normal((1, 2, 2048)), jnp.bfloat16)
+    h_big = jnp.asarray(rng.standard_normal((2, 2048)) * 0.1, jnp.bfloat16)
+    lyr.causal_fft_convolve(u_big, h_big)
+    assert not calls  # past the scan cap: FFT fallback
+
+
+def test_blocked_gate_catches_direct_byte_rejection(rng, monkeypatch):
+    """L under the direct cap whose (D, L, L) operator is over budget must
+    route to the blocked form (its banded operator fits), not fall through
+    to the FFT (advisor round 4, dispatch gap)."""
+    from jaeger_tpu.models import layers as lyr
+
+    blocked_calls = []
+    real = lyr._causal_block_toeplitz_convolve
+    monkeypatch.setattr(
+        lyr, "_causal_block_toeplitz_convolve",
+        lambda *a, **k: blocked_calls.append(1) or real(*a, **k))
+    monkeypatch.setattr(lyr, "_DIRECT_CONV_MAX_L", 1024)
+    monkeypatch.setattr(lyr, "_BLOCK_CONV_CHUNK", 64)
+    # budget admits D*nblk*64^2*4 = 4*4*16384*4 = 1 MB banded operator but
+    # not the 4*256*256*4 = 1 MB direct one... make direct strictly larger
+    monkeypatch.setattr(lyr, "_DIRECT_CONV_MAX_BYTES", 4 * 4 * 64 * 64 * 4)
+
+    L = 256  # direct operator 4*256*256*4 = 1 MB > 256 KB budget
+    u = jnp.asarray(rng.standard_normal((1, 4, L)), jnp.bfloat16)
+    h = jnp.asarray(rng.standard_normal((4, L)) * 0.1, jnp.bfloat16)
+    out = lyr.causal_fft_convolve(u, h)
+    assert blocked_calls and out.dtype == jnp.bfloat16
+    ref = np.asarray(lyr.causal_fft_convolve(
+        u.astype(jnp.float32), h.astype(jnp.float32)))
+    scale = np.maximum(np.abs(ref), 1.0)
+    assert np.max(np.abs(np.asarray(out.astype(jnp.float32)) - ref)
+                  / scale) < 0.05
