@@ -73,12 +73,17 @@ def main() -> None:
     except Exception:
         int8_variables = None
 
-    def make_program(kind: str, bsz: int = batch):
+    def make_program(kind: str, bsz: int = batch, model_=None,
+                     crop_=None):
         """One jitted device-resident program per input regime; inputs are
         regenerated per seed so the harness relay can't memoize."""
+        prog_model = model if model_ is None else model_
+        prog_crop = crop_nt if crop_ is None else crop_
 
         @jax.jit
         def one_batch(variables, seed):
+            crop_nt = prog_crop
+            model = prog_model
             k1, k2, k3 = jax.random.split(seed, 3)
             bases = jax.random.randint(
                 k1, (bsz, crop_nt), 0, 4, dtype=jnp.int32
@@ -128,9 +133,10 @@ def main() -> None:
         return jnp.sum(jnp.stack(accs))
 
     def measure(kind: str, n_execs: int, iters: int, seed0: int,
-                vs=None, bsz: int = batch) -> float:
+                vs=None, bsz: int = batch, model_=None,
+                crop_=None) -> float:
         vs = variables if vs is None else vs
-        prog = make_program(kind, bsz)
+        prog = make_program(kind, bsz, model_=model_, crop_=crop_)
         # warm BOTH shapes outside the timed region: `combine` retraces
         # per list length, and an n_execs-shape compile inside the loop
         # would bake minutes of remote compile into the reported rate
@@ -159,6 +165,35 @@ def main() -> None:
                     vs=int8_variables)
             if int8_variables is not None else None)
 
+    # BASELINE.json config ladder (round-5 verdict item 6): the axial
+    # and hyena families get driver-tracked per-round rows so non-
+    # flagship regressions are visible, not buried in ad-hoc experiment
+    # scripts. One dense program each (compile-once; no lax.scan at
+    # these crops — hyena L=666 rides the MXU Toeplitz path).
+    def ladder_row(cfg_path: str, bsz: int, seed0: int):
+        try:
+            from pathlib import Path
+
+            from jaeger_tpu.utils.config import load_model_config
+
+            lcfg = load_model_config(
+                Path(__file__).resolve().parent / cfg_path)
+            lbuilder = ModelBuilder(lcfg, dtype=jnp.bfloat16)
+            lmodel, lvars = lbuilder.init(batch=1)
+            _, lcrop = lbuilder.crop
+            return measure("dense", n_execs=8, iters=2, seed0=seed0,
+                           vs=lvars, bsz=bsz, model_=lmodel, crop_=lcrop)
+        except Exception as e:  # pragma: no cover - bench resilience
+            import sys
+
+            print(f"ladder row {cfg_path} failed: {e}", file=sys.stderr)
+            return None
+
+    axial = ladder_row("train_config/fragment_3class_500bp_axial.yaml",
+                       bsz=1024, seed0=5000)
+    hyena = ladder_row("train_config/hyena_fullcontig.yaml",
+                       bsz=256, seed0=6000)
+
     print(json.dumps({
         "metric": "inference windows/s/chip, device path: on-device codon "
                   "encode + bf16 forward (1.2M-param 6-class fragment "
@@ -186,6 +221,18 @@ def main() -> None:
              "vs_baseline": round(
                  mixed / REFERENCE_NOMINAL_WINDOWS_PER_S, 2)},
         ] + ([
+            {"metric": "axial-attention 3-class 500bp config "
+                       "(BASELINE ladder; dense program, batch=1024x8)",
+             "value": round(axial, 1), "unit": "windows/s",
+             "vs_baseline": round(
+                 axial / REFERENCE_NOMINAL_WINDOWS_PER_S, 2)},
+        ] if axial is not None else []) + ([
+            {"metric": "hyena full-contig config (BASELINE ladder; "
+                       "2003nt crop, MXU Toeplitz conv, batch=256x8)",
+             "value": round(hyena, 1), "unit": "windows/s",
+             "vs_baseline": round(
+                 hyena / REFERENCE_NOMINAL_WINDOWS_PER_S, 2)},
+        ] if hyena is not None else []) + ([
             {"metric": "int8 MXU program (opt-in `predict --int8`, "
                        "qualified: docs/int8_qualification.md)",
              "value": round(int8, 1), "unit": "windows/s",

@@ -233,9 +233,16 @@ def main(verbose: int) -> None:
 @click.option("--onnx", is_flag=True, default=False,
               help="ONNX Runtime engine (not available: single XLA "
                    "path).")
-@click.option("--int8", "int8", is_flag=True, default=False,
-              help="Use the INT8-quantized bundle (same as --quantized "
-                   "full_int8).")
+@click.option("--int8", "int8", is_flag=False, flag_value="full",
+              default=None, type=click.Choice(["full", "auto"]),
+              help="Use the INT8-quantized bundle: bare --int8 (= "
+                   "'full', same as --quantized full_int8) runs "
+                   "everything int8; '--int8 auto' routes only "
+                   "full-length unambiguous windows through the int8 "
+                   "MXU program and keeps short/masked windows on the "
+                   "float path (the only class where int8 calls ever "
+                   "moved in qualification — "
+                   "docs/int8_qualification.md).")
 @click.option("-v", "--verbose", count=True,
               help="Verbosity level: -vv debug, -v info.")
 @click.option("-f", "--overwrite", is_flag=True, default=False,
@@ -292,7 +299,10 @@ def predict(input_path, output_dir, model_path, model_path_override,
     model_path = (model_path_override
                   or resolve_model_path(model_path,
                                         registry_path=registry_config))
-    if int8 and quantized is None:
+    int8_auto_path = None
+    if int8 == "auto":
+        int8_auto_path = _resolve_int8_bundle(model_path)
+    elif int8 == "full" and quantized is None:
         quantized = "full_int8"
     if quantized in ("dynamic", "full_int8"):
         model_path = _resolve_int8_bundle(model_path)
@@ -325,6 +335,7 @@ def predict(input_path, output_dir, model_path, model_path_override,
         refine_contig_hedge_margin=refine_contig_hedge_margin,
         getsequences=getsequences, save_embedding=save_embedding,
         save_nmd=save_nmd, mask_tandem=mask_tandem, profile=profile,
+        int8_auto_path=int8_auto_path,
         overwrite=overwrite,
     )
     click.echo(f"summary written to {table}")

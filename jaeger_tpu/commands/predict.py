@@ -193,6 +193,7 @@ def run_core(
     phage_score: float = 1.0,
     scan_termini: bool = True,
     save_window_scores: bool = False,
+    int8_auto_path: str | None = None,
     prophage: bool = False,
     sensitivity: float = 1.5,
     lc: int = 500_000,
@@ -360,9 +361,22 @@ def run_core(
         wanted.append("embedding")
     if save_nmd:
         wanted.append("nmd")
+    int8_variables = None
+    if int8_auto_path is not None:
+        # `--int8 auto`: the int8 bundle's variables drive the DENSE
+        # program only (full-length unambiguous windows); masked/short
+        # windows keep the float path (engine._vars_for). The bundle
+        # must be a full_int8 quantization of THIS model.
+        m8, int8_variables, _cfg8, _cls8 = load_model(
+            int8_auto_path, dtype=dtype)
+        if "quant" not in int8_variables:
+            raise ValueError(
+                f"--int8 auto needs a full_int8 bundle; {int8_auto_path} "
+                "has no calibrated activation scales (re-run `jaeger "
+                "utils quantize --mode full_int8`)")
     engine = InferenceEngine(
         model, variables, batch_size=batch, mesh=mesh, seq_mesh=seq_mesh,
-        output_keys=tuple(wanted),
+        output_keys=tuple(wanted), int8_variables=int8_variables,
     )
 
     batches = window_batches(

@@ -45,9 +45,17 @@ class InferenceEngine:
         pipeline_depth: int = 4,
         pack_transfer: bool = True,
         split_mixed: bool = True,
+        int8_variables=None,
     ):
         self.model = model
         self.variables = variables
+        # `predict --int8 auto`: run the DENSE program (full-length,
+        # unambiguous windows — the qualification-clean class,
+        # docs/int8_qualification.md) on the int8 MXU variables; masked
+        # / short-window / bucket programs keep the float variables.
+        # INT8_QUAL_r04's only disagreement class was sub-fsize
+        # single-window contigs, which never take the dense program.
+        self.int8_variables = int8_variables
         self.batch_size = int(batch_size)
         # Fetch only what the caller needs: device->host readback is the
         # expensive leg (especially over a tunneled chip), and embedding/
@@ -82,6 +90,9 @@ class InferenceEngine:
             self._data_sharding = meshlib.shard_along(mesh)
             self._replicated = meshlib.replicate(mesh)
             self.variables = jax.device_put(variables, self._replicated)
+            if self.int8_variables is not None:
+                self.int8_variables = jax.device_put(
+                    self.int8_variables, self._replicated)
         self._compiled: dict = {}
 
     def _dense_batch(self, bases: np.ndarray, lengths: np.ndarray) -> bool:
@@ -98,6 +109,13 @@ class InferenceEngine:
             bases, lengths, crop,
             getattr(self.model, "masking_enabled", True),
         )
+
+    def _vars_for(self, dense: bool):
+        """Variables for a base program: int8 on the dense program when
+        auto-int8 is active, float otherwise (see __init__)."""
+        if dense and self.int8_variables is not None:
+            return self.int8_variables
+        return self.variables
 
     def _mask_plans(self):
         """Bounded-mask cut candidates for this model (cached), or []."""
@@ -330,7 +348,8 @@ class InferenceEngine:
                 # row is clean, bounded when they merely qualify a cut
                 dense = mask_cut is None
             fn = self._get_fn((bs, b.shape[1]), dense, mask_cut)
-            out = fn(self.variables, to_payload(b), jnp.asarray(ln))
+            out = fn(self._vars_for(dense), to_payload(b),
+                     jnp.asarray(ln))
             in_flight.append((out, valid, merge))
             if len(in_flight) > self.pipeline_depth:
                 drain_one()
@@ -500,7 +519,7 @@ class InferenceEngine:
                 fn = self._get_reduced_fn((bs, b.shape[1]),
                                           with_reliability, dense,
                                           mask_cut)
-                partial = fn(self.variables, to_payload(b),
+                partial = fn(self._vars_for(dense), to_payload(b),
                              jnp.asarray(ln),
                              jnp.asarray(seg_local), jnp.asarray(valid))
                 in_flight.append(

@@ -285,3 +285,39 @@ def test_full_int8_calibrates_tiny_crop(tmp_path):
     save_model(variables, cfg, path)
     stats = quantize_bundle(path, tmp_path / "q", mode="full_int8")
     assert stats["int8_exec_convs"] >= 1
+
+
+def test_int8_auto_engine_routing(int8_bundle):
+    """`--int8 auto` (engine int8_variables): dense batches run the int8
+    program, batches with short/masked windows run the float program —
+    outputs match the corresponding single-mode engines exactly."""
+    from jaeger_tpu.infer.engine import InferenceEngine
+    from jaeger_tpu.models.conversion import load_quantized
+
+    path, model, variables, b, qpath, _ = int8_bundle
+    qmodel, qvars, _, _ = load_quantized(qpath, dtype=jnp.bfloat16)
+
+    auto = InferenceEngine(model, variables, batch_size=8,
+                           int8_variables=qvars)
+    flt = InferenceEngine(model, variables, batch_size=8)
+    full8 = InferenceEngine(model, qvars, batch_size=8)
+
+    dense_in = _windows(b, n=8, seed=3)
+    out_auto = auto.predict_windows(dense_in["bases"], dense_in["lengths"])
+    out_int8 = full8.predict_windows(dense_in["bases"], dense_in["lengths"])
+    out_flt = flt.predict_windows(dense_in["bases"], dense_in["lengths"])
+    for k in out_auto:
+        assert np.array_equal(out_auto[k], out_int8[k]), k
+    # the int8 program really differs from float (routing is observable)
+    assert not all(np.array_equal(out_int8[k], out_flt[k])
+                   for k in out_int8)
+
+    short_in = _windows(b, n=8, seed=4, short=True)
+    # ensure at least one genuinely short window (masked path)
+    short_in["lengths"][0] = short_in["lengths"][0] // 2
+    short_in["bases"][0, short_in["lengths"][0]:] = 4
+    out_auto_s = auto.predict_windows(short_in["bases"],
+                                      short_in["lengths"])
+    out_flt_s = flt.predict_windows(short_in["bases"], short_in["lengths"])
+    for k in out_auto_s:
+        assert np.array_equal(out_auto_s[k], out_flt_s[k]), k
