@@ -27,8 +27,18 @@ from jaeger_tpu.models.builder import ModelBuilder
 
 
 def export_stablehlo(model_path: str, output_path: str, batch: int = 96,
-                     dtype=jnp.bfloat16) -> Path:
-    """Serialize the model's forward pass as a StableHLO artifact."""
+                     dtype=jnp.bfloat16,
+                     platforms: tuple = ("cpu", "tpu")) -> Path:
+    """Serialize the model's forward pass as a portable StableHLO
+    artifact.
+
+    Lowered for ``platforms`` (CPU + TPU by default), so the artifact is
+    the repo's edge/portability story for the reference's ONNX/TFLite
+    exports (``nnlib/conversion.py:34-233``): a fresh CPU-only process
+    can ``jax.export.deserialize(blob).call(bases, lengths)`` and
+    reproduce the bundle's logits with no bundle, config, or TPU —
+    round-trip pinned by tests/test_export_roundtrip.py.
+    """
     from jax import export as jax_export
 
     model, variables, config, _ = load_model(model_path, dtype=dtype)
@@ -42,7 +52,9 @@ def export_stablehlo(model_path: str, output_path: str, batch: int = 96,
 
     spec_bases = jax.ShapeDtypeStruct((batch, crop_nt), jnp.uint8)
     spec_lengths = jax.ShapeDtypeStruct((batch,), jnp.int32)
-    exported = jax_export.export(jax.jit(fwd))(spec_bases, spec_lengths)
+    exported = jax_export.export(
+        jax.jit(fwd), platforms=list(platforms),
+    )(spec_bases, spec_lengths)
     blob = exported.serialize()
     output_path = Path(output_path)
     output_path.parent.mkdir(parents=True, exist_ok=True)
