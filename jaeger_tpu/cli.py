@@ -1179,9 +1179,15 @@ def download(url, dest, model_name, registry, list_catalog, verbose):
               type=click.Choice(["minhash", "exact", "none"]),
               help="minhash = ANI/AAI-style MinHash clustering (mmseqs2 "
                    "equivalent); exact = endpoint signatures.")
+@click.option("--mmseqs-bin", "mmseqs_bin", default=None,
+              help="Path/name of a real mmseqs2 binary: dereplicate with "
+                   "`easy-cluster --min-seq-id MAXIDEN -c MAXCOV` "
+                   "(the reference's exact semantics, separate identity "
+                   "and coverage knobs) instead of the in-repo MinHash. "
+                   "Fidelity of the MinHash fallback: docs/fidelity.md.")
 def dataset(input_path, out_prefix, frag_len, overlap, trainperc, valperc,
             testperc, label, seed, intype, outtype, seq_col, class_col,
-            method, dedupe_threshold, maxcov, dedupe):
+            method, dedupe_threshold, maxcov, dedupe, mmseqs_bin):
     """Fragment + dedupe + split genomes into train/val/test sets."""
     from jaeger_tpu.commands.utils import dataset_core
 
@@ -1198,7 +1204,8 @@ def dataset(input_path, out_prefix, frag_len, overlap, trainperc, valperc,
                            seed=seed, seq_col=seq_col, class_col=class_col,
                            dedupe=(False if dedupe == "none" else dedupe),
                            dedupe_threshold=dedupe_threshold,
-                           method=method.upper(), outtype=outtype.upper())
+                           method=method.upper(), mmseqs_bin=mmseqs_bin,
+                           maxcov=maxcov, outtype=outtype.upper())
     click.echo(summary)
 
 

@@ -351,6 +351,45 @@ def _iter_dataset_records(input: str, seq_col: int | None,
             yield seq.upper(), default_label
 
 
+def _mmseqs_dedupe(frags: list, mmseqs_bin: str, maxiden: float,
+                   maxcov: float) -> list:
+    """Dereplicate fragments with a real mmseqs2 binary
+    (``easy-cluster --min-seq-id maxiden -c maxcov``), keeping cluster
+    representatives — the reference's exact dereplication semantics
+    (``commands/utils.py:170``, ``dataops/dataset.py:74-129``) when the
+    binary is available (``--mmseqs-bin``). Raises FileNotFoundError
+    with a pointer to the MinHash fallback when it isn't.
+    """
+    import shutil
+    import subprocess
+    import tempfile
+    from pathlib import Path
+
+    binpath = shutil.which(mmseqs_bin) or (
+        mmseqs_bin if Path(mmseqs_bin).exists() else None)
+    if binpath is None:
+        raise FileNotFoundError(
+            f"mmseqs binary {mmseqs_bin!r} not found; install mmseqs2 or "
+            f"drop --mmseqs-bin to use the in-repo MinHash dereplication")
+    with tempfile.TemporaryDirectory() as td:
+        td = Path(td)
+        fa = td / "frags.fasta"
+        with fa.open("w") as fh:
+            for i, (_lab, frag) in enumerate(frags):
+                fh.write(f">f{i}\n{frag}\n")
+        subprocess.run(
+            [binpath, "easy-cluster", str(fa), str(td / "clu"),
+             str(td / "tmp"), "--min-seq-id", str(maxiden),
+             "-c", str(maxcov)],
+            check=True, capture_output=True, text=True)
+        reps = set()
+        rep_fa = td / "clu_rep_seq.fasta"
+        for line in rep_fa.read_text().splitlines():
+            if line.startswith(">"):
+                reps.add(int(line[2:].split()[0]))
+    return [f for i, f in enumerate(frags) if i in reps]
+
+
 def dataset_core(input: str, out_prefix: str, frag_len: int = 2048,
                  overlap: int = 1024, trainperc: float = 0.8,
                  valperc: float = 0.1, testperc: float = 0.1,
@@ -360,6 +399,8 @@ def dataset_core(input: str, out_prefix: str, frag_len: int = 2048,
                  seq_col: int | None = None,
                  class_col: int | None = None,
                  method: str = "ANI",
+                 mmseqs_bin: str | None = None,
+                 maxcov: float = 0.6,
                  outtype: str = "CSV") -> dict:
     """Build a train/val/test fragment dataset from genomes.
 
@@ -368,15 +409,22 @@ def dataset_core(input: str, out_prefix: str, frag_len: int = 2048,
     binary, and splits. ``dedupe='minhash'`` (default) clusters with
     canonical-k-mer MinHash sketches at ``dedupe_threshold`` estimated
     Jaccard — the in-repo equivalent of mmseqs2 identity clustering
-    (dataops/dedupe.py), no external binary. ``'exact'`` keeps the
-    cheap endpoint-signature dedupe; ``False`` disables. CSV input uses
-    ``seq_col``/``class_col`` (per-row labels override ``label``).
+    (dataops/dedupe.py), no external binary; fidelity vs exact-identity
+    clustering is quantified in docs/fidelity.md. ``mmseqs_bin`` routes
+    dereplication through a real mmseqs2 binary instead (the
+    reference's exact semantics, with separate identity/coverage
+    knobs). ``'exact'`` keeps the cheap endpoint-signature dedupe;
+    ``False`` disables. CSV input uses ``seq_col``/``class_col``
+    (per-row labels override ``label``).
     """
     rng = random.Random(seed)
     frags: list[tuple[int, str]] = []
     seen: set[int] = set()
     deduper = None
-    if dedupe == "minhash" or dedupe is True:
+    if mmseqs_bin:
+        deduper = None          # collect everything, cluster below
+        dedupe = "mmseqs"
+    elif dedupe == "minhash" or dedupe is True:
         from jaeger_tpu.dataops.dedupe import MinHashDeduper
 
         deduper = MinHashDeduper(threshold=dedupe_threshold,
@@ -399,6 +447,8 @@ def dataset_core(input: str, out_prefix: str, frag_len: int = 2048,
                     continue
                 seen.add(sig)
             frags.append((rec_label, frag))
+    if mmseqs_bin:
+        frags = _mmseqs_dedupe(frags, mmseqs_bin, dedupe_threshold, maxcov)
     rng.shuffle(frags)
     n = len(frags)
     n_train = int(n * trainperc)

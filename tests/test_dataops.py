@@ -434,3 +434,56 @@ class TestMinHashDedupe:
             overlap=0, dedupe=False,
         )
         assert sum(nodedup.values()) == 2 * total
+
+
+def test_dataset_core_mmseqs_passthrough(tmp_path, rng):
+    """--mmseqs-bin routes dereplication through a real mmseqs2
+    `easy-cluster` invocation (reference commands/utils.py:170
+    semantics). Pinned against a recorded-behavior fake binary that
+    checks the argument contract and emits the rep_seq.fasta format;
+    a missing binary raises with a pointer to the MinHash fallback."""
+    import stat
+
+    from jaeger_tpu.commands.utils import dataset_core
+
+    fa = tmp_path / "g.fasta"
+    seq = "".join(rng.choice(list("ATGC"), size=4000))
+    fa.write_text(f">g1\n{seq}\n")
+
+    # fake mmseqs: assert easy-cluster args, keep every 2nd fragment
+    fake = tmp_path / "mmseqs"
+    fake.write_text("""#!/bin/bash
+set -e
+[ "$1" = easy-cluster ] || { echo "bad subcommand $1" >&2; exit 2; }
+in="$2"; prefix="$3"
+[ "$5" = --min-seq-id ] || { echo "bad args: $@" >&2; exit 2; }
+[ "$6" = 0.35 ] || { echo "bad min-seq-id $6" >&2; exit 2; }
+[ "$7" = -c ] || exit 2
+[ "$8" = 0.7 ] || { echo "bad cov $8" >&2; exit 2; }
+n=0
+> "${prefix}_rep_seq.fasta"
+while read -r line; do
+  case "$line" in
+    ">"*) h="$line"; keep=$(( (n % 2) == 0 )); n=$((n+1));;
+    *) if [ "$keep" = 1 ]; then printf '%s\\n%s\\n' "$h" "$line" \
+         >> "${prefix}_rep_seq.fasta"; fi;;
+  esac
+done < "$in"
+""")
+    fake.chmod(fake.stat().st_mode | stat.S_IEXEC)
+
+    counts = dataset_core(str(fa), str(tmp_path / "ds"), frag_len=1000,
+                          overlap=500, label=1, seed=1,
+                          mmseqs_bin=str(fake), dedupe_threshold=0.35,
+                          maxcov=0.7)
+    no_dedupe = dataset_core(str(fa), str(tmp_path / "ds0"),
+                             frag_len=1000, overlap=500, label=1, seed=1,
+                             dedupe=False)
+    # the fake keeps every 2nd fragment
+    assert sum(counts.values()) == (sum(no_dedupe.values()) + 1) // 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="MinHash"):
+        dataset_core(str(fa), str(tmp_path / "ds1"), frag_len=1000,
+                     overlap=500, label=1, mmseqs_bin="/nonexistent/mmseqs")
