@@ -177,6 +177,10 @@ MODES = {
     "prophage": {"prophage": True},
     "refine": {"refine": True},
     "crf": {"crf": True},
+    # `predict --int8 auto` (round-5 verdict item 9): int8 MXU program
+    # on full-length unambiguous windows only, float on short/masked —
+    # ours-only (the reference has no int8 serving mode on CPU TF)
+    "int8_auto": {"int8_auto": True, "ours_only": True},
 }
 
 
@@ -225,6 +229,14 @@ def run_ours(bundle: Path, fasta: Path, out: Path,
         kw.update(refine=True)
     if m.get("crf"):
         kw.update(crf_switch_cost=3.0)
+    if m.get("int8_auto"):
+        from jaeger_tpu.models.conversion import quantize_bundle
+
+        qdir = bundle.parent / (bundle.name + "_int8")
+        if not (qdir / "params_int8.msgpack").exists():
+            quantize_bundle(bundle, qdir, mode="full_int8")
+        kw.update(int8_auto_path=str(qdir))
+        precision = "bfloat16"  # int8 exec needs the bf16 program
     t0 = time.perf_counter()
     run_core(
         input_path=str(fasta), output_dir=str(out),
@@ -464,7 +476,7 @@ def main() -> None:
                 info["contigs"] / min(walls), 2)
             print(f"[ours/{mode}] {min(walls):.1f}s "
                   f"(walls {['%.1f' % t for t in walls]})", flush=True)
-            if not args.skip_ref:
+            if not args.skip_ref and not MODES[mode].get("ours_only"):
                 try:
                     rwalls = [run_reference(model_dir, fasta,
                                             work / f"ref_{mode}",
