@@ -234,7 +234,13 @@ def main() -> None:
             "A/B pair differs only in the gradient pmean; isolated "
             "all-reduce is an upper bound (includes dispatch). The ICI "
             "claim (0.05-0.17 ms on a 167.7 ms chip step) scales the "
-            "same ring model with published v5e link bandwidth."),
+            "same ring model with published v5e link bandwidth. "
+            "Round-5 finding: the pure-bandwidth model UNDER-predicts "
+            "the measured collective (fixed dispatch/sync overhead "
+            "dominates at MB payloads), so bandwidth terms are floors; "
+            "the efficiency claim survives because the step is long, "
+            "not because the bandwidth term is exact — see the "
+            "'conclusion' block in SCALING_EMP_r05.json."),
     }
     print(json.dumps(out, indent=1))
     Path(args.out).write_text(json.dumps(out, indent=1))
