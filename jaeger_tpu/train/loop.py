@@ -67,6 +67,13 @@ class StepConfig:
     # make_dispatching_train_step; chip-measured +28% on the flagship
     # train-mode forward (experiments/train_breakdown.py).
     assume_dense: bool = False
+    # bounded-mask cut spec (builder.mask_cut_plan): mask machinery only
+    # up to the cut — exact when the batch's invalid runs are short
+    # enough that the mask is provably all-true there (the dispatching
+    # step checks per batch, mirroring the inference engine). The
+    # forward is bitwise the full masked program's on qualifying inputs,
+    # so the gradients are the same function's gradients.
+    mask_layers: object = None
 
 
 def make_train_step(model, cfg: StepConfig) -> Callable:
@@ -95,7 +102,11 @@ def make_train_step(model, cfg: StepConfig) -> Callable:
             variables["batch_stats"] = batch_stats
         inputs = {k: v for k, v in batch.items() if k != "labels"}
         mutable = ["batch_stats"] if batch_stats else []
-        extra = {"assume_dense": True} if cfg.assume_dense else {}
+        extra = {}
+        if cfg.assume_dense:
+            extra["assume_dense"] = True
+        elif cfg.mask_layers is not None:
+            extra["mask_layers"] = cfg.mask_layers
         out, updates = model.apply(
             variables, inputs, train=True,
             rngs={"dropout": rng}, mutable=mutable,
@@ -199,33 +210,56 @@ def make_dispatching_train_step(model, cfg: StepConfig, mesh=None,
         raise ValueError("mesh and seq_mesh are mutually exclusive")
     crop_nt = getattr(model, "crop_nt", None)
     masking = getattr(model, "masking_enabled", True)
-    compiled: dict[bool, Callable] = {}
+    # bounded-mask tier (mirrors infer/engine._plan_batch): batches
+    # whose invalid runs are short enough run mask machinery only up to
+    # the provably-sufficient cut — bitwise the masked program's
+    # forward on qualifying inputs, so the same function's gradients
+    # (pinned by tests/test_train_dispatch.py)
+    try:
+        from jaeger_tpu.models.builder import mask_cut_plan
 
-    def _get(dense: bool):
-        fn = compiled.get(dense)
+        mcfg = getattr(model, "config", None) or {}
+        mask_plans = mask_cut_plan(
+            mcfg.get("representation_learner", {})) or []
+    except Exception:
+        mask_plans = []
+    compiled: dict = {}
+
+    def _get(dense: bool, mask_cut=None):
+        key = (dense, None if dense else mask_cut)
+        fn = compiled.get(key)
         if fn is None:
             from dataclasses import replace
 
-            step = make_train_step(model, replace(cfg, assume_dense=dense))
+            step = make_train_step(model, replace(
+                cfg, assume_dense=dense,
+                mask_layers=None if dense else mask_cut))
             fn = (shard_train_step(step, mesh) if mesh is not None
                   else jax.jit(step, donate_argnums=(0,)))
-            compiled[dense] = fn
+            compiled[key] = fn
         return fn
 
     def step_fn(state, batch, rng):
         dense = False
+        mask_cut = None
         if crop_nt is not None and "bases" in batch and "lengths" in batch:
-            dense = dense_window_batch(
-                np.asarray(batch["bases"]), np.asarray(batch["lengths"]),
-                crop_nt, masking,
-            )
+            b = np.asarray(batch["bases"])
+            ln = np.asarray(batch["lengths"])
+            dense = dense_window_batch(b, ln, crop_nt, masking)
+            if not dense and mask_plans:
+                from jaeger_tpu.ops.encode import bounded_mask_levels
+
+                levels = bounded_mask_levels(b, ln, crop_nt, masking,
+                                             mask_plans)
+                if (levels >= 0).all() and levels.size:
+                    mask_cut = mask_plans[int(levels.max())][0]
         if global_batcher is not None:
             batch = global_batcher.shard(batch)
             state = global_batcher.replicate(state)
             rng = global_batcher.replicate(rng)
         if seq_mesh is not None:
             with jax.set_mesh(seq_mesh):
-                return _get(dense)(state, batch, rng)
-        return _get(dense)(state, batch, rng)
+                return _get(dense, mask_cut)(state, batch, rng)
+        return _get(dense, mask_cut)(state, batch, rng)
 
     return step_fn

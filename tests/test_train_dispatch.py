@@ -233,3 +233,66 @@ def test_remat_exactness_hyena(rng):
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7),
         s1.params, s2.params)
+
+
+def test_bounded_step_equals_masked_step_on_qualifying_batch(built, rng):
+    """The bounded-mask train step (mask_layers=cut) equals the full
+    masked step on batches whose invalid runs qualify: same loss, same
+    updated params (the forwards are bitwise equal, so the gradients
+    are the same function's gradients)."""
+    from dataclasses import replace
+
+    from jaeger_tpu.models.builder import mask_cut_plan
+    from jaeger_tpu.ops.encode import bounded_mask_levels
+
+    model, variables, crop_nt = built
+    plans = mask_cut_plan(
+        {"model": _tiny_config()}["model"]["representation_learner"])
+    assert plans, "tiny config must yield cut plans"
+    batch = _batch(rng, crop_nt, with_n=True)  # short N run -> qualifies
+    levels = bounded_mask_levels(batch["bases"], batch["lengths"],
+                                 crop_nt, True, plans)
+    assert (levels >= 0).all()
+    cut = plans[int(levels.max())][0]
+    key = jax.random.PRNGKey(1)
+
+    cfg = StepConfig(heads=("prediction",))
+    s1, m1 = make_train_step(model, cfg)(_state(variables), batch, key)
+    s2, m2 = make_train_step(model, replace(cfg, mask_layers=cut))(
+        _state(variables), batch, key)
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7),
+        s1.params, s2.params)
+
+
+def test_dispatch_selects_bounded_tier(built, rng, monkeypatch):
+    """The dispatching step uses the bounded program for qualifying
+    masked batches, the full masked program for long-run batches."""
+    from jaeger_tpu.train import loop as L
+
+    model, variables, crop_nt = built
+    calls = []
+    real = L.make_train_step
+
+    def spy(m, cfg):
+        calls.append((cfg.assume_dense, cfg.mask_layers))
+        return real(m, cfg)
+
+    monkeypatch.setattr(L, "make_train_step", spy)
+    step = L.make_dispatching_train_step(model, StepConfig(
+        heads=("prediction",)))
+    key = jax.random.PRNGKey(2)
+
+    state = _state(variables)
+    state, _ = step(state, _batch(rng, crop_nt, with_n=True), key)
+    assert calls and calls[-1][0] is False and calls[-1][1] is not None
+
+    long_run = _batch(rng, crop_nt)
+    long_run["bases"][0, 2:29] = 4  # run longer than every bound
+    state, _ = step(state, long_run, key)
+    assert calls[-1] == (False, None)
+
+    state, _ = step(state, _batch(rng, crop_nt), key)
+    assert calls[-1][0] is True
