@@ -102,6 +102,11 @@ def main(verbose: int) -> None:
     if verbose >= 2:
         logging.getLogger().setLevel(logging.DEBUG)
     _honour_platform_env()
+    from jaeger_tpu.utils.devices import enable_persistent_compile_cache
+
+    cache = enable_persistent_compile_cache()
+    if cache:
+        logger.debug("persistent XLA compilation cache: %s", cache)
 
 
 @main.command()

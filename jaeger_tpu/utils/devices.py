@@ -33,6 +33,36 @@ def honour_platform_env() -> None:
             pass
 
 
+def enable_persistent_compile_cache(cache_dir: str | None = None) -> str | None:
+    """Persist XLA compilations across processes.
+
+    On TPU a fresh process pays a minutes-scale compile for each program
+    shape; the reference's TF stack amortizes this with SavedModels, and the
+    JAX-native equivalent is the persistent compilation cache. Enabled by
+    default for every CLI entry point; ``JAEGER_TPU_COMPILE_CACHE`` overrides
+    the location, and setting it to ``0``/``off``/empty disables it. Only
+    compiles slower than 1 s are persisted, so test/virtual-CPU programs do
+    not churn the cache. Returns the cache directory, or None when disabled
+    or unavailable (e.g. a PJRT backend without executable serialization —
+    jax then skips persistence on its own, so failure here is never fatal).
+    """
+    env = os.environ.get("JAEGER_TPU_COMPILE_CACHE")
+    if env is not None and env.strip().lower() in {"", "0", "off", "none", "false"}:
+        return None
+    path = cache_dir or env or os.path.join(
+        os.path.expanduser("~"), ".cache", "jaeger_tpu", "xla"
+    )
+    try:
+        import jax
+
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        return None
+    return path
+
+
 def device_summary() -> dict:
     import jax
 
