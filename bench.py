@@ -103,7 +103,14 @@ def main() -> None:
                 # tests/test_mask_bounded.py); "masked_full" keeps the
                 # plain full masked program (the engine's bucket /
                 # long-run fallback).
-                start = jax.random.randint(k2, (bsz, 1), 0,
+                # interior placement (start >= 16): a run touching the
+                # window edge exceeds cut A's edge bound (plans[0][2]=6
+                # codons) and the engine would route to cut B instead;
+                # every start in [16, crop-64) qualifies for cut A
+                # (pinned by tests/test_mask_bounded.py::
+                # test_bench_masked_distribution_qualifies_cut_a), so
+                # the measured program IS the engine-selected one.
+                start = jax.random.randint(k2, (bsz, 1), 16,
                                            crop_nt - 64, jnp.int32)
                 pos = jnp.arange(crop_nt)[None, :]
                 in_run = (pos >= start) & (pos < start + 48)

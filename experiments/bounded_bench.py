@@ -27,9 +27,9 @@ def main() -> None:
     from jaeger_tpu.models.flagship import flagship_config
 
     cfg = flagship_config()
-    plan = mask_cut_plan(cfg["model"]["representation_learner"])
-    print("mask_cut_plan:", plan, flush=True)
-    cut, max_run = plan
+    plans = mask_cut_plan(cfg["model"]["representation_learner"])
+    print("mask_cut_plan:", plans, flush=True)
+    cut = plans[0][0]  # tier A: (cut, interior_bound, edge_bound)
     builder = ModelBuilder(cfg, dtype=jnp.bfloat16)
     model, variables = builder.init(batch=1)
     _, crop_nt = builder.crop
@@ -41,8 +41,11 @@ def main() -> None:
             bases = jax.random.randint(
                 k1, (BS, crop_nt), 0, 4, dtype=jnp.int32).astype(jnp.uint8)
             if mode != "dense":
-                # 48-base N run (16 codons <= max_run 24: qualifies)
-                start = jax.random.randint(k2, (BS, 1), 0,
+                # interior 48-base N run (16 codons <= tier-A interior
+                # bound 18; start >= 16 keeps it off the window edge,
+                # whose tier-A bound is only 6 codons — same placement
+                # contract as bench.py's masked row)
+                start = jax.random.randint(k2, (BS, 1), 16,
                                            crop_nt - 64, jnp.int32)
                 pos = jnp.arange(crop_nt)[None, :]
                 bases = jnp.where((pos >= start) & (pos < start + 48),

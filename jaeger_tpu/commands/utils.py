@@ -9,10 +9,13 @@ Parity targets: reference ``commands/utils.py`` — ``mask_core`` (:19),
 from __future__ import annotations
 
 import csv
+import logging
 import random
 from pathlib import Path
 
 import numpy as np
+
+logger = logging.getLogger("jaeger_tpu")
 
 from jaeger_tpu.seqops.fasta import read_fasta, write_fasta_entry
 
@@ -371,17 +374,23 @@ def _mmseqs_dedupe(frags: list, mmseqs_bin: str, maxiden: float,
         raise FileNotFoundError(
             f"mmseqs binary {mmseqs_bin!r} not found; install mmseqs2 or "
             f"drop --mmseqs-bin to use the in-repo MinHash dereplication")
+    if not frags:
+        return []
     with tempfile.TemporaryDirectory() as td:
         td = Path(td)
         fa = td / "frags.fasta"
         with fa.open("w") as fh:
             for i, (_lab, frag) in enumerate(frags):
                 fh.write(f">f{i}\n{frag}\n")
-        subprocess.run(
+        proc = subprocess.run(
             [binpath, "easy-cluster", str(fa), str(td / "clu"),
              str(td / "tmp"), "--min-seq-id", str(maxiden),
              "-c", str(maxcov)],
-            check=True, capture_output=True, text=True)
+            capture_output=True, text=True)
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"mmseqs easy-cluster failed (exit {proc.returncode}): "
+                f"{(proc.stderr or proc.stdout).strip()[-2000:]}")
         reps = set()
         rep_fa = td / "clu_rep_seq.fasta"
         for line in rep_fa.read_text().splitlines():
@@ -421,9 +430,13 @@ def dataset_core(input: str, out_prefix: str, frag_len: int = 2048,
     frags: list[tuple[int, str]] = []
     seen: set[int] = set()
     deduper = None
-    if mmseqs_bin:
+    if mmseqs_bin and dedupe is not False and dedupe != "none":
         deduper = None          # collect everything, cluster below
         dedupe = "mmseqs"
+    elif mmseqs_bin:
+        logger.warning(
+            "--mmseqs-bin given but dereplication is disabled "
+            "(--dedupe none); skipping mmseqs clustering")
     elif dedupe == "minhash" or dedupe is True:
         from jaeger_tpu.dataops.dedupe import MinHashDeduper
 
@@ -447,7 +460,7 @@ def dataset_core(input: str, out_prefix: str, frag_len: int = 2048,
                     continue
                 seen.add(sig)
             frags.append((rec_label, frag))
-    if mmseqs_bin:
+    if dedupe == "mmseqs":
         frags = _mmseqs_dedupe(frags, mmseqs_bin, dedupe_threshold, maxcov)
     rng.shuffle(frags)
     n = len(frags)

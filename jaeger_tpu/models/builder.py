@@ -166,29 +166,6 @@ _MASK_CUT_SAFE_POOLERS = frozenset((
 ))
 
 
-def _conv_run_shrink(cfg: dict, default_padding: str) -> int | None:
-    """Worst-case shrink of ONE invalid run by an any-mode masked conv
-    (minimum over interior/edge placements); None = unsupported.
-
-    SAME padding erodes a run by span/2 per side — an edge run still
-    loses span/2 from its valid side. VALID padding erodes span-1 from
-    the right only, so a right-edge run (padded window tails) can lose
-    0 — its contribution to the conservative bound is 0.
-    """
-    if not cfg.get("use_masking", True):
-        return 0
-    if cfg.get("mask_mode", "any") != "any":
-        return None
-    if cfg.get("strides", 1) != 1:
-        return None
-    pad = str(cfg.get("padding", default_padding)).lower()
-    if pad not in ("same", "valid"):
-        return None
-    k = int(cfg.get("kernel_size", 3))
-    d = int(cfg.get("dilation_rate", 1))
-    return (d * (k - 1)) // 2 if pad == "same" else 0
-
-
 def _conv_shrinks(cfg: dict, default_padding: str) -> tuple[int, int] | None:
     """(interior_shrink, edge_shrink) of one any-mode masked conv, or
     None when unsupported.

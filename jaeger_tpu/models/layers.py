@@ -22,6 +22,7 @@ the reference's 4-D fragment tensors.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Sequence
 
 import jax
@@ -1381,8 +1382,8 @@ def _causal_block_toeplitz_convolve(
     return y.reshape(b, d, lp)[..., :L]
 
 
-def _causal_chunked_scan_convolve(
-    u32: jnp.ndarray, h32: jnp.ndarray, chunk: int = _BLOCK_CONV_CHUNK
+def _scan_conv_forward(
+    u32: jnp.ndarray, h32: jnp.ndarray, chunk: int
 ) -> jnp.ndarray:
     """Single-chip chunked overlap-save causal convolution for long L.
 
@@ -1428,6 +1429,89 @@ def _causal_chunked_scan_convolve(
     acc0 = jnp.zeros((b, d, n, chunk), jnp.float32)
     (acc, _), _ = jax.lax.scan(step, (acc0, ub), jnp.arange(n))
     return acc.reshape(b, d, lp)[..., :L]
+
+
+def _scan_conv_hgrad(
+    u32: jnp.ndarray, g32: jnp.ndarray, chunk: int
+) -> jnp.ndarray:
+    """Filter cotangent of the chunked-scan causal conv:
+    ``dh[d, tau] = sum_{b, t>=tau} g[b, d, t] * u[b, d, t-tau]`` — the
+    causal correlation of the output cotangent with the input, batch-
+    reduced. Same scan-over-block-delta structure as the forward: per
+    step one MXU einsum forms the cross-block Gram matrix and its
+    diagonal sums land in the lag band ``delta*chunk + (t - s)``.
+    """
+    b, d, L = u32.shape
+    n = -(-L // chunk)
+    lp = n * chunk
+    up = jnp.pad(u32, ((0, 0), (0, 0), (0, lp - L))).reshape(b, d, n, chunk)
+    gp = jnp.pad(g32, ((0, 0), (0, 0), (0, lp - L))).reshape(b, d, n, chunk)
+    # lag id of (t, s) within a block pair: t - s + chunk - 1 in [0, 2C-2]
+    ids = (
+        jnp.arange(chunk)[:, None] - jnp.arange(chunk)[None, :] + chunk - 1
+    ).reshape(-1)
+
+    def step(carry, delta):
+        buf, u_shift = carry
+        gram = jnp.einsum("bdjt,bdjs->dts", gp, u_shift)     # (D, C, C)
+        band = jax.ops.segment_sum(
+            gram.reshape(d, -1).T, ids, num_segments=2 * chunk - 1
+        ).T                                                   # (D, 2C-1)
+        seg = jax.lax.dynamic_slice_in_dim(
+            buf, delta * chunk, 2 * chunk - 1, axis=1)
+        buf = jax.lax.dynamic_update_slice_in_dim(
+            buf, seg + band, delta * chunk, axis=1)
+        u_shift = jnp.concatenate(
+            [jnp.zeros_like(u_shift[:, :, :1]), u_shift[:, :, :-1]], axis=2)
+        return (buf, u_shift), None
+
+    buf0 = jnp.zeros((d, lp + 2 * chunk - 1), jnp.float32)
+    (buf, _), _ = jax.lax.scan(step, (buf0, up), jnp.arange(n))
+    # buffer position delta*C + band_idx holds lag delta*C + band_idx-(C-1)
+    return buf[:, chunk - 1 : chunk - 1 + L]
+
+
+@functools.lru_cache(maxsize=None)
+def _scan_conv_with_vjp(chunk: int):
+    """Chunked-scan conv wrapped in a custom VJP.
+
+    Without this, reverse-mode through the forward ``lax.scan`` saves its
+    full-input-size carries at every one of the L/chunk steps —
+    O(b*d*L^2/chunk) residuals, which OOMs exactly the long-context
+    training regime the scan tier exists for. The op is bilinear, so both
+    cotangents are themselves chunked scans: du is the anticausal
+    correlation with h (a flipped forward pass), dh the batch-reduced
+    causal correlation of g with u (``_scan_conv_hgrad``). Residuals are
+    just (u, h): O(b*d*L).
+    """
+
+    @jax.custom_vjp
+    def f(u32, h32):
+        return _scan_conv_forward(u32, h32, chunk)
+
+    def fwd(u32, h32):
+        return _scan_conv_forward(u32, h32, chunk), (u32, h32)
+
+    def bwd(res, g):
+        u32, h32 = res
+        g32 = g.astype(jnp.float32)
+        du = jnp.flip(
+            _scan_conv_forward(jnp.flip(g32, -1), h32, chunk), -1)
+        dh = _scan_conv_hgrad(u32, g32, chunk)
+        return du, dh
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def _causal_chunked_scan_convolve(
+    u32: jnp.ndarray, h32: jnp.ndarray, chunk: int = _BLOCK_CONV_CHUNK
+) -> jnp.ndarray:
+    """Dispatch entry for the chunked-scan causal conv (see
+    ``_scan_conv_forward`` for the decomposition and
+    ``_scan_conv_with_vjp`` for why training-mode memory needs the
+    custom VJP)."""
+    return _scan_conv_with_vjp(int(chunk))(u32, h32)
 
 
 def causal_fft_convolve(u: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:

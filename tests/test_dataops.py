@@ -487,3 +487,45 @@ done < "$in"
     with _pytest.raises(FileNotFoundError, match="MinHash"):
         dataset_core(str(fa), str(tmp_path / "ds1"), frag_len=1000,
                      overlap=500, label=1, mmseqs_bin="/nonexistent/mmseqs")
+
+
+def test_dataset_core_dedupe_none_wins_over_mmseqs_bin(tmp_path, rng):
+    """An explicit --dedupe none disables dereplication even when
+    --mmseqs-bin is also given (the binary flag must not silently
+    shrink a dataset the user asked to keep whole)."""
+    from jaeger_tpu.commands.utils import dataset_core
+
+    fa = tmp_path / "g.fasta"
+    seq = "".join(rng.choice(list("ATGC"), size=4000))
+    fa.write_text(f">g1\n{seq}\n")
+
+    # a binary that would fail loudly if ever invoked
+    fake = tmp_path / "mmseqs"
+    fake.write_text("#!/bin/bash\nexit 9\n")
+    fake.chmod(0o755)
+
+    kept = dataset_core(str(fa), str(tmp_path / "ds"), frag_len=1000,
+                        overlap=500, label=1, seed=1, dedupe=False,
+                        mmseqs_bin=str(fake))
+    baseline = dataset_core(str(fa), str(tmp_path / "ds0"), frag_len=1000,
+                            overlap=500, label=1, seed=1, dedupe=False)
+    assert sum(kept.values()) == sum(baseline.values())
+
+
+def test_mmseqs_failure_surfaces_stderr(tmp_path, rng):
+    """A failing mmseqs binary raises with its stderr in the message,
+    not a bare CalledProcessError."""
+    import pytest as _pytest
+
+    from jaeger_tpu.commands.utils import dataset_core
+
+    fa = tmp_path / "g.fasta"
+    seq = "".join(rng.choice(list("ATGC"), size=4000))
+    fa.write_text(f">g1\n{seq}\n")
+    fake = tmp_path / "mmseqs"
+    fake.write_text("#!/bin/bash\necho 'tmpdir exploded' >&2\nexit 3\n")
+    fake.chmod(0o755)
+
+    with _pytest.raises(RuntimeError, match="tmpdir exploded"):
+        dataset_core(str(fa), str(tmp_path / "ds"), frag_len=1000,
+                     overlap=500, label=1, seed=1, mmseqs_bin=str(fake))

@@ -450,3 +450,40 @@ def test_engine_reduced_bounded_matches_masked():
             np.testing.assert_allclose(
                 np.asarray(stats[cid][k]), np.asarray(stats_ref[cid][k]),
                 rtol=1e-5, atol=1e-6, err_msg=f"{cid}/{k}")
+
+
+def test_bench_masked_distribution_qualifies_cut_a():
+    """bench.py's masked row claims to measure the engine-selected
+    bounded program at tier A; that is only true if EVERY input its
+    generator can draw qualifies for tier A. Pins the placement
+    contract: a 48-base interior N run starting anywhere in
+    [16, crop-64) is classified level 0 by bounded_mask_levels under
+    the flagship plan (an edge-touching run would exceed tier A's
+    edge bound and route to tier B)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jaeger_tpu.models.builder import ModelBuilder, mask_cut_plan
+    from jaeger_tpu.models.flagship import flagship_config
+    from jaeger_tpu.ops.encode import bounded_mask_levels
+
+    cfg = flagship_config()
+    plans = mask_cut_plan(cfg["model"]["representation_learner"])
+    b = ModelBuilder(cfg, dtype=jnp.bfloat16)
+    _, crop_nt = b.crop
+
+    rng = np.random.default_rng(0)
+    starts = np.arange(16, crop_nt - 64)  # the generator's full support
+    bases = rng.integers(0, 4, size=(starts.size, crop_nt)).astype(np.uint8)
+    for i, s in enumerate(starts):
+        bases[i, s : s + 48] = 4
+    lengths = np.full(starts.size, crop_nt, np.int64)
+    levels = bounded_mask_levels(bases, lengths, crop_nt, True, plans)
+    assert (levels == 0).all(), np.unique(levels)
+
+    # and the old edge placements really do disqualify tier A (the bug
+    # this contract fixes): a run at start 0 must not be level 0
+    edge = rng.integers(0, 4, size=(1, crop_nt)).astype(np.uint8)
+    edge[0, :48] = 4
+    lv = bounded_mask_levels(edge, lengths[:1], crop_nt, True, plans)
+    assert lv[0] != 0

@@ -245,3 +245,75 @@ def test_native_gc_skew_python_round_parity():
         wins, meta = native.contig_rows_native(
             seq, starts, len(seq), len(seq), dustmask=False)
         assert meta[0, 10] == W._gc_skew(g, c), (g, c)
+
+
+def _synth_fasta(path, rng, n_contigs=60, gz=False):
+    """Mixed-regime FASTA: random DNA, tandem repeats (DUST fires),
+    N runs, soft-masked stretches, sub-min contigs, and a couple of
+    long contigs that trip dynamic stride."""
+    import gzip
+
+    alphabet = list("ATGCatgcN")
+    probs = [.22, .22, .22, .22, .02, .02, .02, .02, .04]
+    opener = gzip.open if gz else open
+    with opener(path, "wt") as fh:
+        for i in range(n_contigs):
+            if i % 13 == 5:
+                n = int(rng.integers(40, 400))      # below min_len
+            elif i % 17 == 3:
+                n = int(rng.integers(30_000, 60_000))  # dynamic-stride range
+            else:
+                n = int(rng.integers(600, 9_000))
+            seq = "".join(rng.choice(alphabet, p=probs, size=n))
+            if i % 3 == 0:
+                seq = seq[:64] + "ACACACACAC" * 20 + seq[64:]
+            if i % 4 == 1:
+                seq = seq[:100] + "N" * int(rng.integers(10, 120)) + seq[100:]
+            fh.write(f">contig_{i} desc {i}\n")
+            for j in range(0, len(seq), 80):
+                fh.write(seq[j : j + 80] + "\n")
+
+
+@pytest.mark.parametrize(
+    "dyn,workers,max_len,batch_cap,gz",
+    [
+        (False, 1, None, 512, False),
+        (False, 2, None, 512, False),
+        (False, 4, None, 257, False),   # odd capacity: batch-boundary splits
+        (True, 2, None, 512, False),
+        (True, 4, 20_000, 512, False),
+        (False, 2, 8_000, 512, True),   # gzip input
+    ],
+)
+def test_pipeline_matches_python(tmp_path, monkeypatch, dyn, workers,
+                                 max_len, batch_cap, gz):
+    """The all-native window pipeline (jt_pipeline_*: reader thread +
+    worker pool + ordered batcher, the DEFAULT ingest path) streams
+    batches byte-identical to the pure-Python pipeline — every array
+    field, batch boundary, and header, across fixed/dynamic stride,
+    worker counts, max_len and gzip."""
+    from jaeger_tpu.seqops.windows import window_batches
+
+    rng = np.random.default_rng(11)
+    fa = tmp_path / ("p.fasta.gz" if gz else "p.fasta")
+    _synth_fasta(fa, rng, gz=gz)
+
+    def collect(native_on):
+        monkeypatch.setenv("JAEGER_TPU_NATIVE", "1" if native_on else "0")
+        out = []
+        for b in window_batches(str(fa), fragsize=2000, stride=2000,
+                                dynamic_stride=dyn, min_len=500,
+                                max_len=max_len, batch_capacity=batch_cap,
+                                workers=workers):
+            out.append(b)
+        return out
+
+    nat, py = collect(True), collect(False)
+    assert len(nat) == len(py)
+    fields = ["bases", "length", "contig", "start", "contig_end",
+              "ordinal", "seqlen", "g", "c", "a", "t", "gc_skew"]
+    for k, (b1, b2) in enumerate(zip(nat, py)):
+        for f in fields:
+            v1, v2 = getattr(b1, f), getattr(b2, f)
+            assert np.array_equal(v1, v2), (k, f)
+        assert b1.headers == b2.headers, k
