@@ -45,7 +45,6 @@ def main() -> None:
 
     cfg = flagship_config()
     from jaeger_tpu.models.builder import mask_cut_plan
-    from jaeger_tpu.ops.encode import bounded_mask_levels  # noqa: F401
 
     plans = mask_cut_plan(cfg["model"]["representation_learner"]) or []
     # the cut the engine's detector selects for 48-base (16-17 codon)

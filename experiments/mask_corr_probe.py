@@ -90,15 +90,15 @@ def main() -> None:
                       ((0, 0), (pad_l, pad_r)))
         for w, b in zip(params["kernels"], params["biases"]):
             y = conv(x, w)
-            if g is not None:
-                # correction: sum_j shift_j(inv) (x) (K_j^T g)
-                wg = jnp.einsum("kcf,c->kf", w.astype(jnp.float32),
-                                g.astype(jnp.float32)).astype(jnp.bfloat16)
-                corr = sum(
-                    jax.lax.slice_in_dim(inv, j * D, j * D + L, axis=1)
-                    [..., None] * wg[j]
-                    for j in range(K))
-                y = y - corr
+            # correction at EVERY conv (the first is a g=0 no-op multiply):
+            # sum_j shift_j(inv) (x) (K_j^T g)
+            wg = jnp.einsum("kcf,c->kf", w.astype(jnp.float32),
+                            g.astype(jnp.float32)).astype(jnp.bfloat16)
+            corr = sum(
+                jax.lax.slice_in_dim(inv, j * D, j * D + L, axis=1)
+                [..., None] * wg[j]
+                for j in range(K))
+            y = y - corr
             y = y + b
             # next layer's garbage: trace the constant through the chain
             g = dyt_gelu(jnp.zeros((C,), jnp.bfloat16) + b)

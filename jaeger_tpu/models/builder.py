@@ -378,20 +378,33 @@ class LayerStack(nn.Module):
                     use_masking=cfg.get("use_masking", True),
                 )(x, mask, train)
             elif name in ("masked_batchnorm", "batchnorm"):
+                bn_masking = cfg.get("use_masking", name == "masked_batchnorm")
                 bn = L.MaskedBatchNorm(
                     name=lname, dtype=self.dtype,
                     return_nmd=cfg.get("return_nmd", False),
-                    use_masking=cfg.get("use_masking", name == "masked_batchnorm"),
+                    use_masking=bn_masking,
                     momentum=cfg.get("momentum", 0.9),
                     epsilon=cfg.get("epsilon", 1e-5),
                 )
-                out = bn(x, mask, train)
+                bn_mask = mask
+                if (post_cut and mask is None and bn_masking
+                        and (train or cfg.get("return_nmd", False))):
+                    # bounded program: BN batch statistics (and NMD
+                    # per-example means) keep the eps-carrying
+                    # masked-stats graph under a barrier'd all-true
+                    # mask — bitwise the masked program's at a cleared
+                    # mask (same mechanism as the NMD taps below)
+                    bn_mask = jax.lax.optimization_barrier(
+                        jnp.ones(x.shape[:-1], bool))
+                out = bn(x, bn_mask, train)
                 if cfg.get("return_nmd", False):
-                    x, mask, nmd = out
+                    x, bn_mask_out, nmd = out
                     if taps:
                         nmds.append(nmd)
                 else:
-                    x, mask = out
+                    x, bn_mask_out = out
+                if bn_mask is mask:
+                    mask = bn_mask_out  # stats mask must not leak
             elif name in ("masked_layernorm", "layernorm"):
                 norm_cls = (
                     L.MaskedLayerNorm if name == "masked_layernorm" else L.LayerNorm
@@ -424,6 +437,11 @@ class LayerStack(nn.Module):
                     defer_internal_mask=self.defer_remask,
                     input_remasked=zeroed,
                     drop_mask_after_first_conv1=(i == inner_at),
+                    # bounded program: stacks at/after the cut run with
+                    # mask None, but their masked_batchnorm norms must
+                    # keep the masked TRAIN-statistics graph (barrier'd
+                    # all-true mask) to stay bitwise the masked program
+                    bn_stats_all_true=post_cut,
                     **_sub(cfg, _RES_KEYS),
                 )
                 out = rb(x, mask, train)

@@ -733,6 +733,20 @@ class ResidualBlock(nn.Module):
     # pre-zero are the program's only remaining activation-size mask
     # ops. Exactness pinned by tests/test_mask_bounded.py.
     drop_mask_after_conv1: bool = False
+    # bounded-mask program, masked_batchnorm norms: train-mode BATCH
+    # statistics are the one place an all-true mask is NOT a structural
+    # no-op (the masked path divides by sum(mask)+eps and uses the
+    # two-pass variance; the dense path divides by exact n and uses
+    # E[x^2]-mean^2). When set, norms whose mask was dropped compute
+    # their statistics under an optimization-barrier'd all-true mask —
+    # the same graph (and therefore the same fused-reduce rounding) as
+    # the full masked program at a cleared mask, so moving batch_stats
+    # cannot drift with the engine/train-loop's per-batch program
+    # choice. Same mechanism as the post-cut NMD taps in
+    # builder.LayerStack; the barrier stops XLA folding the constant
+    # mask (a folded mask changes reduce fusion by 1 ulp, caught on
+    # CPU). Eval-mode norms read moving stats and need nothing.
+    bn_stats_all_true: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -759,19 +773,38 @@ class ResidualBlock(nn.Module):
         )
         x_in = apply_mask(x, mask) if deferring else x
 
+        # see bn_stats_all_true: a mask-dropped masked_batchnorm computing
+        # TRAIN statistics (or NMD per-example means) must keep the
+        # masked-stats graph under a barrier'd all-true mask to stay
+        # bitwise the full masked program's
+        bn_barrier = (
+            self.bn_stats_all_true and self.use_masking
+            and (train or self.return_nmd)
+            and self.norm_type == "masked_batchnorm"
+        )
+
+        def _stats_mask(m, t):
+            if m is None and bn_barrier:
+                return jax.lax.optimization_barrier(
+                    jnp.ones(t.shape[:-1], bool))
+            return m
+
         h, m1 = MaskedConv1D(strides=self.strides, name="conv1",
                              skip_input_mask=deferring, **conv_kw)(
             x_in, mask, train
         )
         if self.drop_mask_after_conv1:
             m1 = None  # provably all-true (bounded program cut A)
-        h, m1 = _norm2(
+        sm1 = _stats_mask(m1, h)
+        h, m1r = _norm2(
             _make_norm(self.norm_type, "norm1", use_masking=self.use_masking,
                        alpha_init=self.alpha_init,
                        defer_mask=self.defer_internal_mask and self.use_masking,
                        dtype=self.dtype),
-            h, m1, train,
+            h, sm1, train,
         )
+        if sm1 is m1:
+            m1 = m1r  # normal path: propagate the norm's mask
         h = act(h)
 
         h, m2 = MaskedConv1D(strides=1, name="conv2", **conv_kw)(h, m1, train)
@@ -781,10 +814,13 @@ class ResidualBlock(nn.Module):
             defer_mask=self.defer_output_mask, dtype=self.dtype,
         )
         nmd = None
+        sm2 = _stats_mask(m2, h)
         if self.return_nmd:
-            h, m2, nmd = norm2(h, m2, train)
+            h, m2r, nmd = norm2(h, sm2, train)
         else:
-            h, m2 = _norm2(norm2, h, m2, train)
+            h, m2r = _norm2(norm2, h, sm2, train)
+        if sm2 is m2:
+            m2 = m2r  # normal path: propagate the norm's mask
 
         if self.use_1x1conv or self.strides > 1:
             sc_kw = dict(conv_kw)
@@ -798,7 +834,7 @@ class ResidualBlock(nn.Module):
                            alpha_init=self.alpha_init,
                            defer_mask=self.defer_output_mask,
                            dtype=self.dtype),
-                shortcut, m2, train,
+                shortcut, _stats_mask(m2, shortcut), train,
             )
         else:
             # the shared pre-zeroed tensor (see above); plain x when not
@@ -850,6 +886,11 @@ class ResidualBlockStack(nn.Module):
     # (see ResidualBlock.drop_mask_after_conv1); later sub-blocks then
     # run dense since the mask is None
     drop_mask_after_first_conv1: bool = False
+    # bounded-mask program: this stack sits at/after the cut, so any
+    # masked_batchnorm sub-norm running without a mask must compute its
+    # train-mode statistics under a barrier'd all-true mask (see
+    # ResidualBlock.bn_stats_all_true)
+    bn_stats_all_true: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -886,6 +927,11 @@ class ResidualBlockStack(nn.Module):
                 input_remasked=remasked,
                 drop_mask_after_conv1=(
                     self.drop_mask_after_first_conv1 and i == 0),
+                # cut A drops the mask inside block 0, so every block's
+                # BN norms from there on run mask-less
+                bn_stats_all_true=(
+                    self.bn_stats_all_true
+                    or self.drop_mask_after_first_conv1),
                 dtype=self.dtype,
                 name=f"block_{i}",
             )

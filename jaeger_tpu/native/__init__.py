@@ -80,6 +80,8 @@ def _load() -> ctypes.CDLL | None:
         ctypes.POINTER(ctypes.c_char_p),
     ]
     lib.jt_close_fasta.argtypes = [ctypes.c_void_p]
+    lib.jt_fasta_error.restype = ctypes.c_char_p
+    lib.jt_fasta_error.argtypes = [ctypes.c_void_p]
     lib.jt_encode_ascii.argtypes = [
         ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p,
     ]
@@ -129,6 +131,8 @@ def _load() -> ctypes.CDLL | None:
     lib.jt_pipeline_drain_headers.argtypes = [
         ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_long),
     ]
+    lib.jt_pipeline_error.restype = ctypes.c_char_p
+    lib.jt_pipeline_error.argtypes = [ctypes.c_void_p]
     lib.jt_pipeline_close.argtypes = [ctypes.c_void_p]
     lib.jt_smith_waterman.restype = ctypes.c_long
     lib.jt_smith_waterman.argtypes = [
@@ -160,6 +164,14 @@ def read_fasta_native(path: str):
             n = lib.jt_next_contig(handle, ctypes.byref(header),
                                    ctypes.byref(seq))
             if n < 0:
+                # -1 is both clean EOF and read error (truncated/corrupt
+                # gzip) — distinguish, or a partial read looks complete
+                err = lib.jt_fasta_error(handle)
+                if err:
+                    msg = err.decode()
+                    if str(path) not in msg:
+                        msg = f"{msg} in {path}"
+                    raise OSError(msg)
                 break
             yield header.value.decode("ascii"), seq.value.decode("ascii")
     finally:
@@ -310,7 +322,9 @@ def window_pipeline_native(path: str, fragsize: int, stride: int | None,
                 handle, bases.ctypes.data_as(ctypes.c_char_p),
                 meta.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
             if n < 0:
-                raise OSError(f"cannot read {path}")
+                err = lib.jt_pipeline_error(handle)
+                raise OSError(err.decode() if err
+                              else f"cannot read {path}")
             count = ctypes.c_long()
             total = lib.jt_pipeline_header_bytes(handle,
                                                  ctypes.byref(count))

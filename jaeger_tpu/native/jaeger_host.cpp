@@ -11,7 +11,9 @@
 
 #include <algorithm>
 #include <atomic>
+#include <cerrno>
 #include <cfenv>
+#include <clocale>
 #include <cmath>
 #include <condition_variable>
 #include <cstdint>
@@ -38,6 +40,7 @@ struct JtFastaReader {
     std::string pending;   // next header line (without '>')
     std::string header;
     std::string seq;
+    std::string error;     // non-empty after a real read error (not EOF)
     char buf[1 << 16];
 };
 
@@ -49,11 +52,31 @@ void* jt_open_fasta(const char* path) {
     return r;
 }
 
+// "" when the stream ended cleanly; a message when gzgets stopped on a
+// zlib/IO error (e.g. a TRUNCATED OR CORRUPT .gz, which gzgets reports
+// identically to EOF). Callers that treat jt_next_contig's -1 as
+// end-of-stream must check this, or a partial read looks complete.
+const char* jt_fasta_error(void* handle) {
+    return static_cast<JtFastaReader*>(handle)->error.c_str();
+}
+
 static bool jt_getline(JtFastaReader* r, std::string& line) {
     line.clear();
     while (true) {
-        if (gzgets(r->fh, r->buf, sizeof(r->buf)) == nullptr)
-            return !line.empty();
+        if (gzgets(r->fh, r->buf, sizeof(r->buf)) == nullptr) {
+            int errnum = Z_OK;
+            const char* msg = gzerror(r->fh, &errnum);
+            if (errnum == Z_ERRNO) {
+                r->error = std::string("read error: ")
+                    + std::strerror(errno);
+            } else if (errnum != Z_OK && errnum != Z_STREAM_END) {
+                r->error = std::string("decompression error: ")
+                    + (msg ? msg : "unknown");
+            } else if (!gzeof(r->fh)) {
+                r->error = "read stopped before end of file";
+            }
+            return !line.empty() && r->error.empty();
+        }
         line += r->buf;
         if (!line.empty() && line.back() == '\n') {
             line.pop_back();
@@ -383,9 +406,19 @@ static double jt_gc_skew(long g, long c) {
     long den = g + c;
     if (den == 0) return 0.0;
     double v = (double)(g - c) / (double)den;
+    // Python round(v, 2) parity via correctly-rounded decimal text.
+    // snprintf/strtod honour LC_NUMERIC — an embedding process in a
+    // comma-decimal locale would print "0,33" and strtod would stop at
+    // the comma — so pin the C locale for this call (magic-static init
+    // is thread-safe; on newlocale failure uselocale(0) is a no-op and
+    // we keep the process locale, the pre-fix behaviour).
+    static locale_t c_loc = newlocale(LC_NUMERIC_MASK, "C", (locale_t)0);
+    locale_t prev = uselocale(c_loc);
     char buf[32];
     snprintf(buf, sizeof(buf), "%.2f", v);
-    return strtod(buf, nullptr);
+    double out = strtod(buf, nullptr);
+    if (prev != (locale_t)0) uselocale(prev);
+    return out;
 }
 
 // The whole per-contig window loop in ONE GIL-released call:
@@ -504,6 +537,7 @@ struct JtPipeline {
     long next_ord_consume = 0;             // batcher side
     bool reader_done = false, abort = false;
     std::string reader_error;
+    std::string err_copy;                  // stable buffer for the getter
 
     // batcher state (consumer side, no lock needed: single consumer)
     JtContigResult cur;                    // contig being drained
@@ -589,6 +623,7 @@ static void jt_reader_main(JtPipeline* p) {
         return;
     }
     const char* header; const char* seq;
+    bool aborted = false;
     while (true) {
         long n = jt_next_contig(fh, &header, &seq);
         if (n < 0) break;
@@ -610,15 +645,23 @@ static void jt_reader_main(JtPipeline* p) {
                     (long)(p->jobs.size() + p->done.size())
                         < 2 * p->n_workers + 2;
             });
-            if (p->abort) break;
+            if (p->abort) { aborted = true; break; }
             job.ord = p->next_ord_submit++;
             p->jobs.push_back(std::move(job));
         }
         p->cv_submit.notify_one();
     }
+    // a truncated/corrupt input ends the contig loop exactly like EOF —
+    // surface it as an error, not a short-but-complete stream
+    std::string read_err = aborted ? "" : jt_fasta_error(fh);
     jt_close_fasta(fh);
     {
         std::lock_guard<std::mutex> lk(p->mu);
+        if (!read_err.empty())
+            // zlib's gzerror text already names the file; only add the
+            // path when the message doesn't carry it
+            p->reader_error = read_err.find(p->path) != std::string::npos
+                ? read_err : read_err + " in " + p->path;
         p->reader_done = true;
     }
     p->cv_submit.notify_all();
@@ -719,6 +762,15 @@ void jt_pipeline_drain_headers(void* handle, char* buf, long* lens) {
         lens[i++] = (long)h.size();
     }
     p->new_headers.clear();
+}
+
+// Error message after jt_pipeline_next returned -1 ("" otherwise).
+// Valid until jt_pipeline_close; single-consumer like next().
+const char* jt_pipeline_error(void* handle) {
+    auto* p = static_cast<JtPipeline*>(handle);
+    std::lock_guard<std::mutex> lk(p->mu);
+    p->err_copy = p->reader_error;
+    return p->err_copy.c_str();
 }
 
 void jt_pipeline_close(void* handle) {

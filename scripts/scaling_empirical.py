@@ -160,8 +160,7 @@ def main() -> None:
         return jax.jit(shard_map(
             shard_fn, mesh=mesh,
             in_specs=(P(), P(), P("data")),
-            out_specs=(P(), P(), P()) if with_psum
-            else (P(), P(), P()),
+            out_specs=(P(), P(), P()),
             check_vma=False,
         ))
 

@@ -33,6 +33,38 @@ def test_fasta_reader_gzip(tmp_path):
     assert list(native.read_fasta_native(str(path))) == list(read_fasta(path))
 
 
+def test_truncated_gzip_raises(tmp_path):
+    """A truncated/corrupt .gz must raise, not end the stream early: the
+    gzip layer reports the zlib error identically to EOF, so without the
+    jt_fasta_error channel a partial assembly would produce a
+    complete-looking TSV (the Python path raises BadGzipFile)."""
+    import gzip
+
+    path = tmp_path / "t.fasta.gz"
+    with gzip.open(path, "wt") as fh:
+        fh.write(">a\n" + "ACGT" * 400 + "\n>b\n" + "GGCC" * 400 + "\n")
+    raw = path.read_bytes()
+    trunc = tmp_path / "trunc.fasta.gz"
+    trunc.write_bytes(raw[: len(raw) // 2])
+
+    with pytest.raises(OSError, match="decompression|read"):
+        list(native.read_fasta_native(str(trunc)))
+
+    with pytest.raises(OSError, match="decompression|read"):
+        for _ in native.window_pipeline_native(
+                str(trunc), 500, None, False, 0.1, 100, None, False,
+                64, 2):
+            pass
+
+
+def test_pipeline_missing_file_raises(tmp_path):
+    with pytest.raises(OSError, match="cannot open"):
+        for _ in native.window_pipeline_native(
+                str(tmp_path / "nope.fa"), 500, None, False, 0.1, 100,
+                None, False, 64, 2):
+            pass
+
+
 def test_reference_test_fasta():
     py_sum = 0
     nat_sum = 0
