@@ -1080,24 +1080,75 @@ class OODSignalLayer(nn.Module):
 
 
 class _MHA(nn.Module):
-    """Multi-head self-attention with output projection (Keras MHA shape)."""
+    """Multi-head self-attention with output projection (Keras MHA shape).
+
+    Param tree and math are exactly flax's
+    ``nn.MultiHeadDotProductAttention`` (DenseGeneral query/key/value/out,
+    query pre-scaled by 1/sqrt(head_dim), ``finfo.min`` mask fill,
+    softmax in the compute dtype) — checkpoints and the Keras weight
+    converter see no difference. Only the LOWERING is hand-picked: at
+    this zoo's shapes (head_dim 16, short sequence axes) the stock
+    batched-matmul attention keeps the MXU 8x underfed on the K=16
+    contraction, and for the 6-frame axis the scores ride the VPU as a
+    fused mul+reduce instead of 675k tiny matmuls. Chip-measured at the
+    axial config's shapes: 1.30x (length axis) / 1.65x (frame axis)
+    over the flax lowering (experiments/axial_attn_probe.py); exactness
+    vs the flax module pinned by tests/test_mha_lowering.py.
+    """
 
     embed_dim: int
     num_heads: int
     dropout_rate: float = 0.0
     dtype: Dtype = jnp.float32
 
+    #: sequence lengths <= this use the VPU scores form (frame axis: 6)
+    _VPU_SEQ_MAX = 16
+
     @nn.compact
     def __call__(self, x, attn_mask=None, train: bool = False):
-        return nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads,
-            qkv_features=self.embed_dim,
-            out_features=self.embed_dim,
-            dropout_rate=self.dropout_rate,
-            deterministic=not train,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-        )(x, x, mask=attn_mask)
+        n, s, _ = x.shape
+        h = self.num_heads
+        dh = self.embed_dim // h
+        dg = functools.partial(
+            nn.DenseGeneral, features=(h, dh), dtype=self.dtype,
+            param_dtype=jnp.float32)
+        q = dg(name="query")(x)
+        k = dg(name="key")(x)
+        v = dg(name="value")(x)
+        q = q / jnp.sqrt(jnp.asarray(dh, jnp.float32)).astype(q.dtype)
+        if s <= self._VPU_SEQ_MAX:
+            # (n, s_q, s_k, h) via broadcast-mul + reduce over dh — XLA
+            # fuses the upcast+product into the reduce, so nothing
+            # s^2-sized materializes beyond the scores themselves. f32
+            # accumulation mirrors the MXU's bf16-in/f32-accum dot
+            # semantics (a bf16 accumulate drifts ~2 ulp vs the einsum
+            # branch).
+            scores = jnp.transpose(
+                jnp.sum(q[:, :, None, :, :].astype(jnp.float32)
+                        * k[:, None, :, :, :].astype(jnp.float32),
+                        axis=-1),
+                (0, 3, 1, 2)).astype(q.dtype)
+        else:
+            scores = jnp.einsum("nqhd,nkhd->nhqk", q, k)
+        if attn_mask is not None:
+            big_neg = jnp.finfo(self.dtype).min
+            scores = jnp.where(attn_mask, scores, big_neg)
+        w = jax.nn.softmax(scores, axis=-1)
+        if train and self.dropout_rate > 0.0:
+            w = nn.Dropout(self.dropout_rate, deterministic=False)(w)
+        if s <= self._VPU_SEQ_MAX:
+            # AV on the VPU for the same reason as the scores: k=s<=16
+            # contractions keep the MXU idle 8-21x; fused
+            # mul+reduce over k with f32 accumulation instead
+            wt = jnp.transpose(w, (0, 2, 3, 1))          # (n, q, k, h)
+            o = jnp.sum(wt[..., None].astype(jnp.float32)
+                        * v[:, None, :, :, :].astype(jnp.float32),
+                        axis=2).astype(v.dtype)          # (n, q, h, d)
+        else:
+            o = jnp.einsum("nhqk,nkhd->nqhd", w, v)
+        return nn.DenseGeneral(
+            features=self.embed_dim, axis=(-2, -1), dtype=self.dtype,
+            param_dtype=jnp.float32, name="out")(o)
 
 
 class TransformerEncoder(nn.Module):
