@@ -199,6 +199,10 @@ def main() -> None:
                        bsz=1024, seed0=5000)
     hyena = ladder_row("train_config/hyena_fullcontig.yaml",
                        bsz=256, seed0=6000)
+    dvf = ladder_row("train_config/fragment_3class_500bp_dvf.yaml",
+                     bsz=2048, seed0=7000)
+    varlen = ladder_row("train_config/fragment_6class_variable_length.yaml",
+                        bsz=2048, seed0=8000)
 
     print(json.dumps({
         "metric": "inference windows/s/chip, device path: on-device codon "
@@ -239,6 +243,18 @@ def main() -> None:
              "vs_baseline": round(
                  hyena / REFERENCE_NOMINAL_WINDOWS_PER_S, 2)},
         ] if hyena is not None else []) + ([
+            {"metric": "500bp baseline nucleotide CNN (BASELINE ladder; "
+                       "dvf-style 2-strand branches, batch=2048x8)",
+             "value": round(dvf, 1), "unit": "windows/s",
+             "vs_baseline": round(
+                 dvf / REFERENCE_NOMINAL_WINDOWS_PER_S, 2)},
+        ] if dvf is not None else []) + ([
+            {"metric": "variable-length 6-class config (BASELINE ladder; "
+                       "1505nt max crop, batch=2048x8)",
+             "value": round(varlen, 1), "unit": "windows/s",
+             "vs_baseline": round(
+                 varlen / REFERENCE_NOMINAL_WINDOWS_PER_S, 2)},
+        ] if varlen is not None else []) + ([
             {"metric": "int8 MXU program (opt-in `predict --int8`, "
                        "qualified: docs/int8_qualification.md)",
              "value": round(int8, 1), "unit": "windows/s",
